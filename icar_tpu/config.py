@@ -1,0 +1,353 @@
+"""Typed model configuration.
+
+Replaces the reference options object tree (/root/reference/src/objects/
+opt_types.f90, options_obj.f90): namelist groups become dataclasses, and
+``Options.from_namelist`` reads the same ICAR ``.nml`` files the reference
+consumes (options_obj.f90:45-86), so existing run configurations port over.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+from . import constants as C
+from .utils.calendar import GREGORIAN, Time, normalize_calendar
+from .utils.namelist import read_namelist
+
+
+@dataclass
+class PhysicsOptions:
+    """Scheme selectors (opt_types.f90:15-24 physics_type)."""
+    microphysics: int = C.MP_SIMPLE
+    advection: int = C.ADV_UPWIND
+    windtype: int = C.WIND_NONE
+    boundarylayer: int = C.PBL_NONE
+    radiation: int = C.RA_NONE
+    landsurface: int = C.LSM_NONE
+    watersurface: int = C.WATER_NONE
+    convection: int = C.CU_NONE
+
+
+@dataclass
+class LtOptions:
+    """Linear-theory options (opt_types.f90:63-96 lt_options_type)."""
+    buffer: int = 50                  # topography FFT buffer cells
+    stability_window_size: int = 10
+    vert_smooth: int = 10
+    max_stability: float = 6e-4
+    min_stability: float = 1e-7
+    variable_n: bool = True
+    n_squared: float = 3e-5           # background Brunt-Vaisala freq. squared
+    linear_update_fraction: float = 1.0
+    linear_contribution: float = 1.0
+    smooth_nsq: bool = True
+    # spatial LUT dimensions
+    spatial_linear_fields: bool = True
+    dirmax: float = 2 * C.PI
+    dirmin: float = 0.0
+    spdmax: float = 30.0
+    spdmin: float = 0.0
+    nsqmax: float = -7.42  # log(6e-4) ~ -7.42
+    nsqmin: float = -16.12  # log(1e-7)
+    n_dir_values: int = 36
+    n_spd_values: int = 10
+    n_nsq_values: int = 10
+    read_lut: bool = False
+    write_lut: bool = False
+    lut_filename: str = "linear_theory_lut.nc"
+
+
+@dataclass
+class AdvOptions:
+    """Advection options (opt_types.f90:101-105)."""
+    mpdata_order: int = 2
+    boundary_buffer: bool = False
+    flux_corrected_transport: bool = True
+    h_order: int = 1
+    v_order: int = 1
+
+
+@dataclass
+class MpOptions:
+    """Microphysics options (opt_types.f90:30-60)."""
+    update_interval: float = 0.0      # max seconds between MP calls
+    top_mp_level: int = 0             # 0 = all levels
+    local_precip_fraction: float = 1.0
+
+
+@dataclass
+class CuOptions:
+    tendency_fraction: float = 1.0
+    tend_qv_fraction: float = 1.0
+    tend_qc_fraction: float = 1.0
+    tend_th_fraction: float = 1.0
+    tend_qi_fraction: float = 1.0
+
+
+@dataclass
+class LsmOptions:
+    update_interval: float = 300.0
+    monthly_albedo: bool = False
+    monthly_vegfrac: bool = False
+    sh_feedback_fraction: float = 1.0
+    lh_feedback_fraction: float = 1.0
+
+
+@dataclass
+class RadOptions:
+    update_interval_rrtmg: float = 1800.0
+    icloud: int = 1
+    read_ghg: bool = False
+    tzone: float = 0.0
+
+
+@dataclass
+class OutputOptions:
+    names: List[str] = field(default_factory=list)
+    output_interval: float = 3600.0
+    output_file: str = "icar_out_"
+    restart_count: int = 24           # restarts every N outputs
+    restart_file: str = "icar_rst_"
+    frames_per_outfile: int = 24
+
+
+@dataclass
+class DomainOptions:
+    """Grid geometry parameters (subset of parameter_options_type)."""
+    nx: int = 100
+    ny: int = 100
+    nz: int = 20
+    dx: float = 4000.0
+    dz_levels: List[float] = field(default_factory=lambda: [500.0] * 20)
+    space_varying_dz: bool = True
+    flat_z_height: float = -1         # see find_flat_model_level semantics
+    sleve: bool = False
+    terrain_smooth_windowsize: int = 4
+    terrain_smooth_cycles: int = 5
+    decay_rate_l_topo: float = 2.0
+    decay_rate_s_topo: float = 5.0
+    sleve_n: float = 1.2
+    fixed_dz_advection: bool = True   # use dz_levels for advection dz (wind.f90:528-534)
+    longitude_system: str = "auto"
+
+
+@dataclass
+class ForcingOptions:
+    init_conditions_file: str = ""
+    boundary_files: List[str] = field(default_factory=list)
+    forcing_file_list: str = ""
+    external_files: str = ""
+    input_interval: float = 3600.0
+    time_varying_z: bool = False
+    z_is_geopotential: bool = False
+    z_is_on_interface: bool = False
+    t_is_potential: bool = True
+    t_offset: float = 0.0
+    qv_is_relative_humidity: bool = False
+    qv_is_spec_humidity: bool = False
+    smooth_wind_distance: float = -1.0  # <0: default = dx of forcing
+    use_agl_height: bool = False
+    agl_cap: float = 300.0
+    limit_rain: bool = False
+    # forcing variable names (var_list namelist)
+    var_names: dict = field(default_factory=lambda: {
+        "p": "p", "theta": "theta", "t": "t", "qv": "qv", "u": "u", "v": "v",
+        "hgt": "hgt", "z": "z", "lat": "lat", "lon": "lon",
+        "lat_hi": "lat_hi", "lon_hi": "lon_hi", "hgt_hi": "hgt_hi",
+        "sst": "", "swdown": "", "lwdown": "", "sinalpha": "", "cosalpha": "",
+        "landmask": "",
+    })
+
+
+@dataclass
+class RunOptions:
+    start_date: str = "2020-12-01 00:00:00"
+    end_date: str = "2020-12-02 00:00:00"
+    forcing_start_date: str = ""
+    calendar: str = GREGORIAN
+    restart: bool = False
+    restart_date: str = ""
+    cfl_reduction_factor: float = 0.9
+    cfl_strictness: int = 3
+    wind_iterations: int = 100        # iterative wind solver steps
+    advect_density: bool = False
+    use_terrain_difference: bool = False
+    debug: bool = False
+    interactive: bool = False
+    batched_exchange: bool = True     # fuse halo exchanges across species
+    warning_level: int = 4
+
+
+@dataclass
+class Options:
+    physics: PhysicsOptions = field(default_factory=PhysicsOptions)
+    domain: DomainOptions = field(default_factory=DomainOptions)
+    forcing: ForcingOptions = field(default_factory=ForcingOptions)
+    run: RunOptions = field(default_factory=RunOptions)
+    output: OutputOptions = field(default_factory=OutputOptions)
+    lt: LtOptions = field(default_factory=LtOptions)
+    adv: AdvOptions = field(default_factory=AdvOptions)
+    mp: MpOptions = field(default_factory=MpOptions)
+    cu: CuOptions = field(default_factory=CuOptions)
+    lsm: LsmOptions = field(default_factory=LsmOptions)
+    rad: RadOptions = field(default_factory=RadOptions)
+    version: str = C.VERSION_STRING
+    comment: str = ""
+
+    # ------------------------------------------------------------------
+    def start_time(self) -> Time:
+        return Time.from_string(self.run.start_date, self.run.calendar)
+
+    def end_time(self) -> Time:
+        return Time.from_string(self.run.end_date, self.run.calendar)
+
+    def halo_width(self) -> int:
+        """Halo width from the advection stencil order, not hardcoded
+        (improves on icar_constants.f90:320 kDEFAULT_HALO_SIZE=1)."""
+        return 2 if self.physics.advection == C.ADV_MPDATA else 1
+
+    def validate(self):
+        """Config sanity checking (options_check, options_obj.f90:318)."""
+        errs = []
+        d = self.domain
+        if len(d.dz_levels) < d.nz:
+            errs.append(f"dz_levels has {len(d.dz_levels)} entries < nz={d.nz}")
+        if d.nx < 4 or d.ny < 4 or d.nz < 2:
+            errs.append(f"domain too small: {d.nx}x{d.ny}x{d.nz}")
+        if self.run.cfl_reduction_factor > 1.0:
+            errs.append("cfl_reduction_factor > 1 is unstable")
+        if self.physics.microphysics == C.MP_SIMPLE and self.physics.convection not in (C.CU_NONE, C.CU_SIMPLE):
+            errs.append("mp_simple is not tuned for use with deep convection schemes")
+        if errs:
+            raise ValueError("invalid options:\n  " + "\n  ".join(errs))
+        return self
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_namelist(cls, path: str) -> "Options":
+        """Build Options from an ICAR-style namelist file
+        (groups read: model_version, physics, parameters, z_info,
+        output_list, files_list, var_list, lt_parameters, adv_parameters...)."""
+        nml = read_namelist(path)
+        o = cls()
+
+        mv = nml.get("model_version", {})
+        o.version = str(mv.get("version", o.version))
+        o.comment = str(mv.get("comment", ""))
+
+        ph = nml.get("physics", {})
+        o.physics = PhysicsOptions(
+            microphysics=int(ph.get("mp", 0)),
+            advection=int(ph.get("adv", 1)),
+            windtype=int(ph.get("wind", 0)),
+            boundarylayer=int(ph.get("pbl", 0)),
+            radiation=int(ph.get("rad", 0)),
+            landsurface=int(ph.get("lsm", 0)),
+            watersurface=int(ph.get("water", 0)),
+            convection=int(ph.get("conv", 0)),
+        )
+
+        pm = nml.get("parameters", {})
+        if "dx" in pm:
+            o.domain.dx = float(pm["dx"])
+        if "nz" in pm:
+            o.domain.nz = int(pm["nz"])
+        zi = nml.get("z_info", {})
+        if "dz_levels" in zi:
+            dz = zi["dz_levels"]
+            o.domain.dz_levels = [float(x) for x in (dz if isinstance(dz, list) else [dz])]
+            if "nz" not in pm:
+                o.domain.nz = len(o.domain.dz_levels)
+        if "space_varying" in zi:
+            o.domain.space_varying_dz = bool(zi["space_varying"])
+        if "flat_z_height" in zi:
+            o.domain.flat_z_height = float(zi["flat_z_height"])
+        if "sleve" in zi:
+            o.domain.sleve = bool(zi["sleve"])
+        for k_nml, k_attr in [("terrain_smooth_windowsize", "terrain_smooth_windowsize"),
+                              ("terrain_smooth_cycles", "terrain_smooth_cycles"),
+                              ("decay_rate_l_topo", "decay_rate_l_topo"),
+                              ("decay_rate_s_topo", "decay_rate_s_topo"),
+                              ("sleve_n", "sleve_n")]:
+            if k_nml in zi:
+                setattr(o.domain, k_attr, type(getattr(o.domain, k_attr))(zi[k_nml]))
+
+        for key, attr, conv in [
+            ("start_date", "start_date", str), ("end_date", "end_date", str),
+            ("forcing_start_date", "forcing_start_date", str),
+            ("cfl_reduction_factor", "cfl_reduction_factor", float),
+            ("cfl_strictness", "cfl_strictness", int),
+            ("wind_iterations", "wind_iterations", int),
+            ("advect_density", "advect_density", bool),
+            ("use_terrain_difference", "use_terrain_difference", bool),
+            ("debug", "debug", bool), ("interactive", "interactive", bool),
+            ("restart", "restart", bool),
+        ]:
+            if key in pm:
+                setattr(o.run, attr, conv(pm[key]))
+        if "calendar" in pm:
+            o.run.calendar = normalize_calendar(str(pm["calendar"]))
+
+        for key, attr, conv in [
+            ("inputinterval", "input_interval", float),
+            ("time_varying_z", "time_varying_z", bool),
+            ("z_is_geopotential", "z_is_geopotential", bool),
+            ("z_is_on_interface", "z_is_on_interface", bool),
+            ("t_is_potential", "t_is_potential", bool),
+            ("t_offset", "t_offset", float),
+            ("qv_is_relative_humidity", "qv_is_relative_humidity", bool),
+            ("qv_is_spec_humidity", "qv_is_spec_humidity", bool),
+            ("smooth_wind_distance", "smooth_wind_distance", float),
+            ("use_agl_height", "use_agl_height", bool),
+            ("agl_cap", "agl_cap", float),
+        ]:
+            if key in pm:
+                setattr(o.forcing, attr, conv(pm[key]))
+
+        fl = nml.get("files_list", {})
+        if "init_conditions_file" in fl:
+            o.forcing.init_conditions_file = str(fl["init_conditions_file"])
+        if "boundary_files" in fl:
+            bf = fl["boundary_files"]
+            o.forcing.boundary_files = bf if isinstance(bf, list) else [bf]
+        if "forcing_file_list" in fl:
+            o.forcing.forcing_file_list = str(fl["forcing_file_list"])
+
+        vl = nml.get("var_list", {})
+        name_map = {  # namelist key -> canonical forcing slot
+            "pvar": "p", "tvar": "t", "qvvar": "qv", "uvar": "u", "vvar": "v",
+            "hgtvar": "hgt", "zvar": "z", "latvar": "lat", "lonvar": "lon",
+            "lat_hi": "lat_hi", "lon_hi": "lon_hi", "hgt_hi": "hgt_hi",
+            "sst_var": "sst", "swdown_var": "swdown", "lwdown_var": "lwdown",
+            "sinalpha_var": "sinalpha", "cosalpha_var": "cosalpha",
+            "landvar": "landmask",
+        }
+        for k_nml, slot in name_map.items():
+            if k_nml in vl:
+                o.forcing.var_names[slot] = str(vl[k_nml])
+
+        ol = nml.get("output_list", {})
+        if "names" in ol:
+            nm = ol["names"]
+            o.output.names = nm if isinstance(nm, list) else [nm]
+        if "outputinterval" in ol:
+            o.output.output_interval = float(ol["outputinterval"])
+        if "output_file" in ol:
+            o.output.output_file = str(ol["output_file"])
+        if "restartinterval" in ol:
+            o.output.restart_count = int(ol["restartinterval"])
+        if "restart_file" in ol:
+            o.output.restart_file = str(ol["restart_file"])
+
+        lt = nml.get("lt_parameters", {})
+        for f in dataclasses.fields(LtOptions):
+            if f.name in lt:
+                setattr(o.lt, f.name, type(getattr(o.lt, f.name))(lt[f.name]))
+        ad = nml.get("adv_parameters", {})
+        for f in dataclasses.fields(AdvOptions):
+            if f.name in ad:
+                setattr(o.adv, f.name, type(getattr(o.adv, f.name))(ad[f.name]))
+
+        return o

@@ -1,0 +1,237 @@
+"""Declarative variable registry.
+
+One table replaces three reference subsystems:
+  * the ``kVARS`` integer registry (/root/reference/src/constants/icar_constants.f90:26-290)
+  * per-package ``*_var_request`` calls (/root/reference/src/main/options_obj.f90:95-229)
+  * CF output metadata (/root/reference/src/io/default_output_metadata.f90)
+
+Array layout convention for the TPU rebuild: 3D fields are ``(z, y, x)`` —
+x is the fastest (128-lane) dimension, (y, x) are the large tiled dims that
+map onto the 8x128 VPU registers, z stays unsharded (column physics is
+z-local, SURVEY.md section 5).  The reference uses Fortran (i, k, j) =
+(x, z, y) with x fastest; both put x innermost in memory.
+
+Staggering: 'x' means nx+1 points (u grid), 'y' means ny+1 (v grid),
+'zi' means nz+1 interface levels. Mirrors grid_obj.f90 nx_extra/ny_extra.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class VarSpec:
+    name: str
+    dims: str                 # '3d' | '2d'
+    stagger: Optional[str] = None   # None | 'x' | 'y' | 'zi'
+    units: str = ""
+    standard_name: str = ""
+    forcing_name: Optional[str] = None  # default name in forcing files
+    dtype: str = "float32"    # precip accumulators are float64 (variable_h.f90:15)
+    default: float = 0.0
+    force_boundaries: bool = True  # 3D advected scalars are forced at lateral
+                                   # boundaries only (domain_obj.f90:2400-2428)
+
+    def shape(self, nz: int, ny: int, nx: int) -> Tuple[int, ...]:
+        if self.dims == "2d":
+            return (ny + (self.stagger == "y"), nx + (self.stagger == "x"))
+        dz = nz + 1 if self.stagger == "zi" else nz
+        return (dz, ny + (self.stagger == "y"), nx + (self.stagger == "x"))
+
+
+def _v(name, dims="3d", **kw) -> VarSpec:
+    return VarSpec(name=name, dims=dims, **kw)
+
+
+# --- the registry -----------------------------------------------------------
+# Prognostic wind / mass fields
+_SPECS = [
+    _v("u", stagger="x", units="m s-1", standard_name="grid_eastward_wind", forcing_name="u"),
+    _v("v", stagger="y", units="m s-1", standard_name="grid_northward_wind", forcing_name="v"),
+    _v("w", units="m s-1", standard_name="upward_air_velocity_grid"),
+    _v("w_real", units="m s-1", standard_name="upward_air_velocity"),
+    _v("pressure", units="Pa", standard_name="air_pressure", forcing_name="p"),
+    _v("pressure_interface", stagger=None, units="Pa"),
+    _v("potential_temperature", units="K", standard_name="air_potential_temperature", forcing_name="theta"),
+    _v("temperature", units="K", standard_name="air_temperature"),
+    _v("temperature_interface", units="K"),
+    _v("exner", units="1"),
+    _v("density", units="kg m-3", standard_name="air_density"),
+    _v("nsquared", units="s-2", standard_name="square_of_brunt_vaisala_frequency_in_air"),
+    # moisture species
+    _v("water_vapor", units="kg kg-1", standard_name="mixing_ratio_of_water_vapor", forcing_name="qv"),
+    _v("cloud_water", units="kg kg-1", standard_name="cloud_liquid_water_mixing_ratio"),
+    _v("cloud_number", units="kg-1"),
+    _v("cloud_ice", units="kg kg-1", standard_name="cloud_ice_mixing_ratio"),
+    _v("ice_number", units="kg-1"),
+    _v("rain_mass", units="kg kg-1", standard_name="mass_fraction_of_rain_in_air"),
+    _v("rain_number", units="kg-1"),
+    _v("snow_mass", units="kg kg-1", standard_name="mass_fraction_of_snow_in_air"),
+    _v("snow_number", units="kg-1"),
+    _v("graupel_mass", units="kg kg-1", standard_name="mass_fraction_of_graupel_in_air"),
+    _v("graupel_number", units="kg-1"),
+    # surface accumulations (double precision in the reference, variable_h.f90:15)
+    _v("precipitation", dims="2d", units="mm", standard_name="precipitation_amount", dtype="float64"),
+    _v("snowfall", dims="2d", units="mm", standard_name="snowfall_amount", dtype="float64"),
+    _v("graupel", dims="2d", units="mm", dtype="float64"),
+    # geometry
+    _v("z", units="m", standard_name="height_above_reference_ellipsoid"),
+    _v("z_interface", stagger="zi", units="m"),
+    _v("dz", units="m"),
+    _v("dz_interface", units="m"),
+    _v("terrain", dims="2d", units="m", standard_name="surface_altitude", forcing_name="hgt"),
+    _v("latitude", dims="2d", units="degrees_north", forcing_name="lat"),
+    _v("longitude", dims="2d", units="degrees_east", forcing_name="lon"),
+    # diagnostics
+    _v("u_mass", units="m s-1", standard_name="eastward_wind"),
+    _v("v_mass", units="m s-1", standard_name="northward_wind"),
+    _v("surface_pressure", dims="2d", units="Pa", standard_name="surface_air_pressure"),
+    _v("u_10m", dims="2d", units="m s-1"),
+    _v("v_10m", dims="2d", units="m s-1"),
+    _v("temperature_2m", dims="2d", units="K"),
+    _v("humidity_2m", dims="2d", units="kg kg-1"),
+    _v("ustar", dims="2d", units="m s-1"),
+    _v("ivt", dims="2d", units="kg m-1 s-1"),
+    _v("iwv", dims="2d", units="kg m-2"),
+    _v("iwl", dims="2d", units="kg m-2"),
+    _v("iwi", dims="2d", units="kg m-2"),
+    # radiation / surface
+    _v("shortwave", dims="2d", units="W m-2", standard_name="surface_downwelling_shortwave_flux_in_air", forcing_name="swdown"),
+    _v("longwave", dims="2d", units="W m-2", standard_name="surface_downwelling_longwave_flux_in_air", forcing_name="lwdown"),
+    _v("cloud_fraction", dims="2d", units="1"),
+    _v("skin_temperature", dims="2d", units="K", forcing_name="tskin"),
+    _v("sst", dims="2d", units="K", forcing_name="sst"),
+    _v("sensible_heat", dims="2d", units="W m-2"),
+    _v("latent_heat", dims="2d", units="W m-2"),
+    _v("roughness_z0", dims="2d", units="m", default=0.01),
+    _v("albedo", dims="2d", units="1", default=0.17),
+    _v("vegetation_fraction", dims="2d", units="1", default=0.5),
+    _v("land_mask", dims="2d", units="1", default=1.0),
+    # soil (simple LSM)
+    _v("soil_water_content", units="m3 m-3"),
+    _v("soil_temperature", units="K"),
+]
+
+REGISTRY = {s.name: s for s in _SPECS}
+
+# The full hydrometeor set that can be advected (advect.f90:400-410)
+HYDROMETEORS = (
+    "water_vapor", "cloud_water", "rain_mass", "snow_mass", "cloud_ice",
+    "graupel_mass", "ice_number", "rain_number", "snow_number",
+    "graupel_number",
+)
+
+
+@dataclass
+class VarRequest:
+    """Accumulates which variables each physics package needs.
+
+    Mirrors options_obj.f90:145-229 (alloc_vars / advect_vars / restart_vars).
+    """
+    alloc: set = field(default_factory=set)
+    advect: list = field(default_factory=list)   # ordered, advection loops over it
+    restart: set = field(default_factory=set)
+
+    def alloc_vars(self, names):
+        self.alloc.update(names)
+
+    def advect_vars(self, names):
+        for n in names:
+            if n not in self.advect:
+                self.advect.append(n)
+        self.alloc.update(names)
+
+    def restart_vars(self, names):
+        self.restart.update(names)
+        self.alloc.update(names)
+
+
+def collect_requests(options) -> VarRequest:
+    """Gather variable requests from every enabled physics package.
+
+    Mirrors collect_physics_requests (options_obj.f90:95-107).
+    """
+    from . import constants as C
+
+    req = VarRequest()
+    # core vars always present (domain_obj.f90:2107 var_request)
+    req.alloc_vars([
+        "u", "v", "w", "pressure", "potential_temperature", "water_vapor",
+        "exner", "density", "temperature", "z", "z_interface", "dz",
+        "dz_interface", "terrain", "latitude", "longitude",
+        "u_mass", "v_mass", "w_real", "pressure_interface",
+        "temperature_interface", "surface_pressure",
+    ])
+    req.restart_vars(["u", "v", "w", "pressure", "potential_temperature", "water_vapor"])
+
+    phys = options.physics
+    if phys.advection != C.ADV_NONE:
+        req.alloc_vars(["u", "v", "w", "dz_interface"])
+    if phys.microphysics == C.MP_SIMPLE:
+        # mp_simple_var_request (mp_simple.f90:104-126)
+        req.alloc_vars(["pressure", "potential_temperature", "exner", "density",
+                        "water_vapor", "cloud_water", "rain_mass", "snow_mass",
+                        "precipitation", "snowfall", "dz"])
+        req.advect_vars(["potential_temperature", "water_vapor", "cloud_water",
+                         "rain_mass", "snow_mass"])
+        req.restart_vars(["precipitation", "snowfall", "cloud_water",
+                          "rain_mass", "snow_mass"])
+    elif phys.microphysics in (C.MP_THOMPSON, C.MP_THOMPSON_AER):
+        req.alloc_vars(["pressure", "potential_temperature", "exner", "density",
+                        "water_vapor", "cloud_water", "cloud_ice", "rain_mass",
+                        "snow_mass", "graupel_mass", "ice_number", "rain_number",
+                        "precipitation", "snowfall", "graupel", "dz"])
+        req.advect_vars(["potential_temperature", "water_vapor", "cloud_water",
+                         "cloud_ice", "rain_mass", "snow_mass", "graupel_mass",
+                         "ice_number", "rain_number"])
+        req.restart_vars(["precipitation", "snowfall", "graupel", "cloud_water",
+                          "cloud_ice", "rain_mass", "snow_mass", "graupel_mass"])
+    elif phys.microphysics != C.MP_NONE:
+        # WSM3/WSM6/Morrison families
+        req.alloc_vars(["pressure", "potential_temperature", "exner", "density",
+                        "water_vapor", "cloud_water", "cloud_ice", "rain_mass",
+                        "snow_mass", "graupel_mass", "precipitation", "snowfall",
+                        "graupel", "dz"])
+        req.advect_vars(["potential_temperature", "water_vapor", "cloud_water",
+                         "cloud_ice", "rain_mass", "snow_mass", "graupel_mass"])
+        req.restart_vars(["precipitation", "snowfall", "cloud_water",
+                          "cloud_ice", "rain_mass", "snow_mass", "graupel_mass"])
+    else:
+        # even with no microphysics, theta and qv are advected (CI Schaer test)
+        req.advect_vars(["potential_temperature", "water_vapor"])
+
+    if phys.windtype in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE):
+        # wind_linear_var_request (wind.f90:32-56)
+        req.alloc_vars(["nsquared", "potential_temperature", "exner",
+                        "water_vapor", "cloud_water", "rain_mass",
+                        "u", "v", "w", "dz"])
+        req.restart_vars(["nsquared"])
+    if phys.boundarylayer == C.PBL_SIMPLE:
+        req.alloc_vars(["potential_temperature", "water_vapor", "exner",
+                        "density", "u_mass", "v_mass", "z"])
+    if phys.radiation in (C.RA_SIMPLE, C.RA_RRTMG, C.RA_BASIC):
+        req.alloc_vars(["shortwave", "longwave", "cloud_fraction",
+                        "potential_temperature", "exner", "water_vapor",
+                        "cloud_water", "rain_mass", "snow_mass"])
+    if phys.landsurface != C.LSM_NONE:
+        req.alloc_vars(["skin_temperature", "sensible_heat", "latent_heat",
+                        "temperature_2m", "humidity_2m", "ustar",
+                        "roughness_z0", "albedo", "vegetation_fraction",
+                        "land_mask", "shortwave", "longwave",
+                        "soil_water_content", "soil_temperature"])
+        req.restart_vars(["skin_temperature", "soil_water_content",
+                          "soil_temperature"])
+    if phys.watersurface != C.WATER_NONE:
+        req.alloc_vars(["sst", "skin_temperature", "sensible_heat",
+                        "latent_heat", "ustar", "land_mask"])
+
+    # diagnostics always useful
+    req.alloc_vars(["ivt", "iwv", "iwl", "iwi", "u_10m", "v_10m", "ustar",
+                    "roughness_z0"])
+    return req
+
+
+def np_dtype(spec: VarSpec):
+    return np.float64 if spec.dtype == "float64" else np.float32
