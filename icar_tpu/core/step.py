@@ -1,0 +1,172 @@
+"""The inner physics loop: one forcing interval as a jitted while_loop.
+
+JAX re-implementation of step (/root/reference/src/main/time_step.f90:440-551).
+The whole substep loop — CFL dt (a global reduction), diagnostics, operator-
+split physics (rad -> lsm -> pbl -> cu -> mp -> advect), forcing relaxation
+and limit enforcement — traces into ONE XLA computation. The reference's
+explicit halo_send/halo_retrieve around microphysics disappears: stencil
+slices on sharded arrays compile to ICI collectives scheduled by XLA, which
+overlaps them with column physics automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import Options
+from ..ops import advection, wind
+from ..physics import mp_simple
+from .diagnostics import compute_dt, diagnostic_update
+
+# fields whose forcing tendency is applied everywhere (non-advected);
+# advected scalars are forced at the lateral boundaries only
+# (apply_forcing, domain_obj.f90:2383-2448)
+FULL_FIELD_FORCED = ("u", "v", "w", "pressure")
+
+# fields clamped to >= 0 near the end of an interval (enforce_limits,
+# domain_obj.f90:2228)
+LIMITED_FIELDS = (
+    "water_vapor", "cloud_water", "cloud_ice", "rain_mass", "snow_mass",
+    "graupel_mass", "cloud_number", "ice_number", "rain_number",
+    "snow_number", "graupel_number",
+)
+
+
+def boundary_mask(ny: int, nx: int, dtype=jnp.float32):
+    """1 on the lateral domain boundary ring, 0 inside."""
+    m = jnp.zeros((ny, nx), dtype)
+    m = m.at[0, :].set(1.0).at[-1, :].set(1.0)
+    m = m.at[:, 0].set(1.0).at[:, -1].set(1.0)
+    return m
+
+
+def apply_forcing(state, dqdt: Dict[str, jnp.ndarray], dt, bmask):
+    """Integrate forcing tendencies for dt seconds (apply_forcing,
+    domain_obj.f90:2383-2448)."""
+    s = dict(state)
+    for name, tend in dqdt.items():
+        if name not in s:
+            continue
+        if name in FULL_FIELD_FORCED or s[name].ndim == 2:
+            s[name] = s[name] + tend * dt
+        else:
+            # advected scalars: only the boundary ring is relaxed
+            s[name] = s[name] + tend * dt * bmask[None]
+    return s
+
+
+def enforce_limits(state):
+    s = dict(state)
+    for name in LIMITED_FIELDS:
+        if name in s:
+            s[name] = jnp.maximum(s[name], 0.0)
+    return s
+
+
+def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
+                 physics_extra=None, natural_shapes=None):
+    """Build the jitted interval-step function.
+
+    Returns ``step(state, dqdt, t0, end_time) -> (state, t, n_substeps)``
+    where times are seconds since the interval start (traced scalars).
+    ``physics_extra`` is an optional list of (name, fn) applied in order
+    after the built-in sequence, each fn: (state, geom, dt) -> state.
+
+    ``natural_shapes``: when given (sharded execution), state/dqdt arrive in
+    the uniform padded frame (parallel.mesh.padded_sizes); fields are sliced
+    to their natural shapes inside jit — where GSPMD handles the resulting
+    uneven shardings with internal halo padding — and written back into the
+    padded buffers at interval end.
+    """
+    phys = options.physics
+    dz_levels = jnp.asarray(geom.dz_levels, jnp.float32)
+    bmask = boundary_mask(geom.ny, geom.nx)
+    adv_names = tuple(advect_names)
+
+    def physics_step(state, dt):
+        s = state
+        # --- radiation / land surface / pbl / convection hooks (the
+        # reference order, time_step.f90:488-529); simple schemes land here
+        if physics_extra:
+            for _, fn in physics_extra:
+                s = fn(s, geom, dt)
+
+        # --- microphysics
+        if phys.microphysics == C.MP_SIMPLE:
+            theta, qv, qc, qr, qs, rain, snow = mp_simple.mp_simple(
+                s["pressure"], s["potential_temperature"], s["exner"],
+                s["density"], s["water_vapor"], s["cloud_water"],
+                s["rain_mass"], s["snow_mass"], s["precipitation"],
+                s["snowfall"], dt, jnp.asarray(geom.dz_interface))
+            s = dict(s)
+            s["potential_temperature"] = theta
+            s["water_vapor"] = qv
+            s["cloud_water"] = qc
+            s["rain_mass"] = qr
+            s["snow_mass"] = qs
+            s["precipitation"] = rain
+            s["snowfall"] = snow
+
+        # --- advection of all requested species in one fused pass
+        if phys.advection == C.ADV_UPWIND and adv_names:
+            stacked = jnp.stack([s[k] for k in adv_names])
+            out = advection.advect_upwind(
+                stacked, s["u"], s["v"], s["w"], dt, geom.dx,
+                jnp.asarray(geom.jacobian_u), jnp.asarray(geom.jacobian_v),
+                jnp.asarray(geom.jacobian_w), jnp.asarray(geom.jacobian),
+                s.get("density"), jnp.asarray(geom.advection_dz),
+                options.run.advect_density)
+            s = dict(s)
+            for i, k in enumerate(adv_names):
+                s[k] = out[i]
+        return s
+
+    def _slice_natural(d):
+        out = {}
+        for k, v in d.items():
+            s = natural_shapes[k]
+            out[k] = v[..., :s[-2], :s[-1]]
+        return out
+
+    def step(state, dqdt, t0, end_time):
+        if natural_shapes is not None:
+            state_padded = state
+            state = _slice_natural(state)
+            dqdt = _slice_natural(dqdt)
+
+        def cond(carry):
+            t = carry[1]
+            return t < end_time - 1e-3
+
+        def body(carry):
+            state, t, n = carry
+            dt = compute_dt(state["u"], state["v"], state["w"], dz_levels,
+                            geom.dx, options.run.cfl_reduction_factor,
+                            options.run.cfl_strictness)
+            dt = jnp.minimum(dt, C.MAX_DT)
+            dt = jnp.minimum(dt, end_time - t)
+
+            state = diagnostic_update(state, geom)
+            state = physics_step(state, dt)
+            if with_forcing:
+                state = apply_forcing(state, dqdt, dt, bmask)
+            # clamp over-shot negatives in the last couple of substeps
+            # (time_step.f90:537-539)
+            near_end = (end_time - t) < dt * 2
+            clamped = enforce_limits(state)
+            state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(near_end, b, a), state, clamped)
+            return state, t + dt, n + 1
+
+        state, t, n = jax.lax.while_loop(cond, body, (state, t0, jnp.int32(0)))
+        if natural_shapes is not None:
+            state = {k: state_padded[k].at[..., :v.shape[-2], :v.shape[-1]]
+                     .set(v) for k, v in state.items()}
+        return state, t, n
+
+    return jax.jit(step)

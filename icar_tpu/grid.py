@@ -233,6 +233,12 @@ def _simple_z(terrain, terrain_u, terrain_v, dz, opts: Options):
     if d.space_varying_dz:
         max_level = find_flat_model_level(d.flat_z_height, nz, dz)
         smooth_height = float(np.sum(dz[:max_level]))
+        if float(terrain.max()) >= smooth_height:
+            raise ValueError(
+                f"terrain (max {terrain.max():.0f} m) reaches the flat-z "
+                f"height ({smooth_height:.0f} m = sum of the first "
+                f"{max_level} dz levels); the terrain-following jacobian "
+                f"would be <= 0. Raise flat_z_height or deepen dz_levels.")
         jac0 = (smooth_height - terrain) / smooth_height
         zr_u0 = (smooth_height - terrain_u) / smooth_height
         zr_v0 = (smooth_height - terrain_v) / smooth_height

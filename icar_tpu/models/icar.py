@@ -1,0 +1,168 @@
+"""The flagship model assembly: geometry + state + physics + step loop.
+
+Host-side driver object replacing program icar / init_model
+(/root/reference/src/main/driver.f90, init.f90). The outer loop (forcing
+ingest, output) runs in Python; each forcing interval executes as a single
+jitted while_loop on device (core/step.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import Options
+from ..core.diagnostics import diagnostic_update
+from ..core.state import advected_names, create_state
+from ..core.step import make_step_fn
+from ..forcing.ideal import IdealCase
+from ..grid import Geometry, build_geometry
+from ..ops import wind as wind_ops
+
+
+class ICARModel:
+    """An ICAR-equivalent downscaling model instance."""
+
+    def __init__(self, options: Options, terrain: np.ndarray,
+                 lat: np.ndarray, lon: np.ndarray,
+                 physics_extra=None):
+        options.domain.ny, options.domain.nx = terrain.shape
+        self.options = options.validate()
+        self.geom = build_geometry(terrain, lat, lon, options)
+        self.state = create_state(options)
+        self.advect_names = advected_names(options)
+        self.model_time = 0.0          # seconds since run start
+        self._with_forcing = False
+        self._dqdt: Dict[str, jnp.ndarray] = {}
+        self._physics_extra = physics_extra
+        self._step_fn = None
+        self.mesh = None
+        self._natural_shapes = None
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        self._step_fn = make_step_fn(self.options, self.geom,
+                                     self.advect_names, self._with_forcing,
+                                     self._physics_extra,
+                                     natural_shapes=self._natural_shapes)
+
+    def attach_mesh(self, mesh):
+        """Shard the model over a device mesh. All fields move into the
+        uniform padded frame (see parallel.mesh.padded_sizes) and are placed
+        with P(None, 'y', 'x') shardings; subsequent advance() calls run
+        SPMD with XLA-inserted halo collectives."""
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import pad_state, padded_sizes, spec_for
+        self.mesh = mesh
+        self._natural_shapes = {k: tuple(v.shape) for k, v in self.state.items()}
+        nyp, nxp = padded_sizes(self.geom.nx, self.geom.ny, mesh)
+        self._padded_sizes = (nyp, nxp)
+        padded = pad_state({k: np.asarray(v) for k, v in self.state.items()},
+                           nyp, nxp)
+        self.state = {
+            k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, spec_for(v)))
+            for k, v in padded.items()}
+        if self._dqdt:
+            self._pad_and_shard_dqdt()
+        self._step_fn = None
+
+    def _pad_and_shard_dqdt(self):
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import pad_state, spec_for
+        nyp, nxp = self._padded_sizes
+        padded = pad_state({k: np.asarray(v) for k, v in self._dqdt.items()},
+                           nyp, nxp)
+        self._dqdt = {
+            k: jax.device_put(jnp.asarray(v), NamedSharding(self.mesh, spec_for(v)))
+            for k, v in padded.items()}
+
+    def compute_winds(self, u, v, rotate: bool = False):
+        """Run the configured wind solver on (u, v); returns balanced
+        (u, v, w) (update_winds, wind.f90:289-369)."""
+        if rotate:
+            u, v = wind_ops.make_winds_grid_relative(
+                u, v, jnp.asarray(self.geom.sintheta),
+                jnp.asarray(self.geom.costheta))
+        return wind_ops.update_winds(
+            u, v, self.geom, self.options.physics.windtype,
+            self.options.run.wind_iterations,
+            self.options.run.use_terrain_difference)
+
+    def set_initial_conditions(self, case: IdealCase, rotate: bool = True):
+        """Install an ideal case as the initial state (get_initial_conditions
+        + first update_winds, init.f90:85-112)."""
+        u = jnp.asarray(case.u)
+        v = jnp.asarray(case.v)
+        u, v, w = self.compute_winds(u, v, rotate=rotate)
+        s = dict(self.state)
+        s["u"], s["v"], s["w"] = u, v, w
+        s["potential_temperature"] = jnp.asarray(case.theta)
+        s["pressure"] = jnp.asarray(case.pressure)
+        s["water_vapor"] = jnp.asarray(case.qv)
+        self.state = diagnostic_update(s, self.geom)
+
+    def set_forcing_tendencies(self, dqdt: Dict[str, np.ndarray]):
+        """Install dqdt fields for the next interval (update_delta_fields,
+        domain_obj.f90:2339-2372)."""
+        self._dqdt = {k: jnp.asarray(v) for k, v in dqdt.items()}
+        if self.mesh is not None:
+            self._pad_and_shard_dqdt()
+        if not self._with_forcing:
+            self._with_forcing = True
+            self._step_fn = None
+
+    def advance(self, seconds: float):
+        """Integrate the state forward by ``seconds`` (one forcing/output
+        interval; step, time_step.f90:440-551)."""
+        if self._step_fn is None:
+            self._build_step()
+        t0 = jnp.float32(0.0)
+        state, t, n = self._step_fn(self.state, self._dqdt, t0,
+                                    jnp.float32(seconds))
+        self.state = state
+        self.model_time += float(seconds)
+        self.last_n_substeps = int(n)
+        return self.state
+
+    # convenience accessors -------------------------------------------------
+    def field(self, name: str) -> np.ndarray:
+        """Field in its natural (unpadded) shape."""
+        a = np.asarray(self.state[name])
+        if self._natural_shapes is not None:
+            s = self._natural_shapes[name]
+            a = a[..., :s[-2], :s[-1]]
+        return a
+
+
+def ideal_ridge_model(nx=300, ny=20, nz=20, dx=1000.0, hill_height=1000.0,
+                      u_speed=10.0, rh=0.95, mp=C.MP_SIMPLE,
+                      windtype=C.WIND_NONE, flat_z_height=-5,
+                      dz_levels=None) -> ICARModel:
+    """Convenience constructor for the standard ideal-ridge benchmark case
+    (tests/gen_ideal_test.py semantics)."""
+    from ..forcing.ideal import ideal_latlon, make_ideal_case, schaer_topography
+
+    o = Options()
+    o.domain.nx, o.domain.ny, o.domain.nz = nx, ny, nz
+    o.domain.dx = dx
+    if dz_levels is None:
+        dz_levels = [50.0, 75.0, 125.0, 200.0, 300.0, 400.0] + [500.0] * max(nz - 6, 0)
+    o.domain.dz_levels = list(dz_levels)[:nz]
+    o.domain.flat_z_height = flat_z_height
+    o.physics.microphysics = mp
+    o.physics.advection = C.ADV_UPWIND
+    o.physics.windtype = windtype
+
+    terrain = schaer_topography(nx, ny, hill_height, dx)
+    lat, lon = ideal_latlon(nx, ny, dx)
+    model = ICARModel(o, terrain, lat, lon)
+
+    case = make_ideal_case(model.geom, u_profile=u_speed, rh=rh)
+    model.set_initial_conditions(case)
+    return model

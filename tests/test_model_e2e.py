@@ -1,0 +1,83 @@
+"""End-to-end ideal-ridge run: the TPU equivalent of the reference CI test
+(tests/gen_ideal_test.py + execute_test_run) and test_caf_no_forcing.f90."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icar_tpu import constants as C
+from icar_tpu.models.icar import ideal_ridge_model
+from icar_tpu.ops.wind import calc_divergence
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = ideal_ridge_model(nx=60, ny=16, nz=15, dx=1000.0, hill_height=800.0,
+                          u_speed=10.0, rh=0.95)
+    m.advance(600.0)
+    return m
+
+
+def test_run_produces_finite_state(model):
+    for name, arr in model.state.items():
+        a = np.asarray(arr)
+        assert np.isfinite(a).all(), f"{name} has non-finite values"
+
+
+def test_theta_stays_physical(model):
+    th = model.field("potential_temperature")
+    assert th.min() > 250.0 and th.max() < 600.0
+
+
+def test_moisture_nonnegative(model):
+    for name in ("water_vapor", "cloud_water", "rain_mass", "snow_mass"):
+        assert model.field(name).min() >= -1e-8, name
+
+
+def test_winds_balanced(model):
+    g = model.geom
+    div = calc_divergence(model.state["u"], model.state["v"],
+                          model.state["w"], jnp.asarray(g.jacobian_u),
+                          jnp.asarray(g.jacobian_v), jnp.asarray(g.jacobian_w),
+                          jnp.asarray(g.advection_dz), g.dx,
+                          jnp.asarray(g.jacobian))
+    assert float(jnp.abs(div).max()) < 1e-4
+
+
+def test_orographic_condensation(model):
+    """Moist flow over a ridge must produce cloud water somewhere upslope."""
+    qc = model.field("cloud_water")
+    assert qc.max() > 1e-6
+
+
+def test_diagnostics_present(model):
+    rho = model.field("density")
+    assert 0.3 < rho.min() < rho.max() < 1.5
+    t2 = model.field("temperature")
+    assert 200.0 < t2.min() < t2.max() < 320.0
+    psfc = model.field("surface_pressure")
+    assert 80000.0 < psfc.max() <= 102000.0
+
+
+def test_forcing_relaxation_pulls_boundaries():
+    m = ideal_ridge_model(nx=40, ny=12, nz=10, dx=1000.0, hill_height=0.0,
+                          u_speed=5.0, rh=0.4)
+    qv0 = m.field("water_vapor").copy()
+    dqdt = {"water_vapor": np.full_like(qv0, 1e-7)}
+    m.set_forcing_tendencies(dqdt)
+    m.advance(600.0)
+    qv1 = m.field("water_vapor")
+    # boundary ring accumulated ~ 1e-7 * 600 s; interior did not (dry run)
+    np.testing.assert_allclose(qv1[:, 0, :] - qv0[:, 0, :], 6e-5, rtol=1e-2)
+    inner = qv1[:, 5:-5, 5:-5] - qv0[:, 5:-5, 5:-5]
+    assert np.abs(inner).max() < 1e-5
+
+
+def test_progresses_with_time():
+    m = ideal_ridge_model(nx=40, ny=12, nz=10, dx=1000.0, hill_height=500.0,
+                          u_speed=10.0, rh=1.0)
+    qc_t = []
+    for _ in range(3):
+        m.advance(300.0)
+        qc_t.append(model_qc := m.field("cloud_water").sum())
+    assert m.model_time == 900.0

@@ -92,7 +92,7 @@ def test_mass_conservative_acceleration():
 
 
 def test_iterative_winds_reduces_divergence():
-    g, o = make_geom(nz=8, ny=16, nx=24)
+    g, o = make_geom(nz=8, ny=16, nx=24, hill=500.0)
     nz, ny, nx = g.nz, g.ny, g.nx
     rng = np.random.default_rng(2)
     u = jnp.asarray(5.0 + rng.normal(0, 2.0, (nz, ny, nx + 1)), jnp.float32)
