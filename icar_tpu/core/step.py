@@ -113,14 +113,21 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s["snowfall"] = snow
 
         # --- advection of all requested species in one fused pass
-        if phys.advection == C.ADV_UPWIND and adv_names:
+        if adv_names and phys.advection in (C.ADV_UPWIND, C.ADV_MPDATA):
             stacked = jnp.stack([s[k] for k in adv_names])
-            out = advection.advect_upwind(
-                stacked, s["u"], s["v"], s["w"], dt, geom.dx,
-                jnp.asarray(geom.jacobian_u), jnp.asarray(geom.jacobian_v),
-                jnp.asarray(geom.jacobian_w), jnp.asarray(geom.jacobian),
-                s.get("density"), jnp.asarray(geom.advection_dz),
-                options.run.advect_density)
+            common = (s["u"], s["v"], s["w"], dt, geom.dx,
+                      jnp.asarray(geom.jacobian_u), jnp.asarray(geom.jacobian_v),
+                      jnp.asarray(geom.jacobian_w), jnp.asarray(geom.jacobian),
+                      s.get("density"), jnp.asarray(geom.advection_dz))
+            if phys.advection == C.ADV_UPWIND:
+                out = advection.advect_upwind(
+                    stacked, *common, options.run.advect_density)
+            else:
+                from ..ops import mpdata
+                out = mpdata.advect_mpdata(
+                    stacked, *common, order=options.adv.mpdata_order,
+                    use_fct=options.adv.flux_corrected_transport,
+                    advect_density=options.run.advect_density)
             s = dict(s)
             for i, k in enumerate(adv_names):
                 s[k] = out[i]

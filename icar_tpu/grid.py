@@ -144,8 +144,10 @@ def smooth_array(a: np.ndarray, windowsize: int, cycles: int = 1) -> np.ndarray:
     """Separable (2w+1)-point box filter with replicate padding, matching the
     running-mean smoother (smooth_array_2d, array_utilities.f90:308-505)."""
     out = a.astype(np.float64, copy=True)
-    n_y = min(a.shape[0], 2 * windowsize + 1)
-    n_x = min(a.shape[1], 2 * windowsize + 1)
+    # true mean of the replicate-padded (2w+1) window (the reference divides
+    # by min(n, 2w+1), which over-weights when the window exceeds the dim)
+    n_y = 2 * windowsize + 1
+    n_x = 2 * windowsize + 1
     for _ in range(cycles):
         p = np.pad(out, windowsize, mode="edge")
         # smooth along y then x with fixed divisors (reference divides by the

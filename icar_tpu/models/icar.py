@@ -42,6 +42,12 @@ class ICARModel:
         self._step_fn = None
         self.mesh = None
         self._natural_shapes = None
+        # linear-theory wind solver state (setup_linwinds + the persistent
+        # hi_u/v_perturbation of linear_winds.f90:97-100)
+        self._lut = None
+        self._lut_values = None
+        self.u_perturbation = None
+        self.v_perturbation = None
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -82,6 +88,58 @@ class ICARModel:
             k: jax.device_put(jnp.asarray(v), NamedSharding(self.mesh, spec_for(v)))
             for k, v in padded.items()}
 
+    def _setup_linear_winds(self):
+        """Build (or load) the spatial linear-theory LUT
+        (setup_linwinds / initialize_spatial_winds, linear_winds.f90)."""
+        from ..ops import linear_winds as lw
+
+        lt = self.options.lt
+        dz = np.asarray(self.options.domain.dz_levels[:self.geom.nz], np.float32)
+        cached = None
+        if lt.read_lut:
+            cached = lw.load_lut(lt.lut_filename, dz, lt)
+        if cached is not None:
+            lut_u, lut_v = cached
+            self._lut_values = lw.table_values(lt)
+        else:
+            lut_u, lut_v, self._lut_values = lw.build_lut(
+                np.asarray(self.geom.terrain, np.float64), self.geom.dx, dz, lt)
+            if lt.write_lut:
+                lw.save_lut(lt.lut_filename, lut_u, lut_v, dz, lt)
+        self._lut = (lut_u, lut_v)
+        nz, ny, nx = self.geom.nz, self.geom.ny, self.geom.nx
+        self.u_perturbation = jnp.zeros((nz, ny, nx + 1), jnp.float32)
+        self.v_perturbation = jnp.zeros((nz, ny + 1, nx), jnp.float32)
+
+    def _apply_linear_perturbation(self, u, v):
+        """One application of the spatial linear wind field (linear_perturb
+        -> spatial_winds)."""
+        from .. import registry
+        from ..ops import linear_winds as lw
+
+        if self._lut is None:
+            self._setup_linear_winds()
+        lt = self.options.lt
+        s = self.state
+        hydro = jnp.zeros_like(s["water_vapor"])
+        for k in ("cloud_water", "cloud_ice", "rain_mass", "snow_mass"):
+            if k in s:
+                hydro = hydro + s[k]
+        nsq_log = lw.compute_nsquared(
+            s["potential_temperature"], s["exner"], jnp.asarray(self.geom.z),
+            s["water_vapor"], hydro, lt.vert_smooth, lt.variable_n,
+            lt.n_squared, lt.min_stability, lt.max_stability, lt.smooth_nsq,
+            lt.stability_window_size)
+        if "nsquared" in s:
+            self.state = dict(s)
+            self.state["nsquared"] = jnp.exp(nsq_log)
+        spd, dirv, nsqv = self._lut_values
+        u, v, self.u_perturbation, self.v_perturbation = lw.apply_spatial_winds(
+            u, v, nsq_log, self.u_perturbation, self.v_perturbation,
+            self._lut[0], self._lut[1], spd, dirv, nsqv, lt.vert_smooth,
+            lt.linear_update_fraction, lt.linear_contribution)
+        return u, v
+
     def compute_winds(self, u, v, rotate: bool = False):
         """Run the configured wind solver on (u, v); returns balanced
         (u, v, w) (update_winds, wind.f90:289-369)."""
@@ -89,22 +147,32 @@ class ICARModel:
             u, v = wind_ops.make_winds_grid_relative(
                 u, v, jnp.asarray(self.geom.sintheta),
                 jnp.asarray(self.geom.costheta))
+        lp = None
+        if self.options.physics.windtype in (C.WIND_LINEAR,
+                                             C.WIND_LINEAR_ITERATIVE):
+            lp = self._apply_linear_perturbation
         return wind_ops.update_winds(
             u, v, self.geom, self.options.physics.windtype,
             self.options.run.wind_iterations,
-            self.options.run.use_terrain_difference)
+            self.options.run.use_terrain_difference,
+            linear_perturbation=lp)
 
     def set_initial_conditions(self, case: IdealCase, rotate: bool = True):
         """Install an ideal case as the initial state (get_initial_conditions
         + first update_winds, init.f90:85-112)."""
-        u = jnp.asarray(case.u)
-        v = jnp.asarray(case.v)
-        u, v, w = self.compute_winds(u, v, rotate=rotate)
         s = dict(self.state)
-        s["u"], s["v"], s["w"] = u, v, w
         s["potential_temperature"] = jnp.asarray(case.theta)
         s["pressure"] = jnp.asarray(case.pressure)
         s["water_vapor"] = jnp.asarray(case.qv)
+        # diagnostics (exner etc.) must exist before the linear wind solver
+        # evaluates stability
+        s["u"] = jnp.asarray(case.u)
+        s["v"] = jnp.asarray(case.v)
+        self.state = diagnostic_update(s, self.geom)
+        u, v, w = self.compute_winds(jnp.asarray(case.u), jnp.asarray(case.v),
+                                     rotate=rotate)
+        s = dict(self.state)
+        s["u"], s["v"], s["w"] = u, v, w
         self.state = diagnostic_update(s, self.geom)
 
     def set_forcing_tendencies(self, dqdt: Dict[str, np.ndarray]):

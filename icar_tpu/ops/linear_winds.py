@@ -1,0 +1,458 @@
+"""Linear mountain-wave theory wind solver (Barstad & Gronas 2006).
+
+JAX re-implementation of /root/reference/src/physics/linear_winds.f90 and
+the stability helpers in atm_utilities.f90:334-467.
+
+TPU-first design:
+  * The spatial look-up table build — the reference's distributed
+    72k-FFT hotspot (initialize_spatial_winds, linear_winds.f90:596-830,
+    work split across coarray images) — becomes ONE batched complex FFT
+    pipeline: vmap over (speed, direction, Nsq) table entries, python loop
+    over (static) vertical levels, chunked to bound memory. No explicit
+    work distribution: sharding the entry batch is a jit annotation.
+  * The runtime lookup (spatial_winds, linear_winds.f90:840-1127) — per
+    cell trilinear interpolation over (spd, dir, nsq) — is a vectorized
+    flat-index gather instead of a triple scalar loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+
+SMALL = 1e-15
+
+
+# ---------------------------------------------------------------------------
+# buffered terrain + FFT (add_buffer_topo / setup_linwinds)
+# ---------------------------------------------------------------------------
+
+
+def add_buffer_topo(terrain: np.ndarray, smooth_window: int, buffer: int) -> np.ndarray:
+    """Add a blended, smoothed buffer ring around the terrain so the FFT
+    sees no wrap-around discontinuity (add_buffer_topo,
+    linear_winds.f90:351-418). ``terrain`` is (ny, nx); returns
+    (ny+2b, nx+2b)."""
+    ny, nx = terrain.shape
+    NX, NY = nx + 2 * buffer, ny + 2 * buffer
+    out = np.full((NY, NX), terrain.min(), dtype=np.float64)
+    out[buffer:NY - buffer, buffer:NX - buffer] = terrain
+    # blend left/right edges toward each other (x direction first)
+    for i in range(1, buffer + 1):
+        w = i / (buffer * 2.0)
+        pos = buffer - i
+        out[buffer:NY - buffer, pos] = terrain[:, 0] * (1 - w) + terrain[:, -1] * w
+        out[buffer:NY - buffer, NX - 1 - pos] = terrain[:, 0] * w + terrain[:, -1] * (1 - w)
+    # then blend top/bottom using the already-extended columns
+    for i in range(1, buffer + 1):
+        w = i / (buffer * 2.0)
+        pos = buffer - i
+        out[pos, :] = out[buffer, :] * (1 - w) + out[NY - buffer - 1, :] * w
+        out[NY - 1 - pos, :] = out[buffer, :] * w + out[NY - buffer - 1, :] * (1 - w)
+    # smooth the buffer ring, with window growing away from the real terrain
+    if smooth_window > 0:
+        for j in range(1, buffer + 1):
+            win = min(j, smooth_window)
+            padded = out.copy()
+            for i in range(NX):
+                xs, xe = max(0, i - win), min(NX, i + win + 1)
+                row = buffer - j
+                ys, ye = max(0, row - win), min(NY, row + win + 1)
+                out[row, i] = padded[ys:ye, xs:xe].mean()
+                row = NY - 1 - (buffer - j)
+                ys, ye = max(0, row - win), min(NY, row + win + 1)
+                out[row, i] = padded[ys:ye, xs:xe].mean()
+            padded = out.copy()
+            for i in range(NY):
+                col = buffer - j
+                xs, xe = max(0, col - win), min(NX, col + win + 1)
+                ys, ye = max(0, i - win), min(NY, i + win + 1)
+                out[i, col] = padded[ys:ye, xs:xe].mean()
+                col = NX - 1 - (buffer - j)
+                xs, xe = max(0, col - win), min(NX, col + win + 1)
+                out[i, col] = padded[ys:ye, xs:xe].mean()
+    return out
+
+
+def fourier_terrain(terrain: np.ndarray, buffer: int, smooth_window: int = 5):
+    """Two-pass buffered terrain + normalized, fftshifted FFT
+    (setup_linwinds, linear_winds.f90:1180-1230). Returns (Fzs, total_buffer)."""
+    first = add_buffer_topo(terrain, smooth_window, buffer)
+    second = add_buffer_topo(first, 0, 2)
+    total_buffer = buffer + 2
+    ny, nx = second.shape
+    fzs = np.fft.fftshift(np.fft.fft2(second)) / (nx * ny)
+    return jnp.asarray(fzs, jnp.complex64), total_buffer
+
+
+def wavenumber_grids(NY: int, NX: int, dx: float):
+    """Exact fftshifted angular wavenumber grids.
+
+    NOTE deliberate divergence from the reference: linear_winds.f90:455-468
+    uses linspace(-pi/dx, pi/dx, n), which misplaces the zero wavenumber by
+    half a bin relative to the fftshifted spectrum — for y-invariant terrain
+    that leaks a spurious v' proportional to (NX/NY). We use the true
+    fftshift(fftfreq) grid so the zero mode is exactly zero."""
+    k = 2 * np.pi * np.fft.fftshift(np.fft.fftfreq(NX, d=dx))
+    l = 2 * np.pi * np.fft.fftshift(np.fft.fftfreq(NY, d=dx))
+    k2d = np.broadcast_to(k[None, :], (NY, NX))
+    l2d = np.broadcast_to(l[:, None], (NY, NX))
+    kl = k2d ** 2 + l2d ** 2
+    kl = np.where(kl == 0, SMALL, kl)
+    return (jnp.asarray(k2d, jnp.float32), jnp.asarray(l2d, jnp.float32),
+            jnp.asarray(kl, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# the analytic solution (linear_perturbation_at_height)
+# ---------------------------------------------------------------------------
+
+
+def perturbation_at_height(u, v, nsq, z, fzs, k, l, kl):
+    """Linear wind perturbation at one height for one background (U, V, N^2)
+    (linear_perturbation_at_height, linear_winds.f90:181-237):
+        m = sqrt(Nsq*(k^2+l^2)/sigma^2) * sign(sigma)   [imaginary if msq<0]
+        ineta = i * Fzs * exp(i m z) * (-m) * sigma / kl
+        (uhat, vhat) = (k, l) * ineta;  perturb = ifft2(ifftshift(.)) * N
+    Returns real (NY, NX) u', v'."""
+    NY, NX = fzs.shape
+    sig = u * k + v * l
+    sig = jnp.where(sig == 0, SMALL, sig)
+    msq = nsq / (sig ** 2) * kl
+    m_real = jnp.sqrt(jnp.abs(msq)) * jnp.sign(sig)
+    # propagating (msq>0): m real with sign(sig); evanescent: m imaginary
+    m = jnp.where(msq >= 0, m_real + 0j, 1j * jnp.sqrt(jnp.abs(msq)))
+    ineta = 1j * fzs * jnp.exp(1j * m * z)
+    ineta = ineta * ((0 - m) * sig) / kl
+    uhat = k * ineta
+    vhat = l * ineta
+    scale = NX * NY  # FFTW backward transform is unnormalized
+    up = jnp.real(jnp.fft.ifft2(jnp.fft.ifftshift(uhat))) * scale
+    vp = jnp.real(jnp.fft.ifft2(jnp.fft.ifftshift(vhat))) * scale
+    zero = (u == 0) & (v == 0)
+    return jnp.where(zero, 0.0, up), jnp.where(zero, 0.0, vp)
+
+
+def perturbation_layer(u, v, nsq, z_bottom, z_top, n_steps, fzs, k, l, kl):
+    """Layer-averaged perturbation: mean of n_steps heights through the layer
+    (linear_perturbation_constz, linear_winds.f90:242-282). ``n_steps`` must
+    be static."""
+    step = (z_top - z_bottom) / n_steps
+    up_acc = jnp.zeros(fzs.shape, jnp.float32)
+    vp_acc = jnp.zeros(fzs.shape, jnp.float32)
+    for i in range(n_steps):
+        z = z_bottom + step * (i + 0.5)
+        up, vp = perturbation_at_height(u, v, nsq, z, fzs, k, l, kl)
+        up_acc = up_acc + up
+        vp_acc = vp_acc + vp
+    return up_acc / n_steps, vp_acc / n_steps
+
+
+# ---------------------------------------------------------------------------
+# look-up table build (initialize_spatial_winds)
+# ---------------------------------------------------------------------------
+
+
+def table_values(lt):
+    """(spd, dir, nsq) axis values (linear_space calls,
+    linear_winds.f90:655-661)."""
+    spd = np.linspace(lt.spdmin, lt.spdmax, lt.n_spd_values)
+    dirv = np.linspace(lt.dirmin, lt.dirmax, lt.n_dir_values)
+    nsq = np.linspace(lt.nsqmin, lt.nsqmax, lt.n_nsq_values)
+    return spd.astype(np.float32), dirv.astype(np.float32), nsq.astype(np.float32)
+
+
+def build_lut(terrain: np.ndarray, dx: float, dz_levels: np.ndarray, lt,
+              minimum_layer_size: float = 100.0, chunk: int = 32):
+    """Build the full spatial wind LUT as a batched FFT computation.
+
+    Returns (lut_u, lut_v, (spd, dir, nsq) values):
+      lut_u: (E, nz, ny, nx+1), lut_v: (E, nz, ny+1, nx) with
+      E = n_spd*n_dir*n_nsq flattened in the reference's (spd, dir, nsq)
+      index order so the runtime flat-index gather matches
+      hi_u_LUT(spos,dpos,npos,...).
+    """
+    ny, nx = terrain.shape
+    nz = len(dz_levels)
+    fzs, buffer = fourier_terrain(terrain, lt.buffer)
+    NY, NX = fzs.shape
+    k, l, kl = wavenumber_grids(NY, NX, dx)
+
+    spd, dirv, nsq_log = table_values(lt)
+    # entry order (spd, dir, nsq): e = (s*n_dir + d)*n_nsq + n
+    ss, dd, nn = np.meshgrid(spd, dirv, nsq_log, indexing="ij")
+    u_e = (np.sin(dd) * ss).ravel().astype(np.float32)   # calc_u
+    v_e = (np.cos(dd) * ss).ravel().astype(np.float32)   # calc_v
+    nsq_e = np.exp(nn).ravel().astype(np.float32)
+    E = u_e.size
+
+    z_bot = np.concatenate([[0.0], np.cumsum(dz_levels[:-1])]).astype(np.float32)
+    z_top = np.cumsum(dz_levels).astype(np.float32)
+    n_steps = [max(1, int(np.ceil(dz / minimum_layer_size))) for dz in dz_levels]
+
+    @jax.jit
+    def entry_all_levels(u, v, nsq):
+        ups, vps = [], []
+        for z in range(nz):
+            up, vp = perturbation_layer(u, v, nsq, z_bot[z], z_top[z],
+                                        n_steps[z], fzs, k, l, kl)
+            # crop the buffer and stagger onto u/v grids
+            # (linear_winds.f90:765-773): u averages x-adjacent columns
+            up_c = (up[buffer:NY - buffer, buffer - 1:NX - buffer]
+                    + up[buffer:NY - buffer, buffer:NX - buffer + 1]) * 0.5
+            vp_c = (vp[buffer - 1:NY - buffer, buffer:NX - buffer]
+                    + vp[buffer:NY - buffer + 1, buffer:NX - buffer]) * 0.5
+            ups.append(up_c)
+            vps.append(vp_c)
+        return jnp.stack(ups), jnp.stack(vps)
+
+    batched = jax.jit(jax.vmap(entry_all_levels))
+    lut_u = np.empty((E, nz, ny, nx + 1), np.float32)
+    lut_v = np.empty((E, nz, ny + 1, nx), np.float32)
+    for s in range(0, E, chunk):
+        e = slice(s, min(s + chunk, E))
+        lu, lv = batched(jnp.asarray(u_e[e]), jnp.asarray(v_e[e]),
+                         jnp.asarray(nsq_e[e]))
+        lut_u[e] = np.asarray(lu)
+        lut_v[e] = np.asarray(lv)
+    return jnp.asarray(lut_u), jnp.asarray(lut_v), (spd, dirv, nsq_log)
+
+
+def save_lut(path, lut_u, lut_v, dz_levels, lt):
+    """LUT disk cache with embedded parameters (lt_lut_io.f90)."""
+    np.savez_compressed(
+        path, lut_u=np.asarray(lut_u), lut_v=np.asarray(lut_v),
+        dz_levels=np.asarray(dz_levels),
+        params=np.array([lt.spdmin, lt.spdmax, lt.dirmin, lt.dirmax,
+                         lt.nsqmin, lt.nsqmax, lt.n_spd_values,
+                         lt.n_dir_values, lt.n_nsq_values, lt.buffer],
+                        np.float64))
+
+
+def load_lut(path, dz_levels, lt):
+    """Load + validate a cached LUT; returns None on any mismatch
+    (mirrors the parameter checks in lt_lut_io.f90:1-50)."""
+    try:
+        d = np.load(path)
+    except (FileNotFoundError, OSError):
+        return None
+    want = np.array([lt.spdmin, lt.spdmax, lt.dirmin, lt.dirmax,
+                     lt.nsqmin, lt.nsqmax, lt.n_spd_values,
+                     lt.n_dir_values, lt.n_nsq_values, lt.buffer], np.float64)
+    if d["params"].shape != want.shape or not np.allclose(d["params"], want):
+        return None
+    if (d["dz_levels"].shape != np.shape(dz_levels)
+            or not np.allclose(d["dz_levels"], dz_levels)):
+        return None
+    return jnp.asarray(d["lut_u"]), jnp.asarray(d["lut_v"])
+
+
+# ---------------------------------------------------------------------------
+# stability (atm_utilities.f90:401-467)
+# ---------------------------------------------------------------------------
+
+
+def calc_sat_lapse_rate(t, mr):
+    L = C.LH_VAPORIZATION
+    return C.GRAVITY * ((1 + (L * mr) / (C.RD * t))
+                        / (C.CP + (L * L * mr * (C.RD / C.RW)) / (C.RD * t * t)))
+
+
+def calc_dry_stability(th_top, th_bot, z_top, z_bot):
+    return C.GRAVITY * (jnp.log(th_top) - jnp.log(th_bot)) / (z_top - z_bot)
+
+
+def calc_moist_stability(t_top, t_bot, z_top, z_bot, qv_top, qv_bot, qc):
+    t = (t_top + t_bot) / 2
+    qv = (qv_top + qv_bot) / 2
+    dz = z_top - z_bot
+    sat_lapse = calc_sat_lapse_rate(t, qv)
+    return ((C.GRAVITY / t) * ((t_top - t_bot) / dz + sat_lapse)
+            * (1 + (C.LH_VAPORIZATION * qv) / (C.RD * t))
+            - (C.GRAVITY / (1 + qv + qc) * (qv_top - qv_bot) / dz))
+
+
+def compute_nsquared(theta, exner, z, qv, hydrometeors, vsmooth: int,
+                     variable_n: bool, n_squared: float,
+                     min_stability: float, max_stability: float,
+                     smooth_nsq: bool, winsz: int):
+    """Per-cell log Brunt-Vaisala frequency squared with vertical windowing
+    and smoothing (spatial_winds, linear_winds.f90:917-982). Returns log(N^2)
+    of shape (nz, ny, nx)."""
+    nz = theta.shape[0]
+    tops = np.minimum(np.arange(nz) + vsmooth, nz - 1)
+    bottoms = np.maximum(0, np.arange(nz) - (vsmooth - (tops - np.arange(nz))))
+
+    if variable_n:
+        th_t = theta[tops]
+        th_b = theta[bottoms]
+        dry = calc_dry_stability(th_t, th_b, z[tops], z[bottoms])
+        moist = calc_moist_stability(th_t * exner[tops], th_b * exner[bottoms],
+                                     z[tops], z[bottoms], qv[tops], qv[bottoms],
+                                     hydrometeors)
+        nsq = jnp.where(hydrometeors < 1e-7, dry, moist)
+    else:
+        nsq = jnp.where(hydrometeors < 1e-7,
+                        jnp.full_like(theta, n_squared),
+                        jnp.full_like(theta, n_squared / 10.0))
+    nsq = jnp.clip(nsq, min_stability, max_stability)
+    nsq = jnp.log(nsq)
+
+    if smooth_nsq:
+        # vertical window mean (linear_winds.f90:963-976)
+        csum = jnp.concatenate([jnp.zeros_like(nsq[:1]),
+                                jnp.cumsum(nsq, axis=0)], axis=0)
+        counts = (tops - bottoms + 1).astype(np.float32)
+        nsq = (csum[tops + 1] - csum[bottoms]) / counts[:, None, None]
+        # horizontal box smoothing (smooth_array with winsz)
+        nsq = _box_smooth_2d(nsq, winsz)
+    return nsq
+
+
+def _box_smooth_2d(a, w: int):
+    """Separable (2w+1) box filter with replicate padding over the last two
+    dims (smooth_array, array_utilities.f90)."""
+    if w <= 0:
+        return a
+    p = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(w, w), (w, w)], mode="edge")
+    cs = jnp.cumsum(p, axis=-2)
+    zero = jnp.zeros_like(cs[..., :1, :])
+    ys = (cs[..., 2 * w:, :] - jnp.concatenate([zero, cs[..., :-2 * w - 1, :]],
+                                               axis=-2)) / (2 * w + 1)
+    cs = jnp.cumsum(ys, axis=-1)
+    zero = jnp.zeros_like(cs[..., :, :1])
+    return (cs[..., :, 2 * w:] - jnp.concatenate([zero, cs[..., :, :-2 * w - 1]],
+                                                 axis=-1)) / (2 * w + 1)
+
+
+# ---------------------------------------------------------------------------
+# runtime lookup (spatial_winds)
+# ---------------------------------------------------------------------------
+
+
+def _position(values: jnp.ndarray, x):
+    """Largest index with values[idx] < x, min 0 (the reference's linear
+    scan 'if cur > values(step): pos = step', linear_winds.f90:1048-1076)."""
+    idx = jnp.searchsorted(values, x, side="left") - 1
+    return jnp.clip(idx, 0, values.shape[0] - 1)
+
+
+def _weight(values: jnp.ndarray, pos, x):
+    """Interpolation weight + next position (calc_weight,
+    array_utilities.f90:263-288)."""
+    n = values.shape[0]
+    nextpos = jnp.minimum(pos + 1, n - 1)
+    vals_next = values[nextpos]
+    vals_pos = values[pos]
+    w = jnp.where(pos == n - 1, 1.0,
+                  (vals_next - x) / jnp.where(vals_next == vals_pos, 1.0,
+                                              vals_next - vals_pos))
+    w = jnp.where(x < values[0], 1.0, w)
+    nextpos = jnp.where(x < values[0], 0, nextpos)
+    return w, nextpos
+
+
+def _interp_lut(lut_flat, spos, nexts, dpos, nextd, npos, nextn,
+                sweight, dweight, nweight, n_dir, n_nsq):
+    """Trilinear interpolation via 8 flat-index gathers
+    (linear_winds.f90:1083-1115)."""
+    def gather(s, d, n):
+        e = (s * n_dir + d) * n_nsq + n
+        return jnp.take_along_axis(lut_flat, e[None], axis=0)[0]
+
+    first = (nweight * (dweight * gather(spos, dpos, npos)
+                        + (1 - dweight) * gather(spos, nextd, npos))
+             + (1 - nweight) * (dweight * gather(spos, dpos, nextn)
+                                + (1 - dweight) * gather(spos, nextd, nextn)))
+    second = (nweight * (dweight * gather(nexts, dpos, npos)
+                         + (1 - dweight) * gather(nexts, nextd, npos))
+              + (1 - nweight) * (dweight * gather(nexts, dpos, nextn)
+                                 + (1 - dweight) * gather(nexts, nextd, nextn)))
+    return sweight * first + (1 - sweight) * second
+
+
+def calc_direction(u, v):
+    """Wind direction in [0, 2pi) (calc_direction, atm_utilities.f90:334-355)."""
+    d = jnp.arctan2(u, v)
+    return jnp.where(d < 0, d + 2 * np.pi, d)
+
+
+def apply_spatial_winds(u3d, v3d, nsq_log, pert_u, pert_v, lut_u, lut_v,
+                        spd_values, dir_values, nsq_values, vsmooth: int,
+                        linear_update_fraction: float,
+                        linear_contribution: float):
+    """Interpolate the LUT at each cell's (speed, direction, N^2), relax the
+    stored perturbation toward it, and add to u/v (spatial_winds,
+    linear_winds.f90:996-1122).
+
+    Shapes: u3d (nz, ny, nx+1), v3d (nz, ny+1, nx), nsq_log (nz, ny, nx),
+    pert_u like u3d, pert_v like v3d, lut_u (E, nz, ny, nx+1),
+    lut_v (E, nz, ny+1, nx). Returns (u3d, v3d, pert_u, pert_v)."""
+    nz, ny, nxu = u3d.shape
+    nyv, nx = v3d.shape[1], v3d.shape[2]
+    spd = jnp.asarray(spd_values)
+    dirs = jnp.asarray(dir_values)
+    nsqv = jnp.asarray(nsq_values)
+    n_spd, n_dir, n_nsq = spd.shape[0], dirs.shape[0], nsqv.shape[0]
+
+    # vertically-averaged background wind per column on the union grid
+    # (linear_winds.f90:996-1001): clamp-pad staggered extra row/col
+    u_col = jnp.mean(u3d, axis=0)                        # (ny, nx+1)
+    v_col = jnp.mean(v3d, axis=0)                        # (ny+1, nx)
+    u_union = jnp.concatenate([u_col, u_col[-1:, :]], axis=0)        # (ny+1, nx+1)
+    v_union = jnp.concatenate([v_col, v_col[:, -1:]], axis=1)        # (ny+1, nx+1)
+
+    curdir = calc_direction(u_union, v_union)
+    curspd = jnp.sqrt(u_union ** 2 + v_union ** 2)
+
+    # nsq window-average per level at clamped mass indices
+    # (curnsq = mean over [bottom:top], linear_winds.f90:1070-1071)
+    tops = np.minimum(np.arange(nz) + vsmooth, nz - 1)
+    bottoms = np.maximum(0, np.arange(nz) - (vsmooth - (tops - np.arange(nz))))
+    csum = jnp.concatenate([jnp.zeros_like(nsq_log[:1]),
+                            jnp.cumsum(nsq_log, axis=0)], axis=0)
+    counts = (tops - bottoms + 1).astype(np.float32)
+    curnsq = (csum[tops + 1] - csum[bottoms]) / counts[:, None, None]
+    # clamp-pad to the union grid (vi = min(i, nx), uk = min(k, ny))
+    curnsq = jnp.concatenate([curnsq, curnsq[:, -1:, :]], axis=1)
+    curnsq = jnp.concatenate([curnsq, curnsq[:, :, -1:]], axis=2)    # (nz, ny+1, nx+1)
+
+    dpos = _position(dirs, curdir)
+    spos = _position(spd, curspd)
+    npos = _position(nsqv, curnsq)
+    dweight, nextd = _weight(dirs, dpos, curdir)
+    sweight, nexts = _weight(spd, spos, curspd)
+    nweight, nextn = _weight(nsqv, npos, curnsq)
+
+    # broadcast the 2D (dir/spd) position fields over z
+    z_b = lambda a: jnp.broadcast_to(a[None], (nz,) + a.shape)
+    dpos3, nextd3, dw3 = z_b(dpos), z_b(nextd), z_b(dweight)
+    spos3, nexts3, sw3 = z_b(spos), z_b(nexts), z_b(sweight)
+
+    lut_u_flat = lut_u.reshape(-1, nz, ny, nxu)
+    lut_v_flat = lut_v.reshape(-1, nz, nyv, nx)
+
+    up_new = _interp_lut(lut_u_flat, spos3[:, :ny, :], nexts3[:, :ny, :],
+                         dpos3[:, :ny, :], nextd3[:, :ny, :],
+                         npos[:, :ny, :], nextn[:, :ny, :],
+                         sw3[:, :ny, :], dw3[:, :ny, :], nweight[:, :ny, :],
+                         n_dir, n_nsq)
+    vp_new = _interp_lut(lut_v_flat, spos3[:, :, :nx], nexts3[:, :, :nx],
+                         dpos3[:, :, :nx], nextd3[:, :, :nx],
+                         npos[:, :, :nx], nextn[:, :, :nx],
+                         sw3[:, :, :nx], dw3[:, :, :nx], nweight[:, :, :nx],
+                         n_dir, n_nsq)
+
+    f = linear_update_fraction
+    pert_u = pert_u * (1 - f) + f * up_new
+    pert_v = pert_v * (1 - f) + f * vp_new
+    u3d = u3d + pert_u * linear_contribution
+    v3d = v3d + pert_v * linear_contribution
+    return u3d, v3d, pert_u, pert_v

@@ -1,0 +1,111 @@
+"""Linear mountain-wave wind solver tests (mirrors
+test_caf_linear_winds_setup.f90 plus physics sanity checks)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icar_tpu import constants as C
+from icar_tpu.config import LtOptions
+from icar_tpu.models.icar import ideal_ridge_model
+from icar_tpu.ops import linear_winds as lw
+
+
+def small_lt(**kw):
+    lt = LtOptions(buffer=10, n_dir_values=8, n_spd_values=4, n_nsq_values=3,
+                   variable_n=True)
+    for k, v in kw.items():
+        setattr(lt, k, v)
+    return lt
+
+
+def test_calc_direction_quadrants():
+    cases = [
+        (1.0, 1.0, np.pi / 4),       # NE flow -> 45deg
+        (1.0, 0.0, np.pi / 2),       # pure U -> 90
+        (0.0, -1.0, np.pi),          # from north -> 180
+        (-1.0, 0.0, 1.5 * np.pi),    # -U -> 270
+        (0.0, 1.0, 0.0),             # pure V -> 0
+    ]
+    for u, v, want in cases:
+        got = float(lw.calc_direction(jnp.float32(u), jnp.float32(v)))
+        assert got == pytest.approx(want, abs=1e-5), (u, v)
+
+
+def test_buffered_terrain_properties():
+    terrain = np.zeros((20, 40))
+    terrain[:, 15:25] = 500.0
+    buf = lw.add_buffer_topo(terrain, smooth_window=5, buffer=10)
+    assert buf.shape == (40, 60)
+    # interior is preserved exactly
+    np.testing.assert_allclose(buf[10:30, 10:50], terrain)
+    # buffer edges blend toward the opposite side -> periodic-friendly
+    assert abs(buf[20, 0] - buf[20, -1]) < 250.0
+
+
+def test_perturbation_at_height_stationary_wave():
+    """For uniform U over a ridge, the linear solution must produce a
+    perturbation that converges on the upwind slope (w>0 after balancing)."""
+    ny, nx, dx = 16, 64, 1000.0
+    x = np.arange(nx) * dx
+    terrain = (500.0 * np.exp(-((x - 32000) / 8000.0) ** 2))[None, :] * np.ones((ny, 1))
+    fzs, buffer = lw.fourier_terrain(terrain, 10)
+    NY, NX = fzs.shape
+    k, l, kl = lw.wavenumber_grids(NY, NX, dx)
+    up, vp = lw.perturbation_at_height(10.0, 0.0, 1e-4, 500.0, fzs, k, l, kl)
+    up = np.asarray(up)
+    assert np.isfinite(up).all()
+    # perturbation is O(N h) not absurd
+    assert 0.05 < np.abs(up).max() < 50.0
+    # y-invariant ridge, pure-U flow -> v' ~ 0
+    assert np.abs(np.asarray(vp)).max() < 0.2 * np.abs(up).max()
+
+
+def test_build_lut_shapes_and_cache(tmp_path):
+    ny, nx, nz = 10, 24, 6
+    terrain = np.zeros((ny, nx))
+    terrain[:, 10:14] = 300.0
+    dz = np.full(nz, 400.0, np.float32)
+    lt = small_lt()
+    lut_u, lut_v, values = lw.build_lut(terrain, 1000.0, dz, lt)
+    E = lt.n_spd_values * lt.n_dir_values * lt.n_nsq_values
+    assert lut_u.shape == (E, nz, ny, nx + 1)
+    assert lut_v.shape == (E, nz, ny + 1, nx)
+    assert np.isfinite(np.asarray(lut_u)).all()
+    # zero-speed entries produce zero perturbation
+    zero_entries = np.asarray(lut_u)[: lt.n_dir_values * lt.n_nsq_values]
+    np.testing.assert_allclose(zero_entries, 0.0, atol=1e-6)
+    # disk cache round-trip with parameter validation
+    path = str(tmp_path / "lut.npz")
+    lw.save_lut(path, lut_u, lut_v, dz, lt)
+    loaded = lw.load_lut(path, dz, lt)
+    assert loaded is not None
+    np.testing.assert_allclose(np.asarray(loaded[0]), np.asarray(lut_u))
+    # changed parameters invalidate the cache
+    lt2 = small_lt(n_dir_values=9)
+    assert lw.load_lut(path, dz, lt2) is None
+
+
+def test_model_with_linear_winds():
+    m = ideal_ridge_model(nx=48, ny=12, nz=10, dx=1000.0, hill_height=600.0,
+                          u_speed=10.0, rh=0.8, windtype=C.WIND_LINEAR)
+    # shrink the LUT for test speed
+    m.options.lt = small_lt()
+    m.options.lt.vert_smooth = 5
+
+    u0 = np.full((10, 12, 49), 10.0, np.float32)
+    from icar_tpu.forcing.ideal import make_ideal_case
+    case = make_ideal_case(m.geom, u_profile=10.0, rh=0.8)
+    m.set_initial_conditions(case)
+
+    u = m.field("u")
+    # the linear solution modified the wind field
+    assert np.abs(u - 10.0).max() > 0.05
+    assert m.field("nsquared").min() >= m.options.lt.min_stability * 0.99
+    # perturbation state is persistent model state (for restart parity)
+    assert m.u_perturbation is not None
+    assert float(jnp.abs(m.u_perturbation).max()) > 0.0
+    # model still runs stably with the perturbed winds
+    m.advance(300.0)
+    assert np.isfinite(m.field("potential_temperature")).all()
+    assert np.isfinite(m.field("u")).all()
