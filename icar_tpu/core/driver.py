@@ -1,0 +1,192 @@
+"""The main model driver: init -> forcing loop -> physics -> output.
+
+Replaces program icar (/root/reference/src/main/driver.f90) and
+initialization (init.f90): reads terrain + forcing files, builds the model,
+and runs the outer loop — ingest a forcing step, run the wind solver on the
+target fields, install relaxation tendencies, integrate physics to the next
+forcing/output event, write output/restart.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import Options
+from ..forcing.boundary import ForcingData, Regridder, compute_tendencies
+from ..io.netcdf import NCFile
+from ..io.output import OutputWriter, read_restart, write_restart
+from ..models.icar import ICARModel
+from ..ops import wind as wind_ops
+from ..utils.calendar import TimeDelta
+
+
+def load_domain(options: Options):
+    """Read hi-res terrain/lat/lon from the init-conditions file
+    (read_domain_shape + read_core_variables, domain_obj.f90:2144, 1324)."""
+    path = options.forcing.init_conditions_file
+    names = options.forcing.var_names
+    with NCFile(path) as f:
+        terrain = f.read(names.get("hgt_hi", "hgt_hi"))
+        lat = f.read(names.get("lat_hi", "lat_hi"))
+        lon = f.read(names.get("lon_hi", "lon_hi"))
+    if terrain.ndim == 3:
+        terrain, lat, lon = terrain[0], lat[0], lon[0]
+    return (np.asarray(terrain, np.float64), np.asarray(lat, np.float64),
+            np.asarray(lon, np.float64))
+
+
+class ICARDriver:
+    """Owns the model + forcing machinery and runs the outer loop."""
+
+    def __init__(self, options: Options, mesh=None):
+        self.options = options
+        terrain, lat, lon = load_domain(options)
+        options.domain.ny, options.domain.nx = terrain.shape
+        self.model = ICARModel(options, terrain, lat, lon)
+
+        self.forcing = ForcingData(options)
+        raw0 = self.forcing.read_step(0)
+        self.regridder = Regridder.build(
+            self.model.geom, self.forcing.lat, self.forcing.lon,
+            raw0.get("z"), options)
+
+        self._install_initial_conditions(raw0)
+        if mesh is not None:
+            self.model.attach_mesh(mesh)
+
+        out_name = options.output.output_file + "run.nc"
+        self.writer = OutputWriter(out_name, self._output_names(), options)
+        self.restart_base = options.output.restart_file
+
+    def _output_names(self):
+        names = list(self.options.output.names)
+        if not names:
+            names = ["u", "v", "w", "pressure", "potential_temperature",
+                     "water_vapor", "cloud_water", "precipitation"]
+        # map a few common aliases from reference output lists
+        alias = {"ta2m": "temperature_2m", "hus2m": "humidity_2m",
+                 "qv": "water_vapor", "swe": "snowfall",
+                 "precip": "precipitation"}
+        return [alias.get(n, n) for n in names]
+
+    def _install_initial_conditions(self, raw0):
+        """Full-3D initial state from the first forcing step
+        (get_initial_conditions, domain_obj.f90:63-98)."""
+        m = self.model
+        target = self.regridder.to_model_grid(raw0, m.geom)
+        s = dict(m.state)
+        for name in ("potential_temperature", "water_vapor", "pressure",
+                     "sst", "shortwave", "longwave"):
+            if name in target and name in s:
+                s[name] = target[name]
+        from .diagnostics import diagnostic_update
+        m.state = diagnostic_update(s, m.geom)
+        u, v, w = m.compute_winds(target["u"], target["v"], rotate=True)
+        s = dict(m.state)
+        s["u"], s["v"], s["w"] = u, v, w
+        m.state = diagnostic_update(s, m.geom)
+        for name in ("skin_temperature", "sst", "soil_temperature"):
+            if name in s and float(jnp.max(jnp.abs(s[name]))) == 0.0:
+                t0 = s["temperature"][0]
+                m.state[name] = jnp.broadcast_to(t0, s[name].shape).astype(
+                    s[name].dtype)
+
+    def _forcing_tendencies(self, raw):
+        """Target fields -> wind solve -> relaxation tendencies
+        (update_winds update path + update_delta_fields,
+        driver.f90:128-138)."""
+        m = self.model
+        target = self.regridder.to_model_grid(raw, m.geom)
+        u, v, w = m.compute_winds(target["u"], target["v"], rotate=True)
+        target["u"], target["v"], target["w"] = u, v, w
+        current = {k: m.state[k] for k in target if k in m.state}
+        if m.mesh is not None:
+            current = {k: jnp.asarray(m.field(k)) for k in target
+                       if k in m.state}
+        dqdt = compute_tendencies(current, target,
+                                  self.options.forcing.input_interval)
+        m.set_forcing_tendencies({k: np.asarray(v) for k, v in dqdt.items()})
+
+    def run(self):
+        """The outer loop (driver.f90:119-199)."""
+        o = self.options
+        total_seconds = (o.end_time() - o.start_time()).seconds()
+        input_dt = o.forcing.input_interval
+        output_dt = o.output.output_interval
+        restart_every = max(1, o.output.restart_count)
+
+        t = 0.0
+        n_outputs = 0
+        if o.run.restart:
+            # resume from the most recent checkpoint (driver.f90:81-87)
+            import glob
+            cands = sorted(glob.glob(self.restart_base + "*.npz"))
+            if not cands:
+                raise FileNotFoundError(
+                    f"restart requested but no checkpoint matches "
+                    f"{self.restart_base}*.npz")
+            t = read_restart(cands[-1], self.model)
+            n_outputs = int(round(t / output_dt))
+            print(f"restarted from {cands[-1]} at t={t:.0f}s")
+        else:
+            self.writer.write_step(self.model, t)
+        next_output = (n_outputs + 1) * output_dt
+        n_steps_total = self.forcing.n_steps()
+        step_idx = int(t // input_dt) + 1
+
+        while t < total_seconds - 1e-3:
+            # ingest the next forcing step (cycling the last one if short)
+            idx = min(step_idx, n_steps_total - 1)
+            raw = self.forcing.read_step(idx)
+            self._forcing_tendencies(raw)
+            step_idx += 1
+            input_end = min(t + input_dt, total_seconds)
+
+            while t < input_end - 1e-3:
+                target_t = min(next_output, input_end)
+                self.model.advance(target_t - t)
+                t = target_t
+                if abs(t - next_output) < 1e-3:
+                    self.writer.write_step(self.model, t)
+                    n_outputs += 1
+                    next_output += output_dt
+                    if n_outputs % restart_every == 0:
+                        write_restart(
+                            f"{self.restart_base}{int(t):08d}.npz",
+                            self.model, t)
+        return self.model
+
+
+def _ensure_backend():
+    """Fall back to CPU when the preferred accelerator plugin (e.g. a
+    tunneled TPU) cannot initialize in this environment."""
+    import jax
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        print(f"warning: accelerator backend unavailable ({e}); using CPU")
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
+
+def main(argv=None):
+    """CLI entry: ``python -m icar_tpu options.nml``
+    (mirrors ./icar icar_options.nml)."""
+    import sys
+
+    args = argv if argv is not None else sys.argv[1:]
+    if not args:
+        print("usage: python -m icar_tpu <options_namelist>")
+        return 1
+    _ensure_backend()
+    options = Options.from_namelist(args[0])
+    options.validate()
+    driver = ICARDriver(options)
+    driver.run()
+    print(f"icar_tpu run complete: {driver.writer.path}")
+    return 0

@@ -87,11 +87,88 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
     dz_levels = jnp.asarray(geom.dz_levels, jnp.float32)
     bmask = boundary_mask(geom.ny, geom.nx)
     adv_names = tuple(advect_names)
+    sin_lat = jnp.sin(jnp.asarray(geom.lat) * (jnp.pi / 180.0))
+    cos_lat = jnp.cos(jnp.asarray(geom.lat) * (jnp.pi / 180.0))
+    lon2d = jnp.asarray(geom.lon)
+    z_atm = jnp.asarray(geom.z[0] - geom.terrain)
 
-    def physics_step(state, dt):
+    def physics_step(state, dt, t, aux):
+        from ..physics import pbl_simple as pbl_mod
+        from ..physics import ra_simple as ra_mod
+        from ..physics import surface as sfc_mod
+
         s = state
-        # --- radiation / land surface / pbl / convection hooks (the
-        # reference order, time_step.f90:488-529); simple schemes land here
+        zeros3 = lambda: jnp.zeros_like(s["potential_temperature"])
+
+        # --- radiation (rad, time_step.f90:488)
+        if phys.radiation == C.RA_SIMPLE:
+            doy = aux["day_of_year0"] + t / 86400.0
+            theta, sw, lw, cc = ra_mod.ra_simple(
+                s["potential_temperature"], s["exner"], s["water_vapor"],
+                s.get("cloud_water", zeros3()), s.get("snow_mass", zeros3()),
+                s.get("rain_mass", zeros3()), s["pressure"], lon2d, sin_lat,
+                cos_lat, doy, aux["year_length"], dt)
+            s = dict(s)
+            s["potential_temperature"] = theta
+            s["shortwave"] = sw
+            s["longwave"] = lw
+            s["cloud_fraction"] = cc
+
+        # --- land / water surface (lsm, time_step.f90:491)
+        if phys.landsurface != C.LSM_NONE or phys.watersurface != C.WATER_NONE:
+            s = dict(s)
+            wind = jnp.sqrt(s["u_mass"][0] ** 2 + s["v_mass"][0] ** 2)
+            sh = s.get("sensible_heat", jnp.zeros_like(wind))
+            lh = s.get("latent_heat", jnp.zeros_like(wind))
+            z0 = s["roughness_z0"]
+            tskin = s.get("skin_temperature", s["temperature"][0])
+            qv_surf = s["water_vapor"][0]
+            if phys.watersurface == C.WATER_SIMPLE and "sst" in s:
+                water_mask = s["land_mask"] == 2.0   # kLC_WATER
+                sh, lh, z0, tskin, qv_surf = sfc_mod.water_simple(
+                    s["sst"], s["surface_pressure"], wind, s["ustar"],
+                    s["water_vapor"][0], s["temperature"][0], z_atm,
+                    water_mask, sh, lh, z0, tskin)
+            th, qv = sfc_mod.apply_fluxes(
+                s["potential_temperature"], s["water_vapor"], s["density"],
+                jnp.asarray(geom.dz_interface), s["exner"], sh, lh, dt,
+                sh_feedback_fraction=options.lsm.sh_feedback_fraction,
+                lh_feedback_fraction=options.lsm.lh_feedback_fraction)
+            lnz2 = jnp.log((2.0 + z0) / z0)
+            ex2 = (C.KARMAN / lnz2) ** 2 * wind
+            t2, q2 = sfc_mod.surface_diagnostics(
+                sh, lh / C.LH_VAPORIZATION, tskin, qv_surf, ex2, ex2,
+                s["surface_pressure"])
+            s["potential_temperature"] = th
+            s["water_vapor"] = qv
+            s["sensible_heat"] = sh
+            s["latent_heat"] = lh
+            s["roughness_z0"] = z0
+            if "skin_temperature" in s:
+                s["skin_temperature"] = tskin
+            if "temperature_2m" in s:
+                s["temperature_2m"] = t2
+                s["humidity_2m"] = q2
+
+        # --- planetary boundary layer (pbl, time_step.f90:494)
+        if phys.boundarylayer == C.PBL_SIMPLE:
+            water_mask = (s["land_mask"] == 2.0) if "land_mask" in s else None
+            th, qv, qc, qi, qr, qs = pbl_mod.pbl_simple(
+                s["potential_temperature"], s["water_vapor"],
+                s.get("cloud_water", zeros3()), s.get("cloud_ice", zeros3()),
+                s.get("rain_mass", zeros3()), s.get("snow_mass", zeros3()),
+                s["u_mass"], s["v_mass"], s["exner"], s["density"],
+                jnp.asarray(geom.z), jnp.asarray(geom.dz_interface),
+                jnp.asarray(geom.terrain), dt, water_mask)
+            s = dict(s)
+            s["potential_temperature"] = th
+            s["water_vapor"] = qv
+            for name, val in (("cloud_water", qc), ("cloud_ice", qi),
+                              ("rain_mass", qr), ("snow_mass", qs)):
+                if name in s:
+                    s[name] = val
+
+        # --- extra physics hooks (custom schemes)
         if physics_extra:
             for _, fn in physics_extra:
                 s = fn(s, geom, dt)
@@ -140,7 +217,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             out[k] = v[..., :s[-2], :s[-1]]
         return out
 
-    def step(state, dqdt, t0, end_time):
+    def step(state, dqdt, t0, end_time, aux):
         if natural_shapes is not None:
             state_padded = state
             state = _slice_natural(state)
@@ -159,7 +236,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             dt = jnp.minimum(dt, end_time - t)
 
             state = diagnostic_update(state, geom)
-            state = physics_step(state, dt)
+            state = physics_step(state, dt, t, aux)
             if with_forcing:
                 state = apply_forcing(state, dqdt, dt, bmask)
             # clamp over-shot negatives in the last couple of substeps

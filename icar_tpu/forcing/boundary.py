@@ -1,0 +1,241 @@
+"""Boundary forcing ingest: file cursor, variable reads, derived fields,
+and regridding to the model grid.
+
+Replaces boundary_t (/root/reference/src/objects/boundary_h.f90,
+boundary_obj.f90, external_bnd.f90) and the forcing-interpolation half of
+domain_t (interpolate_forcing / update_delta_fields / adjust_pressure,
+domain_obj.f90:2339-2719). File IO and LUT construction run host-side; the
+per-step regrid applies device gathers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import Options
+from ..io.netcdf import NCFile
+from ..utils.calendar import Time, TimeDelta
+from .interpolation import (GeoLUT, VertLUT, build_geo_lut, build_vlut,
+                            geo_interp, smooth_horizontal, vinterp)
+
+
+def compute_mixing_ratio_from_rh(rh, t, p):
+    """qv from relative humidity (compute_mixing_ratio,
+    boundary_obj.f90:557-596)."""
+    es = 611.2 * np.exp(17.67 * (t - 273.15) / (t - 29.65))
+    e = rh * es
+    return 0.62197 * e / (p - e)
+
+
+def compute_mixing_ratio_from_sh(sh):
+    """qv from specific humidity."""
+    return sh / (1 - sh)
+
+
+def update_pressure(p, z_in, z_out, t, qv):
+    """Hydrostatically shift pressure from z_in to z_out using virtual
+    temperature (update_pressure, atm_utilities.f90:595-620):
+        p_out = p * exp(-dz / (Rd/g * Tv))."""
+    tv = t * (1 + 0.608 * qv)
+    return p * jnp.exp(-(z_out - z_in) / (C.ROVG * tv))
+
+
+class ForcingData:
+    """File list + time cursor + raw variable reads (boundary_t)."""
+
+    def __init__(self, options: Options):
+        self.options = options
+        fo = options.forcing
+        self.files: List[str] = list(fo.boundary_files)
+        if fo.forcing_file_list:
+            with open(fo.forcing_file_list) as f:
+                self.files = [ln.strip().strip('"') for ln in f
+                              if ln.strip()]
+        if not self.files:
+            raise ValueError("no forcing files specified")
+        self.var_names = fo.var_names
+        self.input_interval = fo.input_interval
+        self.curfile = 0
+        self.curstep = 0
+        self._steps_in_file: List[int] = []
+        with NCFile(self.files[0]) as f:
+            tvar = self.var_names.get("time", "time")
+            name = self.var_names["p"]
+            self._first_shape = f.var_shape(name)
+        # forcing grid coordinates
+        self.lat = self._read0("lat")
+        self.lon = self._read0("lon")
+        if self.lat.ndim == 1:
+            self.lon, self.lat = np.meshgrid(self.lon, self.lat)
+        self.hgt = self._read0("hgt") if self.var_names.get("hgt") else None
+
+    def _read0(self, slot: str, step: Optional[int] = None):
+        name = self.var_names.get(slot)
+        if not name:
+            return None
+        with NCFile(self.files[self.curfile]) as f:
+            if not f.has_var(name):
+                return None
+            data = f.read(name)
+        if step is not None and data.ndim >= 3:
+            data = data[step]
+        return np.asarray(data, np.float32)
+
+    def n_steps(self) -> int:
+        with NCFile(self.files[self.curfile]) as f:
+            return f.n_times(self.var_names["p"])
+
+    def read_step(self, step: int) -> Dict[str, np.ndarray]:
+        """Read all forcing variables at one time step and compute derived
+        fields (update_forcing + update_computed_vars,
+        boundary_obj.f90:371-681). Returns (z, y, x) arrays."""
+        fo = self.options.forcing
+        out: Dict[str, np.ndarray] = {}
+        for slot in ("u", "v", "p", "t", "theta", "qv", "z", "sst",
+                     "swdown", "lwdown"):
+            name = self.var_names.get(slot)
+            if not name:
+                continue
+            with NCFile(self.files[self.curfile]) as f:
+                if not f.has_var(name):
+                    continue
+                data = f.read(name)
+            a = np.asarray(data, np.float32)
+            if a.ndim == 4:          # (time, z, y, x)
+                a = a[step]
+            elif a.ndim == 3 and slot in ("sst", "swdown", "lwdown"):
+                a = a[step]
+            out[slot] = a
+
+        # derived quantities
+        if "z" in out and fo.z_is_geopotential:
+            out["z"] = out["z"] / C.GRAVITY
+        if "qv" in out:
+            if fo.qv_is_relative_humidity:
+                t = out.get("t")
+                out["qv"] = compute_mixing_ratio_from_rh(
+                    out["qv"], t, out["p"]).astype(np.float32)
+            elif fo.qv_is_spec_humidity:
+                out["qv"] = compute_mixing_ratio_from_sh(out["qv"])
+        if "theta" not in out and "t" in out:
+            t = out["t"] + fo.t_offset
+            if fo.t_is_potential:
+                out["theta"] = t
+            else:
+                exner = (out["p"] / C.P0) ** C.ROVCP
+                out["theta"] = t / exner
+        return out
+
+
+@dataclass
+class Regridder:
+    """Forcing-grid -> model-grid interpolation pipeline (geo LUTs for the
+    mass/u/v grids + per-variable vertical LUTs; setup_geo_interpolation +
+    interpolate_variable, domain_obj.f90:2250, 2709)."""
+    geo: GeoLUT
+    geo_u: GeoLUT
+    geo_v: GeoLUT
+    vlut: Optional[VertLUT] = None
+    vlut_u: Optional[VertLUT] = None
+    vlut_v: Optional[VertLUT] = None
+    nsmooth: int = 0
+
+    @classmethod
+    def build(cls, geom, f_lat, f_lon, f_z, options: Options):
+        from ..grid import offset_x, offset_y
+
+        lat_u = offset_x(np.asarray(geom.lat, np.float64))
+        lon_u = offset_x(np.asarray(geom.lon, np.float64))
+        lat_v = offset_y(np.asarray(geom.lat, np.float64))
+        lon_v = offset_y(np.asarray(geom.lon, np.float64))
+        geo = build_geo_lut(f_lat, f_lon, np.asarray(geom.lat), np.asarray(geom.lon))
+        geo_u = build_geo_lut(f_lat, f_lon, lat_u, lon_u)
+        geo_v = build_geo_lut(f_lat, f_lon, lat_v, lon_v)
+
+        self = cls(geo=geo, geo_u=geo_u, geo_v=geo_v)
+        if f_z is not None:
+            # geo-interp forcing z onto the model grids, then build vLUTs
+            fz_m = np.asarray(geo_interp(jnp.asarray(f_z), geo))
+            fz_u = np.asarray(geo_interp(jnp.asarray(f_z), geo_u))
+            fz_v = np.asarray(geo_interp(jnp.asarray(f_z), geo_v))
+            self.vlut = build_vlut(np.asarray(geom.z), fz_m)
+            self.vlut_u = build_vlut(np.asarray(geom.z_u), fz_u)
+            self.vlut_v = build_vlut(np.asarray(geom.z_v), fz_v)
+        smooth_dist = options.forcing.smooth_wind_distance
+        if smooth_dist < 0:
+            smooth_dist = options.domain.dx * 2
+        self.nsmooth = max(1, int(round(smooth_dist / options.domain.dx)))
+        return self
+
+    def to_model_grid(self, raw: Dict[str, np.ndarray], geom) -> Dict[str, jnp.ndarray]:
+        """Interpolate one forcing step to the model grid. Returns target
+        fields keyed by state names (interpolate_forcing,
+        domain_obj.f90:2559-2719)."""
+        out: Dict[str, jnp.ndarray] = {}
+
+        def horiz(slot, lut):
+            return geo_interp(jnp.asarray(raw[slot]), lut)
+
+        # winds: geo-interp, horizontal smoothing, vertical interp
+        if "u" in raw:
+            u = horiz("u", self.geo_u)
+            u = smooth_horizontal(u, self.nsmooth)
+            out["u"] = vinterp(u, self.vlut_u) if self.vlut_u else u
+        if "v" in raw:
+            v = horiz("v", self.geo_v)
+            v = smooth_horizontal(v, self.nsmooth)
+            out["v"] = vinterp(v, self.vlut_v) if self.vlut_v else v
+
+        # scalars on the mass grid
+        if "theta" in raw:
+            th = horiz("theta", self.geo)
+            out["potential_temperature"] = vinterp(th, self.vlut) if self.vlut else th
+        if "qv" in raw:
+            qv = horiz("qv", self.geo)
+            out["water_vapor"] = vinterp(qv, self.vlut) if self.vlut else qv
+
+        # pressure: horizontal interp then hydrostatic adjustment to model z
+        # (NEVER vertically interpolated; adjust_pressure,
+        # domain_obj.f90:2604-2656)
+        if "p" in raw:
+            p = horiz("p", self.geo)
+            if "z" in raw and "theta" in raw:
+                fz = geo_interp(jnp.asarray(raw["z"]), self.geo)
+                th = horiz("theta", self.geo)
+                # bring each forcing level's p to the model level height
+                # using the nearest (vertically matched) forcing values
+                p_on_model = vinterp(p, self.vlut) if self.vlut else p
+                z_on_model = vinterp(fz, self.vlut) if self.vlut else fz
+                th_on_model = vinterp(th, self.vlut) if self.vlut else th
+                qv_on_model = out.get("water_vapor", jnp.zeros_like(p_on_model))
+                exner = (p_on_model / C.P0) ** C.ROVCP
+                t_real = th_on_model * exner
+                out["pressure"] = update_pressure(
+                    p_on_model, z_on_model, jnp.asarray(geom.z), t_real,
+                    qv_on_model)
+            else:
+                out["pressure"] = p
+
+        # 2D fields
+        for slot, name in (("sst", "sst"), ("swdown", "shortwave"),
+                           ("lwdown", "longwave")):
+            if slot in raw:
+                out[name] = geo_interp(jnp.asarray(raw[slot]), self.geo)
+        return out
+
+
+def compute_tendencies(current: Dict[str, jnp.ndarray],
+                       target: Dict[str, jnp.ndarray],
+                       interval_seconds: float) -> Dict[str, jnp.ndarray]:
+    """dqdt = (target - current) / dt for every forced field
+    (update_delta_fields, domain_obj.f90:2339-2372)."""
+    out = {}
+    for name, tgt in target.items():
+        if name in current:
+            out[name] = (tgt - current[name]) / interval_seconds
+    return out

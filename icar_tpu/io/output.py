@@ -1,0 +1,120 @@
+"""Model output and restart/checkpoint IO.
+
+Replaces output_t (/root/reference/src/io/output_h.f90, output_obj.f90) and
+the restart machinery (restart.f90). Output is CF-flavored NetCDF-4 with
+per-variable metadata drawn from the registry (which replaces
+default_output_metadata.f90). Restarts are registry-driven and
+decomposition-independent (global arrays), lifting the reference's
+same-decomposition restriction (restart.f90:119-129).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from .. import constants as C
+from ..registry import REGISTRY
+from .netcdf import NCFile
+
+_DIM_NAMES = {
+    (False, False, False): ("lev", "lat", "lon"),
+    (True, False, False): ("lev", "lat", "lon_u"),
+    (False, True, False): ("lev", "lat_v", "lon"),
+    (False, False, True): ("lev_i", "lat", "lon"),
+}
+
+
+def _var_dims(spec, arr):
+    if arr.ndim == 2:
+        sx = spec.stagger == "x"
+        sy = spec.stagger == "y"
+        return ("lat_v" if sy else "lat", "lon_u" if sx else "lon")
+    key = (spec.stagger == "x", spec.stagger == "y", spec.stagger == "zi")
+    return _DIM_NAMES.get(key, ("lev", "lat", "lon"))
+
+
+class OutputWriter:
+    """Appends model state slices to a NetCDF file (output_t::save_file,
+    output_obj.f90:41-78)."""
+
+    def __init__(self, path: str, names: List[str], options=None):
+        self.path = path
+        self.names = names
+        self.options = options
+        self._initialized = False
+
+    def write_step(self, model, time_seconds: float):
+        state = model.state
+        names = [n for n in self.names if n in state]
+        if not self._initialized:
+            mode = "w"
+            with NCFile(self.path, mode) as f:
+                f.create_dim("time", 0, unlimited=True)
+                for n in names:
+                    arr = model.field(n)
+                    spec = REGISTRY[n]
+                    dims = ("time",) + _var_dims(spec, arr)
+                    attrs = {"units": spec.units}
+                    if spec.standard_name:
+                        attrs["standard_name"] = spec.standard_name
+                    f.create_var(n, dims, arr[None].astype(np.float32), attrs)
+                f.create_var("model_time", ("time",),
+                             np.asarray([time_seconds], np.float64),
+                             {"units": "seconds since run start"})
+                attrs = {"source": f"icar_tpu {C.VERSION_STRING}"}
+                if self.options is not None:
+                    attrs["comment"] = self.options.comment
+                g = model.geom
+                attrs.update({"nx": g.nx, "ny": g.ny, "nz": g.nz, "dx": g.dx})
+                f.set_attrs(attrs)
+            self._initialized = True
+        else:
+            with NCFile(self.path, "a") as f:
+                for n in names:
+                    f.append_time_slice(n, model.field(n))
+                f.append_time_slice("model_time",
+                                    np.float64(time_seconds))
+
+
+def write_restart(path: str, model, time_seconds: float):
+    """Checkpoint all restart fields + wind-perturbation state
+    (driver.f90:181-191 restart writes; improved: stores global fields so
+    any future decomposition can resume)."""
+    from ..core.state import restart_names
+
+    data = {"__time__": np.float64(time_seconds)}
+    for n in restart_names(model.options):
+        if n in model.state:
+            data[n] = model.field(n)
+    if model.u_perturbation is not None:
+        data["__u_perturbation__"] = np.asarray(model.u_perturbation)
+        data["__v_perturbation__"] = np.asarray(model.v_perturbation)
+    np.savez_compressed(path, **data)
+
+
+def read_restart(path: str, model):
+    """Resume model state from a checkpoint (restart_model, restart.f90:12-89).
+    Returns the restart time in seconds since run start."""
+    import jax.numpy as jnp
+
+    d = np.load(path)
+    s = dict(model.state)
+    for n in d.files:
+        if n.startswith("__"):
+            continue
+        if n not in s:
+            continue
+        if tuple(d[n].shape) != tuple(s[n].shape):
+            raise ValueError(
+                f"restart field {n} has shape {d[n].shape}, expected "
+                f"{tuple(s[n].shape)}: domain configuration changed")
+        s[n] = jnp.asarray(d[n])
+    model.state = s
+    if "__u_perturbation__" in d.files:
+        model.u_perturbation = jnp.asarray(d["__u_perturbation__"])
+        model.v_perturbation = jnp.asarray(d["__v_perturbation__"])
+    model.model_time = float(d["__time__"])
+    return model.model_time

@@ -173,7 +173,15 @@ class ICARModel:
                                      rotate=rotate)
         s = dict(self.state)
         s["u"], s["v"], s["w"] = u, v, w
-        self.state = diagnostic_update(s, self.geom)
+        s = diagnostic_update(s, self.geom)
+        # surface initial conditions for idealized runs (no forcing files):
+        # skin/SST start at the lowest-level air temperature
+        for name in ("skin_temperature", "sst", "soil_temperature"):
+            if name in s and float(jnp.max(jnp.abs(s[name]))) == 0.0:
+                t0 = s["temperature"][0]
+                s[name] = jnp.broadcast_to(t0, s[name].shape).astype(
+                    s[name].dtype)
+        self.state = s
 
     def set_forcing_tendencies(self, dqdt: Dict[str, np.ndarray]):
         """Install dqdt fields for the next interval (update_delta_fields,
@@ -185,6 +193,16 @@ class ICARModel:
             self._with_forcing = True
             self._step_fn = None
 
+    def _time_aux(self):
+        """Per-interval solar-geometry scalars: fractional day-of-year (kept
+        small for float32 hour-angle precision) and year length."""
+        from ..utils.calendar import Time, TimeDelta
+        now = self.options.start_time() + TimeDelta(self.model_time)
+        year = now.date()[0]
+        year_start = Time.from_date(year, 1, 1, calendar=now.calendar)
+        return {"day_of_year0": jnp.float32(now.mjd - year_start.mjd),
+                "year_length": jnp.float32(now.year_length())}
+
     def advance(self, seconds: float):
         """Integrate the state forward by ``seconds`` (one forcing/output
         interval; step, time_step.f90:440-551)."""
@@ -192,7 +210,7 @@ class ICARModel:
             self._build_step()
         t0 = jnp.float32(0.0)
         state, t, n = self._step_fn(self.state, self._dqdt, t0,
-                                    jnp.float32(seconds))
+                                    jnp.float32(seconds), self._time_aux())
         self.state = state
         self.model_time += float(seconds)
         self.last_n_substeps = int(n)
@@ -211,7 +229,9 @@ class ICARModel:
 def ideal_ridge_model(nx=300, ny=20, nz=20, dx=1000.0, hill_height=1000.0,
                       u_speed=10.0, rh=0.95, mp=C.MP_SIMPLE,
                       windtype=C.WIND_NONE, flat_z_height=-5,
-                      dz_levels=None) -> ICARModel:
+                      dz_levels=None, rad=C.RA_NONE, pbl=C.PBL_NONE,
+                      lsm=C.LSM_NONE, water=C.WATER_NONE,
+                      adv=C.ADV_UPWIND) -> ICARModel:
     """Convenience constructor for the standard ideal-ridge benchmark case
     (tests/gen_ideal_test.py semantics)."""
     from ..forcing.ideal import ideal_latlon, make_ideal_case, schaer_topography
@@ -224,8 +244,12 @@ def ideal_ridge_model(nx=300, ny=20, nz=20, dx=1000.0, hill_height=1000.0,
     o.domain.dz_levels = list(dz_levels)[:nz]
     o.domain.flat_z_height = flat_z_height
     o.physics.microphysics = mp
-    o.physics.advection = C.ADV_UPWIND
+    o.physics.advection = adv
     o.physics.windtype = windtype
+    o.physics.radiation = rad
+    o.physics.boundarylayer = pbl
+    o.physics.landsurface = lsm
+    o.physics.watersurface = water
 
     terrain = schaer_topography(nx, ny, hill_height, dx)
     lat, lon = ideal_latlon(nx, ny, dx)

@@ -1,0 +1,186 @@
+"""Forcing ingest, interpolation, NetCDF IO, output and restart tests —
+the full file-driven pipeline (mirrors the reference CI run:
+gen_ideal_test.py -> icar -> per-step NetCDF output)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from icar_tpu import constants as C
+from icar_tpu.config import Options
+from icar_tpu.forcing.ideal import write_ideal_files
+from icar_tpu.forcing.interpolation import (build_geo_lut, build_vlut,
+                                            geo_interp, vinterp)
+from icar_tpu.io.netcdf import NCFile, read_var, write_vars
+from icar_tpu.io.output import read_restart, write_restart
+
+
+# --- netcdf ----------------------------------------------------------------
+
+def test_netcdf_roundtrip(tmp_path):
+    path = str(tmp_path / "t.nc")
+    a = np.random.default_rng(0).random((3, 4, 5)).astype(np.float32)
+    write_vars(path, {"field": (("lev", "lat", "lon"), a, {"units": "m"})},
+               attrs={"title": "test"})
+    with NCFile(path) as f:
+        assert f.has_var("field")
+        np.testing.assert_array_equal(f.read("field"), a)
+        assert f.read_attr("field", "units") == "m"
+        assert f.read_attr(None, "title") == "test"
+    np.testing.assert_array_equal(read_var(path, "field", step=1), a[1])
+
+
+def test_netcdf_time_append(tmp_path):
+    path = str(tmp_path / "t.nc")
+    with NCFile(path, "w") as f:
+        f.create_dim("time", 0, unlimited=True)
+        f.create_var("q", ("time", "lat", "lon"),
+                     np.zeros((1, 3, 3), np.float32))
+    with NCFile(path, "a") as f:
+        f.append_time_slice("q", np.ones((3, 3), np.float32))
+    with NCFile(path) as f:
+        q = f.read("q")
+        assert q.shape == (2, 3, 3)
+        assert q[1].mean() == 1.0
+
+
+# --- interpolation ---------------------------------------------------------
+
+def test_geo_lut_bilinear_exact():
+    """Bilinear interpolation of a linear field is exact."""
+    lo_lat, lo_lon = np.meshgrid(np.linspace(0, 10, 11),
+                                 np.linspace(0, 20, 21), indexing="ij")
+    hi_lat, hi_lon = np.meshgrid(np.linspace(1, 9, 15),
+                                 np.linspace(2, 18, 25), indexing="ij")
+    lut = build_geo_lut(lo_lat, lo_lon, hi_lat, hi_lon)
+    field = (2.0 * lo_lat + 0.5 * lo_lon).astype(np.float32)
+    out = np.asarray(geo_interp(jnp.asarray(field), lut))
+    want = 2.0 * hi_lat + 0.5 * hi_lon
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+
+
+def test_geo_lut_irregular_idw():
+    rng = np.random.default_rng(1)
+    lo_lat, lo_lon = np.meshgrid(np.linspace(0, 10, 11),
+                                 np.linspace(0, 20, 21), indexing="ij")
+    # perturb to make it curvilinear
+    lo_lat = lo_lat + rng.normal(0, 0.01, lo_lat.shape)
+    hi_lat, hi_lon = np.meshgrid(np.linspace(2, 8, 7),
+                                 np.linspace(4, 16, 9), indexing="ij")
+    lut = build_geo_lut(lo_lat, lo_lon, hi_lat, hi_lon)
+    const = np.full(lo_lat.shape, 7.25, np.float32)
+    out = np.asarray(geo_interp(jnp.asarray(const), lut))
+    np.testing.assert_allclose(out, 7.25, rtol=1e-5)
+
+
+def test_vlut_linear_profile():
+    nz_lo, nz_hi, ny, nx = 10, 6, 3, 3
+    lo_z = np.broadcast_to((np.arange(nz_lo) * 1000.0)[:, None, None],
+                           (nz_lo, ny, nx)).copy()
+    hi_z = np.broadcast_to((np.array([250, 1500, 3333, 5000, 8500, 12000.0]))
+                           [:, None, None], (nz_hi, ny, nx)).copy()
+    lut = build_vlut(hi_z, lo_z)
+    # a field linear in z interpolates exactly; top point extrapolates
+    field = (lo_z * 0.01 + 5).astype(np.float32)
+    out = np.asarray(vinterp(jnp.asarray(field), lut))
+    np.testing.assert_allclose(out, hi_z * 0.01 + 5, rtol=1e-4)
+
+
+def test_vlut_clamped():
+    nz_lo, ny, nx = 5, 2, 2
+    lo_z = np.broadcast_to((np.arange(nz_lo) * 1000.0)[:, None, None],
+                           (nz_lo, ny, nx)).copy()
+    hi_z = np.full((1, ny, nx), 99999.0)
+    lut = build_vlut(hi_z, lo_z, extrapolate=False)
+    field = np.broadcast_to(np.arange(nz_lo, dtype=np.float32)[:, None, None],
+                            lo_z.shape).copy()
+    out = np.asarray(vinterp(jnp.asarray(field), lut))
+    np.testing.assert_allclose(out, nz_lo - 1)   # clamped to the top value
+
+
+# --- full file-driven pipeline --------------------------------------------
+
+@pytest.fixture(scope="module")
+def ideal_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ideal")
+    init_path, forcing_path = write_ideal_files(
+        str(tmp), nx=48, ny=14, nz_lo=24, dx=1000.0, hill_height=400.0,
+        u_profile=8.0, qv_val=0.004, nt=3)
+
+    o = Options()
+    o.forcing.init_conditions_file = init_path
+    o.forcing.boundary_files = [forcing_path]
+    o.forcing.input_interval = 1800.0
+    o.domain.dx = 1000.0
+    o.domain.nz = 10
+    o.domain.dz_levels = [50.0, 75, 125, 200, 300, 400] + [500.0] * 4
+    o.domain.flat_z_height = -3
+    o.physics.microphysics = C.MP_SIMPLE
+    o.physics.advection = C.ADV_UPWIND
+    o.run.start_date = "2020-12-01 00:00:00"
+    o.run.end_date = "2020-12-01 01:00:00"
+    o.output.output_interval = 1800.0
+    o.output.output_file = str(tmp / "out_")
+    o.output.restart_file = str(tmp / "rst_")
+    o.output.names = ["u", "v", "potential_temperature", "water_vapor",
+                      "precipitation", "ta2m"]
+    from icar_tpu.core.driver import ICARDriver
+    driver = ICARDriver(o)
+    driver.run()
+    return driver, tmp
+
+
+def test_driver_runs_and_outputs(ideal_run):
+    driver, tmp = ideal_run
+    out = driver.writer.path
+    with NCFile(out) as f:
+        u = f.read("u")
+        # initial + 2 output steps
+        assert u.shape[0] == 3
+        th = f.read("potential_temperature")
+        assert np.isfinite(th).all()
+        assert 250 < th.mean() < 400
+        t = f.read("model_time")
+        np.testing.assert_allclose(t, [0, 1800, 3600])
+        assert f.read_attr(None, "dx") == 1000.0
+
+
+def test_driver_winds_initialized_from_forcing(ideal_run):
+    driver, _ = ideal_run
+    u = driver.model.field("u")
+    # forcing u=8 m/s should dominate the final field
+    assert 4.0 < np.median(u) < 12.0
+
+
+def test_restart_roundtrip(ideal_run, tmp_path):
+    driver, _ = ideal_run
+    m = driver.model
+    path = str(tmp_path / "restart.npz")
+    write_restart(path, m, m.model_time)
+
+    # rebuild a fresh model and resume
+    from icar_tpu.models.icar import ICARModel
+    import copy
+    terrain = np.asarray(m.geom.terrain, np.float64)
+    m2 = ICARModel(copy.deepcopy(m.options), terrain,
+                   np.asarray(m.geom.lat), np.asarray(m.geom.lon))
+    t = read_restart(path, m2)
+    assert t == m.model_time
+    for n in ("u", "potential_temperature", "water_vapor", "precipitation"):
+        if n in m2.state:
+            np.testing.assert_array_equal(m2.field(n), m.field(n))
+    # resumed model advances fine
+    m2.advance(300.0)
+    assert np.isfinite(m2.field("potential_temperature")).all()
+
+
+def test_restart_rejects_changed_domain(ideal_run, tmp_path):
+    driver, _ = ideal_run
+    m = driver.model
+    path = str(tmp_path / "restart2.npz")
+    write_restart(path, m, m.model_time)
+    from icar_tpu.models.icar import ideal_ridge_model
+    m3 = ideal_ridge_model(nx=32, ny=10, nz=8, dx=1000.0, hill_height=100.0)
+    with pytest.raises(ValueError, match="domain configuration changed"):
+        read_restart(path, m3)
