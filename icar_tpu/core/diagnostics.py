@@ -40,9 +40,15 @@ def compute_ivt(qv, u_mass, v_mass, p_i):
     return compute_iq(qv * speed, p_i)
 
 
-def diagnostic_update(state, geom):
-    """Refresh all derived fields (diagnostic_update,
-    time_step.f90:49-198). Returns the updated state dict."""
+def diagnostic_update(state, geom, full: bool = True):
+    """Refresh derived fields (diagnostic_update, time_step.f90:49-198).
+
+    ``full=False`` computes only the fields physics consumes (exner,
+    interfaces, density, mass winds) — the integrated-moisture / 10m-wind /
+    w_real diagnostics are pure outputs that nothing in the substep loop
+    reads, so the step computes them once per interval instead of per
+    substep (a deliberate cost improvement over the reference, which
+    recomputes everything every dt)."""
     s = dict(state)
     p = s["pressure"]
     theta = s["potential_temperature"]
@@ -65,6 +71,9 @@ def diagnostic_update(state, geom):
     s["v_mass"] = v_mass
     if "surface_pressure" in s:
         s["surface_pressure"] = p_i[0]
+
+    if not full:
+        return s
 
     # integrated moisture diagnostics
     if "ivt" in s:

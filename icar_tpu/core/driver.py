@@ -44,7 +44,10 @@ class ICARDriver:
     """Owns the model + forcing machinery and runs the outer loop."""
 
     def __init__(self, options: Options, mesh=None):
+        from ..utils.diagnostics_debug import Timers
         self.options = options
+        self.timers = Timers()
+        self.timers["init"].start()
         terrain, lat, lon = load_domain(options)
         options.domain.ny, options.domain.nx = terrain.shape
         self.model = ICARModel(options, terrain, lat, lon)
@@ -62,6 +65,7 @@ class ICARDriver:
         out_name = options.output.output_file + "run.nc"
         self.writer = OutputWriter(out_name, self._output_names(), options)
         self.restart_base = options.output.restart_file
+        self.timers["init"].stop()
 
     def _output_names(self):
         names = list(self.options.output.names)
@@ -139,19 +143,29 @@ class ICARDriver:
         n_steps_total = self.forcing.n_steps()
         step_idx = int(t // input_dt) + 1
 
+        debug = self.options.run.debug
         while t < total_seconds - 1e-3:
             # ingest the next forcing step (cycling the last one if short)
+            self.timers["input"].start()
             idx = min(step_idx, n_steps_total - 1)
             raw = self.forcing.read_step(idx)
             self._forcing_tendencies(raw)
+            self.timers["input"].stop()
             step_idx += 1
             input_end = min(t + input_dt, total_seconds)
 
             while t < input_end - 1e-3:
                 target_t = min(next_output, input_end)
+                self.timers["physics"].start()
                 self.model.advance(target_t - t)
+                self.timers["physics"].stop()
                 t = target_t
+                if debug:
+                    from ..utils.diagnostics_debug import domain_check
+                    self.model.state, problems = domain_check(
+                        self.model.state, msg=f"t={t:.0f}s", fix=True)
                 if abs(t - next_output) < 1e-3:
+                    self.timers["output"].start()
                     self.writer.write_step(self.model, t)
                     n_outputs += 1
                     next_output += output_dt
@@ -159,6 +173,8 @@ class ICARDriver:
                         write_restart(
                             f"{self.restart_base}{int(t):08d}.npz",
                             self.model, t)
+                    self.timers["output"].stop()
+        print(self.timers.report())
         return self.model
 
 

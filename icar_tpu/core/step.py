@@ -179,7 +179,10 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 s["pressure"], s["potential_temperature"], s["exner"],
                 s["density"], s["water_vapor"], s["cloud_water"],
                 s["rain_mass"], s["snow_mass"], s["precipitation"],
-                s["snowfall"], dt, jnp.asarray(geom.dz_interface))
+                s["snowfall"], dt, jnp.asarray(geom.dz_interface),
+                # the Pallas kernel is single-device; sharded global-view
+                # execution uses the jnp path
+                use_pallas=(natural_shapes is None))
             s = dict(s)
             s["potential_temperature"] = theta
             s["water_vapor"] = qv
@@ -235,7 +238,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             dt = jnp.minimum(dt, C.MAX_DT)
             dt = jnp.minimum(dt, end_time - t)
 
-            state = diagnostic_update(state, geom)
+            state = diagnostic_update(state, geom, full=False)
             state = physics_step(state, dt, t, aux)
             if with_forcing:
                 state = apply_forcing(state, dqdt, dt, bmask)
@@ -248,6 +251,9 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             return state, t + dt, n + 1
 
         state, t, n = jax.lax.while_loop(cond, body, (state, t0, jnp.int32(0)))
+        # output-only diagnostics (IVT/IWV, 10m winds, w_real) once per
+        # interval rather than per substep
+        state = diagnostic_update(state, geom, full=True)
         if natural_shapes is not None:
             state = {k: state_padded[k].at[..., :v.shape[-2], :v.shape[-1]]
                      .set(v) for k, v in state.items()}
