@@ -220,6 +220,35 @@ class Options:
             errs.append("cfl_reduction_factor > 1 is unstable")
         if self.physics.microphysics == C.MP_SIMPLE and self.physics.convection not in (C.CU_NONE, C.CU_SIMPLE):
             errs.append("mp_simple is not tuned for use with deep convection schemes")
+        known = {
+            "mp": (self.physics.microphysics, range(0, 7)),
+            "adv": (self.physics.advection, range(0, 3)),
+            "wind": (self.physics.windtype, (0, 1, 2, 3, 5)),
+            "pbl": (self.physics.boundarylayer, range(0, 4)),
+            "rad": (self.physics.radiation, range(0, 4)),
+            "lsm": (self.physics.landsurface, range(0, 5)),
+            "water": (self.physics.watersurface, range(0, 4)),
+            "conv": (self.physics.convection, range(0, 6)),
+        }
+        implemented = {
+            "mp": (C.MP_NONE, C.MP_SIMPLE, C.MP_WSM3),
+            "adv": (C.ADV_NONE, C.ADV_UPWIND, C.ADV_MPDATA),
+            "wind": (C.WIND_NONE, C.WIND_LINEAR, C.WIND_CONSERVE_MASS,
+                     C.WIND_ITERATIVE, C.WIND_LINEAR_ITERATIVE),
+            "pbl": (C.PBL_NONE, C.PBL_SIMPLE),
+            "rad": (C.RA_NONE, C.RA_BASIC, C.RA_SIMPLE),
+            "lsm": (C.LSM_NONE, C.LSM_BASIC),
+            "water": (C.WATER_NONE, C.WATER_SIMPLE),
+            "conv": (C.CU_NONE,),
+        }
+        for name, (val, valid) in known.items():
+            if val not in valid:
+                errs.append(f"unknown {name} scheme id {val}")
+            elif val not in implemented[name]:
+                errs.append(
+                    f"{name}={val} is a valid ICAR scheme but is not "
+                    f"implemented in icar_tpu yet (implemented: "
+                    f"{sorted(implemented[name])})")
         if errs:
             raise ValueError("invalid options:\n  " + "\n  ".join(errs))
         return self

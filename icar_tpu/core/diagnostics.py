@@ -40,7 +40,8 @@ def compute_ivt(qv, u_mass, v_mass, p_i):
     return compute_iq(qv * speed, p_i)
 
 
-def diagnostic_update(state, geom, full: bool = True):
+def diagnostic_update(state, geom, full: bool = True,
+                      with_w_real: bool = False):
     """Refresh derived fields (diagnostic_update, time_step.f90:49-198).
 
     ``full=False`` computes only the fields physics consumes (exner,
@@ -71,6 +72,21 @@ def diagnostic_update(state, geom, full: bool = True):
     s["v_mass"] = v_mass
     if "surface_pressure" in s:
         s["surface_pressure"] = p_i[0]
+
+    if not full and not with_w_real:
+        return s
+
+    # real vertical motion: needed per substep only when a physics package
+    # consumes it (WSM3's melting-level logic)
+    if "w_real" in s:
+        uw = u[:, 1:-1, 1:-1] * geom.dzdx[:, 1:-1, 1:-1]
+        vw = v[:, 1:-1, 1:-1] * geom.dzdy[:, 1:-1, 1:-1]
+        w_below = jnp.concatenate([jnp.zeros_like(w[:1]), w[:-1]], axis=0)
+        wr = ((uw[:, :, :-1] + uw[:, :, 1:]) * 0.5
+              + (vw[:, :-1, :] + vw[:, 1:, :]) * 0.5
+              + geom.jacobian[:, 1:-1, 1:-1]
+              * (w_below[:, 1:-1, 1:-1] + w[:, 1:-1, 1:-1]) * 0.5)
+        s["w_real"] = s["w_real"].at[:, 1:-1, 1:-1].set(wr)
 
     if not full:
         return s
@@ -107,17 +123,9 @@ def diagnostic_update(state, geom, full: bool = True):
         s["v_10m"] = s["v_10m"].at[1:-1, 1:-1].set(v10[1:-1, 1:-1])
         s["ustar"] = s["ustar"].at[1:-1, 1:-1].set(ust[1:-1, 1:-1])
 
-    # real vertical motion: w_real = destag(u*dzdx) + destag(v*dzdy)
-    # + jacobian * destag_z(w)  (time_step.f90:163-194)
-    if "w_real" in s:
-        uw = u[:, 1:-1, 1:-1] * geom.dzdx[:, 1:-1, 1:-1]   # faces 1..nx-1
-        vw = v[:, 1:-1, 1:-1] * geom.dzdy[:, 1:-1, 1:-1]   # faces 1..ny-1
-        w_below = jnp.concatenate([jnp.zeros_like(w[:1]), w[:-1]], axis=0)
-        wr = ((uw[:, :, :-1] + uw[:, :, 1:]) * 0.5
-              + (vw[:, :-1, :] + vw[:, 1:, :]) * 0.5
-              + geom.jacobian[:, 1:-1, 1:-1]
-              * (w_below[:, 1:-1, 1:-1] + w[:, 1:-1, 1:-1]) * 0.5)
-        s["w_real"] = s["w_real"].at[:, 1:-1, 1:-1].set(wr)
+    if with_w_real and "w_real" in s:
+        # already computed above (time_step.f90:163-194)
+        pass
     return s
 
 

@@ -192,6 +192,21 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s["precipitation"] = rain
             s["snowfall"] = snow
 
+        if phys.microphysics == C.MP_WSM3:
+            from ..physics import mp_wsm3
+            theta, qv, qci, qrs, rain, snow = mp_wsm3.wsm3(
+                s["potential_temperature"], s["water_vapor"],
+                s["cloud_water"], s["rain_mass"], s["w_real"], s["exner"],
+                s["pressure"], jnp.asarray(geom.dz_mass), s["density"], dt,
+                s["precipitation"], s["snowfall"])
+            s = dict(s)
+            s["potential_temperature"] = theta
+            s["water_vapor"] = qv
+            s["cloud_water"] = qci
+            s["rain_mass"] = qrs
+            s["precipitation"] = rain
+            s["snowfall"] = snow
+
         # --- advection of all requested species in one fused pass
         if adv_names and phys.advection in (C.ADV_UPWIND, C.ADV_MPDATA):
             stacked = jnp.stack([s[k] for k in adv_names])
@@ -238,7 +253,9 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             dt = jnp.minimum(dt, C.MAX_DT)
             dt = jnp.minimum(dt, end_time - t)
 
-            state = diagnostic_update(state, geom, full=False)
+            state = diagnostic_update(state, geom, full=False,
+                                      with_w_real=(phys.microphysics
+                                                   == C.MP_WSM3))
             state = physics_step(state, dt, t, aux)
             if with_forcing:
                 state = apply_forcing(state, dqdt, dt, bmask)

@@ -188,8 +188,18 @@ def collect_requests(options) -> VarRequest:
                          "ice_number", "rain_number"])
         req.restart_vars(["precipitation", "snowfall", "graupel", "cloud_water",
                           "cloud_ice", "rain_mass", "snow_mass", "graupel_mass"])
+    elif phys.microphysics == C.MP_WSM3:
+        # 3-class: qci doubles as cloud/ice, qrs as rain/snow
+        # (mp_driver.f90:554-575)
+        req.alloc_vars(["pressure", "potential_temperature", "exner", "density",
+                        "water_vapor", "cloud_water", "rain_mass", "w_real",
+                        "precipitation", "snowfall", "dz"])
+        req.advect_vars(["potential_temperature", "water_vapor", "cloud_water",
+                         "rain_mass"])
+        req.restart_vars(["precipitation", "snowfall", "cloud_water",
+                          "rain_mass"])
     elif phys.microphysics != C.MP_NONE:
-        # WSM3/WSM6/Morrison families
+        # WSM6/Morrison families
         req.alloc_vars(["pressure", "potential_temperature", "exner", "density",
                         "water_vapor", "cloud_water", "cloud_ice", "rain_mass",
                         "snow_mass", "graupel_mass", "precipitation", "snowfall",
