@@ -111,6 +111,9 @@ class OutputOptions:
     restart_count: int = 24           # restarts every N outputs
     restart_file: str = "icar_rst_"
     frames_per_outfile: int = 24
+    engine: str = "netcdf4"           # "netcdf4" (h5py, one growing file) or
+                                      # "classic-async" (native C++ worker,
+                                      # one CDF-2 file per output step)
 
 
 @dataclass
@@ -241,6 +244,9 @@ class Options:
             "water": (C.WATER_NONE, C.WATER_SIMPLE),
             "conv": (C.CU_NONE,),
         }
+        if self.output.engine not in ("netcdf4", "classic-async"):
+            errs.append(f"unknown output engine {self.output.engine!r} "
+                        f"(use 'netcdf4' or 'classic-async')")
         for name, (val, valid) in known.items():
             if val not in valid:
                 errs.append(f"unknown {name} scheme id {val}")
@@ -369,6 +375,8 @@ class Options:
             o.output.restart_count = int(ol["restartinterval"])
         if "restart_file" in ol:
             o.output.restart_file = str(ol["restart_file"])
+        if "engine" in ol:
+            o.output.engine = str(ol["engine"])
 
         lt = nml.get("lt_parameters", {})
         for f in dataclasses.fields(LtOptions):

@@ -62,8 +62,13 @@ class ICARDriver:
         if mesh is not None:
             self.model.attach_mesh(mesh)
 
-        out_name = options.output.output_file + "run.nc"
-        self.writer = OutputWriter(out_name, self._output_names(), options)
+        if options.output.engine == "classic-async":
+            from ..io.output import AsyncStepWriter
+            self.writer = AsyncStepWriter(options.output.output_file,
+                                          self._output_names(), options)
+        else:
+            out_name = options.output.output_file + "run.nc"
+            self.writer = OutputWriter(out_name, self._output_names(), options)
         self.restart_base = options.output.restart_file
         self.timers["init"].stop()
 
@@ -174,6 +179,10 @@ class ICARDriver:
                             f"{self.restart_base}{int(t):08d}.npz",
                             self.model, t)
                     self.timers["output"].stop()
+        if hasattr(self.writer, "wait"):
+            errors = self.writer.wait()
+            if errors:
+                print(f"WARNING: {errors} async output write(s) failed")
         print(self.timers.report())
         return self.model
 

@@ -216,7 +216,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                       s.get("density"), jnp.asarray(geom.advection_dz))
             if phys.advection == C.ADV_UPWIND:
                 out = advection.advect_upwind(
-                    stacked, *common, options.run.advect_density)
+                    stacked, *common, options.run.advect_density,
+                    use_pallas=(natural_shapes is None))
             else:
                 from ..ops import mpdata
                 out = mpdata.advect_mpdata(

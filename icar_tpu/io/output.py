@@ -79,6 +79,47 @@ class OutputWriter:
                                     np.float64(time_seconds))
 
 
+class AsyncStepWriter:
+    """Per-step output through the native async NetCDF-classic writer
+    (csrc/ncwriter.cpp): each output step becomes one CDF-2 file written by
+    a C++ worker thread, so the model never blocks on disk. File naming
+    mirrors the reference's date-stamped per-step files (driver.f90:94-102)."""
+
+    def __init__(self, prefix: str, names: List[str], options=None):
+        from .async_writer import AsyncNCWriter
+        self.prefix = prefix
+        self.names = names
+        self.options = options
+        self.paths: List[str] = []
+        self._w = AsyncNCWriter()
+
+    @property
+    def path(self):
+        return self.paths[-1] if self.paths else self.prefix
+
+    def write_step(self, model, time_seconds: float):
+        variables = {}
+        for n in self.names:
+            if n not in model.state:
+                continue
+            arr = model.field(n)
+            variables[n] = (_var_dims(REGISTRY[n], arr), arr)
+        g = model.geom
+        attrs = {"source": f"icar_tpu {C.VERSION_STRING}",
+                 "model_time": f"{time_seconds}",
+                 "nx": str(g.nx), "ny": str(g.ny), "nz": str(g.nz),
+                 "dx": str(g.dx)}
+        path = f"{self.prefix}{int(time_seconds):08d}.nc"
+        self._w.write(path, variables, attrs)
+        self.paths.append(path)
+
+    def wait(self) -> int:
+        return self._w.wait()
+
+    def close(self):
+        self._w.close()
+
+
 def write_restart(path: str, model, time_seconds: float):
     """Checkpoint all restart fields + wind-perturbation state
     (driver.f90:181-191 restart writes; improved: stores global fields so

@@ -91,11 +91,19 @@ def advect3d_upwind(q, winds: CourantWinds, rho, dz, jaco,
 
 
 def advect_upwind(stacked_q, u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
-                  jaco, rho, dz, advect_density: bool = False):
+                  jaco, rho, dz, advect_density: bool = False,
+                  use_pallas: bool = True):
     """Advect all species at once: ``stacked_q`` is (nq, nz, ny, nx)
-    (upwind, advect.f90:380-418)."""
+    (upwind, advect.f90:380-418). On TPU (and without density advection)
+    the fused Pallas stencil kernel is used; the vmapped jnp path is the
+    reference implementation."""
     winds = setup_courant_winds(u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
                                 rho, advect_density)
+    if use_pallas and not advect_density:
+        from . import pallas_kernels as pk
+        if pk.saturation_adjust_available():
+            return pk.advect_upwind_tpu(stacked_q, winds.U_m, winds.V_m,
+                                        winds.W_m, dz, jaco)
     fn = lambda q: advect3d_upwind(q, winds, rho, dz, jaco, advect_density)
     return jax.vmap(fn)(stacked_q)
 

@@ -130,3 +130,102 @@ def saturation_adjust_tpu(pressure, temperature, qv, qc):
 
 def saturation_adjust_available() -> bool:
     return _HAS_PALLAS and tpu_backend()
+
+
+# ---------------------------------------------------------------------------
+# fused upwind advection
+# ---------------------------------------------------------------------------
+#
+# The jnp advection materializes per-species flux intermediates in HBM; the
+# kernel streams y-tiles of all species through VMEM: one read of each
+# field, one write of each output. q and the y-face winds need a 1-row halo,
+# which regular (non-overlapping) BlockSpecs cannot express, so those arrive
+# as HBM refs and the kernel DMAs halo windows into scratch.
+
+
+def _advect_kernel(ny_ref, qc_ref, qd_ref, qu_ref, vb_ref, va_ref,
+                   u_ref, w_ref, dz_ref, jaco_ref, out_ref):
+    i = pl.program_id(0)          # y tile; species index is grid dim 1
+    TY = out_ref.shape[2]
+    U = u_ref[:]                  # (nz, TY, nx-1) internal x faces
+    W = w_ref[:]                  # (nz, TY, nx)
+    dz = dz_ref[:]
+    jaco = jaco_ref[:]
+    Vb = vb_ref[:]                # face below each row
+    Va = va_ref[:]                # face above each row
+
+    ny_real = ny_ref[0]
+    gidx = i * TY + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
+    interior_y = (gidx >= 1) & (gidx <= ny_real - 2)
+
+    def flux(l, r, c):
+        return ((c + jnp.abs(c)) * l + (c - jnp.abs(c)) * r) * 0.5
+
+    qc = qc_ref[0]                # (nz, TY, nx) this species' rows
+    qd = qd_ref[0]                # row below (y-1)
+    qu = qu_ref[0]                # row above (y+1)
+    fx = flux(qc[:, :, :-1], qc[:, :, 1:], U)
+    xdiv = fx[:, :, 1:] - fx[:, :, :-1]              # cells 1..nx-2
+    ydiv = flux(qc, qu, Va) - flux(qd, qc, Vb)
+    fz = flux(qc[:-1], qc[1:], W[:-1])               # (nz-1, TY, nx)
+    vert = jnp.concatenate(
+        [fz[:1], fz[1:] - fz[:-1],
+         (qc[-1:] * W[-1:]) - fz[-1:]], axis=0)
+    interior = ((xdiv + ydiv[:, :, 1:-1]) / jaco[:, :, 1:-1]
+                + vert[:, :, 1:-1] / (dz[:, :, 1:-1] * jaco[:, :, 1:-1]))
+    zcol = jnp.zeros_like(qc[:, :, :1])
+    dq = jnp.concatenate([zcol, interior, zcol], axis=2)
+    dq = jnp.where(interior_y, dq, 0.0)
+    out_ref[0] = qc - dq
+
+
+def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 8):
+    """Fused multi-species donor-cell update (same math as
+    ops.advection.advect3d_upwind, advect.f90:107-178) as one Pallas pass.
+
+    The y-stencil neighbors arrive as pre-shifted copies of q (and of the
+    y-face winds) so every kernel input uses plain non-overlapping
+    BlockSpecs — XLA pays one cheap shift copy instead of the kernel doing
+    halo DMA, which Mosaic's alignment rules make fragile.
+
+    stacked_q: (S, nz, ny, nx); U_m (nz, ny, nx-1); V_m (nz, ny-1, nx);
+    W_m/dz/jaco (nz, ny, nx). Density advection not supported (rho=1)."""
+    S, nz, ny, nx = stacked_q.shape
+    ny_pad = pl.cdiv(ny, ty) * ty
+    pad_y = ny_pad - ny
+
+    def rowpad(a, mode="edge"):
+        return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
+                       + ((0, pad_y), (0, 0)), mode=mode)
+
+    qc = rowpad(stacked_q)
+    qd = rowpad(jnp.concatenate([stacked_q[:, :, :1], stacked_q[:, :, :-1]],
+                                axis=2))
+    qu = rowpad(jnp.concatenate([stacked_q[:, :, 1:], stacked_q[:, :, -1:]],
+                                axis=2))
+    zrow = jnp.zeros_like(V_m[:, :1, :])
+    vb = rowpad(jnp.concatenate([zrow, V_m], axis=1), mode="constant")
+    va = rowpad(jnp.concatenate([V_m, zrow], axis=1), mode="constant")
+    up = rowpad(U_m, mode="constant")
+    wp = rowpad(W_m, mode="constant")
+    dzp = rowpad(dz)
+    jacop = rowpad(jaco)
+
+    # species is the INNER grid dim: the shared wind/metric blocks keep the
+    # same index across species so the pipeline does not re-fetch them
+    grid = (ny_pad // ty, S)
+    spec3 = lambda w: pl.BlockSpec((nz, ty, w), lambda i, s: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+    spec4 = pl.BlockSpec((1, nz, ty, nx), lambda i, s: (s, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _advect_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  spec4, spec4, spec4,
+                  spec3(nx), spec3(nx), spec3(nx - 1), spec3(nx),
+                  spec3(nx), spec3(nx)],
+        out_specs=spec4,
+        out_shape=jax.ShapeDtypeStruct((S, nz, ny_pad, nx), stacked_q.dtype),
+    )(jnp.asarray([ny], jnp.int32), qc, qd, qu, vb, va, up, wp, dzp, jacop)
+    return out[:, :, :ny, :]

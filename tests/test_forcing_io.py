@@ -184,3 +184,45 @@ def test_restart_rejects_changed_domain(ideal_run, tmp_path):
     m3 = ideal_ridge_model(nx=32, ny=10, nz=8, dx=1000.0, hill_height=100.0)
     with pytest.raises(ValueError, match="domain configuration changed"):
         read_restart(path, m3)
+
+
+# --- native async writer ---------------------------------------------------
+
+def test_native_async_writer_roundtrip(tmp_path):
+    from icar_tpu.io.async_writer import AsyncNCWriter, available
+    if not available():
+        pytest.skip("native writer toolchain unavailable")
+    w = AsyncNCWriter()
+    rng = np.random.default_rng(2)
+    a = rng.random((3, 5, 7)).astype(np.float32)
+    path = str(tmp_path / "native.nc")
+    w.write(path, {"theta": (("lev", "lat", "lon"), a)},
+            attrs={"title": "t"})
+    assert w.wait() == 0
+    from scipy.io import netcdf_file
+    f = netcdf_file(path, "r", mmap=False)
+    np.testing.assert_allclose(f.variables["theta"][:], a)
+    assert dict(f.dimensions) == {"lev": 3, "lat": 5, "lon": 7}
+    w.close()
+
+
+def test_driver_classic_async_engine(ideal_run, tmp_path):
+    """Full driver run with the native per-step output engine."""
+    from icar_tpu.io.async_writer import available
+    if not available():
+        pytest.skip("native writer toolchain unavailable")
+    driver, tmp = ideal_run
+    import copy
+    o = copy.deepcopy(driver.options)
+    o.output.engine = "classic-async"
+    o.output.output_file = str(tmp_path / "anc_")
+    o.output.restart_file = str(tmp_path / "rst_")
+    from icar_tpu.core.driver import ICARDriver
+    d2 = ICARDriver(o)
+    d2.run()
+    assert d2.writer.wait() == 0
+    assert len(d2.writer.paths) == 3      # t=0, 1800, 3600
+    from scipy.io import netcdf_file
+    f = netcdf_file(d2.writer.paths[-1], "r", mmap=False)
+    th = f.variables["potential_temperature"][:]
+    assert np.isfinite(th).all() and 250 < th.mean() < 400
