@@ -349,6 +349,8 @@ class Options:
             o.forcing.boundary_files = bf if isinstance(bf, list) else [bf]
         if "forcing_file_list" in fl:
             o.forcing.forcing_file_list = str(fl["forcing_file_list"])
+        if "external_files" in fl:
+            o.forcing.external_files = str(fl["external_files"])
 
         vl = nml.get("var_list", {})
         name_map = {  # namelist key -> canonical forcing slot

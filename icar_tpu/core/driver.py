@@ -59,6 +59,7 @@ class ICARDriver:
             raw0.get("z"), options)
 
         self._install_initial_conditions(raw0)
+        self._install_external_conditions()
         if mesh is not None:
             self.model.attach_mesh(mesh)
 
@@ -104,6 +105,26 @@ class ICARDriver:
                 t0 = s["temperature"][0]
                 m.state[name] = jnp.broadcast_to(t0, s[name].shape).astype(
                     s[name].dtype)
+
+    def _install_external_conditions(self):
+        """Externally-supplied surface/snow state (SWE, snow height, soil/skin
+        temperature) overrides the defaults at init (init_external,
+        external_bnd.f90)."""
+        from ..forcing.boundary import load_external_conditions
+        ext = load_external_conditions(self.options, self.model.geom)
+        if not ext:
+            return
+        s = dict(self.model.state)
+        applied = []
+        for name, arr in ext.items():
+            if name in s:
+                if arr.ndim == 2 and s[name].ndim == 3:
+                    arr = jnp.broadcast_to(arr, s[name].shape)
+                s[name] = jnp.asarray(arr, s[name].dtype)
+                applied.append(name)
+        self.model.state = s
+        if applied:
+            print("external initial conditions applied:", ", ".join(applied))
 
     def _forcing_tendencies(self, raw):
         """Target fields -> wind solve -> relaxation tendencies

@@ -229,6 +229,53 @@ class Regridder:
         return out
 
 
+# model-state name <- common external-file variable names
+EXTERNAL_VAR_ALIASES = {
+    "swe": ("swe", "SNOW", "swe_ext"),
+    "snow_height": ("snow_height", "SNOWH", "hsnow"),
+    "skin_temperature": ("skin_temperature", "TSK", "tskin"),
+    "soil_temperature": ("soil_temperature", "TSLB", "soil_t"),
+}
+
+
+def load_external_conditions(options: Options, geom) -> Dict[str, jnp.ndarray]:
+    """Read externally-supplied initial surface/snow/soil state (SWE, snow
+    height, skin/soil temperature) and geo-interpolate it onto the model
+    grid (init_external, external_bnd.f90:70-160; the reference hard-codes
+    'swe' — here any alias in EXTERNAL_VAR_ALIASES is picked up).
+
+    Returns {state_name: (ny, nx) array}; empty if no external file set."""
+    path = options.forcing.external_files
+    if not path:
+        return {}
+    out: Dict[str, jnp.ndarray] = {}
+    with NCFile(path) as f:
+        lat = lon = None
+        for cand in ("lat", "XLAT", "lat_ext"):
+            if f.has_var(cand):
+                lat = f.read(cand)
+                break
+        for cand in ("lon", "XLONG", "lon_ext"):
+            if f.has_var(cand):
+                lon = f.read(cand)
+                break
+        if lat is None or lon is None:
+            raise ValueError(f"external file {path} lacks lat/lon coordinates")
+        if lat.ndim == 1:
+            lon, lat = np.meshgrid(lon, lat)
+        lut = build_geo_lut(np.asarray(lat), np.asarray(lon),
+                            np.asarray(geom.lat), np.asarray(geom.lon))
+        for state_name, aliases in EXTERNAL_VAR_ALIASES.items():
+            for cand in aliases:
+                if f.has_var(cand):
+                    raw = np.asarray(f.read(cand), np.float32)
+                    if raw.ndim == 3:
+                        raw = raw[0]
+                    out[state_name] = geo_interp(jnp.asarray(raw), lut)
+                    break
+    return out
+
+
 def compute_tendencies(current: Dict[str, jnp.ndarray],
                        target: Dict[str, jnp.ndarray],
                        interval_seconds: float) -> Dict[str, jnp.ndarray]:

@@ -109,9 +109,11 @@ _SPECS = [
     _v("albedo", dims="2d", units="1", default=0.17),
     _v("vegetation_fraction", dims="2d", units="1", default=0.5),
     _v("land_mask", dims="2d", units="1", default=1.0),
-    # soil (simple LSM)
+    # soil / snow state (LSM + external initial conditions)
     _v("soil_water_content", units="m3 m-3"),
     _v("soil_temperature", units="K"),
+    _v("swe", dims="2d", units="mm", standard_name="liquid_water_content_of_surface_snow"),
+    _v("snow_height", dims="2d", units="m", standard_name="surface_snow_thickness"),
 ]
 
 REGISTRY = {s.name: s for s in _SPECS}
@@ -230,9 +232,10 @@ def collect_requests(options) -> VarRequest:
                         "temperature_2m", "humidity_2m", "ustar",
                         "roughness_z0", "albedo", "vegetation_fraction",
                         "land_mask", "shortwave", "longwave",
-                        "soil_water_content", "soil_temperature"])
+                        "soil_water_content", "soil_temperature",
+                        "swe", "snow_height"])
         req.restart_vars(["skin_temperature", "soil_water_content",
-                          "soil_temperature"])
+                          "soil_temperature", "swe", "snow_height"])
     if phys.watersurface != C.WATER_NONE:
         req.alloc_vars(["sst", "skin_temperature", "sensible_heat",
                         "latent_heat", "ustar", "land_mask"])

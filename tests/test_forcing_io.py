@@ -226,3 +226,56 @@ def test_driver_classic_async_engine(ideal_run, tmp_path):
     f = netcdf_file(d2.writer.paths[-1], "r", mmap=False)
     th = f.variables["potential_temperature"][:]
     assert np.isfinite(th).all() and 250 < th.mean() < 400
+
+
+def test_external_initial_conditions(ideal_run, tmp_path):
+    """SWE / skin temperature from a separate external-conditions file
+    (external_bnd.f90 equivalent)."""
+    driver, tmp = ideal_run
+    import copy
+    from icar_tpu.forcing.ideal import ideal_latlon
+    g = driver.model.geom
+    # external data on a coarser grid covering the domain
+    lat, lon = ideal_latlon(30, 20, 2000.0)
+    swe = np.full((20, 30), 42.0, np.float32)
+    tsk = np.full((20, 30), 271.5, np.float32)
+    ext_path = str(tmp_path / "ext.nc")
+    write_vars(ext_path, {
+        "lat": (("y", "x"), lat.astype(np.float32)),
+        "lon": (("y", "x"), lon.astype(np.float32)),
+        "swe": (("y", "x"), swe),
+        "TSK": (("y", "x"), tsk)})
+
+    o = copy.deepcopy(driver.options)
+    o.physics.landsurface = C.LSM_BASIC       # allocates swe/skin fields
+    o.forcing.external_files = ext_path
+    o.run.end_date = "2020-12-01 00:30:00"
+    o.output.output_file = str(tmp_path / "x_")
+    o.output.restart_file = str(tmp_path / "xr_")
+    from icar_tpu.core.driver import ICARDriver
+    d2 = ICARDriver(o)
+    np.testing.assert_allclose(d2.model.field("swe"), 42.0, rtol=1e-5)
+    np.testing.assert_allclose(d2.model.field("skin_temperature"), 271.5,
+                               rtol=1e-5)
+    d2.run()
+    assert np.isfinite(d2.model.field("potential_temperature")).all()
+
+
+def test_namelist_output_engine_roundtrip(tmp_path):
+    nml = tmp_path / "o.nml"
+    nml.write_text("""
+&physics
+  mp = 2, adv = 1
+/
+&output_list
+  output_file = "out_"
+  engine = "classic-async"
+/
+""")
+    o = Options.from_namelist(str(nml))
+    assert o.output.engine == "classic-async"
+    o2 = Options()
+    o2.output.engine = "zarr"
+    o2.domain.nx = o2.domain.ny = 50
+    with pytest.raises(ValueError, match="unknown output engine"):
+        o2.validate()
