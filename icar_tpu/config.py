@@ -234,11 +234,11 @@ class Options:
             "conv": (self.physics.convection, range(0, 6)),
         }
         implemented = {
-            "mp": (C.MP_NONE, C.MP_SIMPLE, C.MP_WSM3),
+            "mp": (C.MP_NONE, C.MP_SIMPLE, C.MP_WSM6, C.MP_WSM3),
             "adv": (C.ADV_NONE, C.ADV_UPWIND, C.ADV_MPDATA),
             "wind": (C.WIND_NONE, C.WIND_LINEAR, C.WIND_CONSERVE_MASS,
                      C.WIND_ITERATIVE, C.WIND_LINEAR_ITERATIVE),
-            "pbl": (C.PBL_NONE, C.PBL_SIMPLE),
+            "pbl": (C.PBL_NONE, C.PBL_SIMPLE, C.PBL_YSU),
             "rad": (C.RA_NONE, C.RA_BASIC, C.RA_SIMPLE),
             "lsm": (C.LSM_NONE, C.LSM_BASIC),
             "water": (C.WATER_NONE, C.WATER_SIMPLE),

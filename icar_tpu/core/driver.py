@@ -10,6 +10,7 @@ forcing/output event, write output/restart.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Optional
 
 import jax.numpy as jnp
@@ -78,11 +79,25 @@ class ICARDriver:
         if not names:
             names = ["u", "v", "w", "pressure", "potential_temperature",
                      "water_vapor", "cloud_water", "precipitation"]
-        # map a few common aliases from reference output lists
+        # reference output-metadata short names -> registry names
+        # (default_output_metadata.f90 name= entries)
         alias = {"ta2m": "temperature_2m", "hus2m": "humidity_2m",
-                 "qv": "water_vapor", "swe": "snowfall",
+                 "qv": "water_vapor", "qc": "cloud_water",
+                 "qi": "cloud_ice", "qr": "rain_mass", "qs": "snow_mass",
+                 "qg": "graupel_mass", "ts": "skin_temperature",
+                 "u10m": "u_10m", "v10m": "v_10m",
+                 "psfc": "surface_pressure", "hfss": "sensible_heat",
+                 "hfls": "latent_heat", "rsds": "shortwave",
+                 "rlds": "longwave", "pressure_i": "pressure_interface",
+                 "temperature_i": "temperature_interface",
                  "precip": "precipitation"}
-        return [alias.get(n, n) for n in names]
+        from .. import registry
+        resolved = [alias.get(n, n) for n in names]
+        for n in resolved:
+            if n not in registry.spec_names():
+                print(f"warning: requested output variable '{n}' is not "
+                      "known; it will be skipped", file=sys.stderr)
+        return resolved
 
     def _install_initial_conditions(self, raw0):
         """Full-3D initial state from the first forcing step

@@ -151,6 +151,46 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 s["humidity_2m"] = q2
 
         # --- planetary boundary layer (pbl, time_step.f90:494)
+        if phys.boundarylayer == C.PBL_YSU:
+            from ..physics import ysu as ysu_mod
+            s = dict(s)
+            wspd10 = jnp.sqrt(s["u_10m"] ** 2 + s["v_10m"] ** 2)
+            wspd10 = jnp.where(wspd10 == 0, 1e-5, wspd10)
+            tskin = s["skin_temperature"]
+            t1 = s["temperature"][0]
+            # bulk Richardson number (calc_Richardson_nr,
+            # atm_utilities.f90:1131)
+            ri = C.GRAVITY / t1 * (t1 - tskin) * z_atm / (wspd10 ** 2)
+            xland_r = s["land_mask"]
+            # NOTE reference quirk preserved: ICAR passes CLOUD WATER as the
+            # lowest-level moisture to the surface-layer scheme
+            # (pbl_driver.f90:239 'qs=domain%cloud_water_mass')
+            sfc = ysu_mod.surface_layer(
+                s["surface_pressure"], tskin, s["pressure"][0], t1,
+                s.get("cloud_water", zeros3())[0],
+                s["u_mass"][0], s["v_mass"][0], z_atm, s["roughness_z0"],
+                xland_r, geom.dx, s["ustar"], s["sensible_heat"],
+                s["latent_heat"] / C.LH_VAPORIZATION)
+            th, qv, qc, qi, hpbl, kpbl, exch_h = ysu_mod.ysu(
+                s["u_mass"], s["v_mass"], s["potential_temperature"],
+                s["temperature"], s["water_vapor"],
+                s.get("cloud_water", zeros3()), s.get("cloud_ice", zeros3()),
+                s["pressure"], s["pressure_interface"], s["exner"],
+                jnp.asarray(geom.dz_interface), jnp.asarray(geom.z),
+                jnp.asarray(geom.terrain), s["surface_pressure"], tskin,
+                s["roughness_z0"], xland_r, s["sensible_heat"],
+                s["latent_heat"] / C.LH_VAPORIZATION, s["ustar"],
+                s["u_10m"], s["v_10m"], sfc.psim, sfc.psih, ri, dt)
+            s["potential_temperature"] = th
+            s["water_vapor"] = qv
+            if "cloud_water" in s:
+                s["cloud_water"] = qc
+            if "cloud_ice" in s:
+                s["cloud_ice"] = qi
+            if "hpbl" in s:
+                s["hpbl"] = hpbl
+            if "exch_h" in s:
+                s["exch_h"] = exch_h
         if phys.boundarylayer == C.PBL_SIMPLE:
             water_mask = (s["land_mask"] == 2.0) if "land_mask" in s else None
             th, qv, qc, qi, qr, qs = pbl_mod.pbl_simple(
@@ -207,6 +247,27 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s["precipitation"] = rain
             s["snowfall"] = snow
 
+        if phys.microphysics == C.MP_WSM6:
+            from ..physics import mp_wsm6
+            (theta, qv, qc, qi, qr, qs, qg, rain, snow,
+             graupel) = mp_wsm6.wsm6(
+                s["potential_temperature"], s["water_vapor"],
+                s["cloud_water"], s["cloud_ice"], s["rain_mass"],
+                s["snow_mass"], s["graupel_mass"], s["exner"],
+                s["pressure"], jnp.asarray(geom.dz_mass), s["density"], dt,
+                s["precipitation"], s["snowfall"], s["graupel"])
+            s = dict(s)
+            s["potential_temperature"] = theta
+            s["water_vapor"] = qv
+            s["cloud_water"] = qc
+            s["cloud_ice"] = qi
+            s["rain_mass"] = qr
+            s["snow_mass"] = qs
+            s["graupel_mass"] = qg
+            s["precipitation"] = rain
+            s["snowfall"] = snow
+            s["graupel"] = graupel
+
         # --- advection of all requested species in one fused pass
         if adv_names and phys.advection in (C.ADV_UPWIND, C.ADV_MPDATA):
             stacked = jnp.stack([s[k] for k in adv_names])
@@ -254,7 +315,9 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             dt = jnp.minimum(dt, C.MAX_DT)
             dt = jnp.minimum(dt, end_time - t)
 
-            state = diagnostic_update(state, geom, full=False,
+            # YSU consumes the 10m-wind/ustar diagnostics every substep
+            state = diagnostic_update(state, geom,
+                                      full=(phys.boundarylayer == C.PBL_YSU),
                                       with_w_real=(phys.microphysics
                                                    == C.MP_WSM3))
             state = physics_step(state, dt, t, aux)

@@ -93,6 +93,8 @@ _SPECS = [
     _v("temperature_2m", dims="2d", units="K"),
     _v("humidity_2m", dims="2d", units="kg kg-1"),
     _v("ustar", dims="2d", units="m s-1"),
+    _v("hpbl", dims="2d", units="m", standard_name="atmosphere_boundary_layer_thickness"),
+    _v("exch_h", units="m2 s-1"),
     _v("ivt", dims="2d", units="kg m-1 s-1"),
     _v("iwv", dims="2d", units="kg m-2"),
     _v("iwl", dims="2d", units="kg m-2"),
@@ -117,6 +119,11 @@ _SPECS = [
 ]
 
 REGISTRY = {s.name: s for s in _SPECS}
+
+
+def spec_names():
+    """All known variable names (for output-request validation)."""
+    return REGISTRY.keys()
 
 # The full hydrometeor set that can be advected (advect.f90:400-410)
 HYDROMETEORS = (
@@ -223,6 +230,17 @@ def collect_requests(options) -> VarRequest:
     if phys.boundarylayer == C.PBL_SIMPLE:
         req.alloc_vars(["potential_temperature", "water_vapor", "exner",
                         "density", "u_mass", "v_mass", "z"])
+    elif phys.boundarylayer == C.PBL_YSU:
+        # ysu needs surface fluxes/similarity inputs + cloud ice
+        # (pbl_driver.f90:223-346)
+        req.alloc_vars(["potential_temperature", "water_vapor", "cloud_water",
+                        "cloud_ice", "exner", "density", "u_mass", "v_mass",
+                        "temperature", "pressure", "pressure_interface",
+                        "surface_pressure", "skin_temperature",
+                        "sensible_heat", "latent_heat", "ustar", "u_10m",
+                        "v_10m", "roughness_z0", "land_mask", "hpbl",
+                        "exch_h"])
+        req.restart_vars(["hpbl"])
     if phys.radiation in (C.RA_SIMPLE, C.RA_RRTMG, C.RA_BASIC):
         req.alloc_vars(["shortwave", "longwave", "cloud_fraction",
                         "potential_temperature", "exner", "water_vapor",
