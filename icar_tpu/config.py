@@ -71,10 +71,31 @@ class AdvOptions:
 
 @dataclass
 class MpOptions:
-    """Microphysics options (opt_types.f90:30-60)."""
+    """Microphysics options (opt_types.f90:30-60; Thompson tunables with
+    the mp_parameters namelist defaults, options_obj.f90:1258-1281)."""
     update_interval: float = 0.0      # max seconds between MP calls
     top_mp_level: int = 0             # 0 = all levels
     local_precip_fraction: float = 1.0
+    Nt_c: float = 100e6
+    TNO: float = 5.0
+    am_s: float = 0.069
+    rho_g: float = 500.0
+    av_s: float = 40.0
+    bv_s: float = 0.55
+    fv_s: float = 100.0
+    av_g: float = 442.0
+    bv_g: float = 0.89
+    av_i: float = 1847.5
+    Ef_si: float = 0.05
+    Ef_rs: float = 0.95
+    Ef_rg: float = 0.75
+    Ef_ri: float = 0.95
+    C_cubes: float = 0.5
+    C_sqrd: float = 0.3
+    mu_r: float = 0.0
+    t_adjust: float = 0.0
+    Ef_rw_l: bool = False
+    Ef_sw_l: bool = False
 
 
 @dataclass
@@ -234,7 +255,8 @@ class Options:
             "conv": (self.physics.convection, range(0, 6)),
         }
         implemented = {
-            "mp": (C.MP_NONE, C.MP_SIMPLE, C.MP_WSM6, C.MP_WSM3),
+            "mp": (C.MP_NONE, C.MP_THOMPSON, C.MP_SIMPLE, C.MP_WSM6,
+                   C.MP_WSM3),
             "adv": (C.ADV_NONE, C.ADV_UPWIND, C.ADV_MPDATA),
             "wind": (C.WIND_NONE, C.WIND_LINEAR, C.WIND_CONSERVE_MASS,
                      C.WIND_ITERATIVE, C.WIND_LINEAR_ITERATIVE),
@@ -388,5 +410,11 @@ class Options:
         for f in dataclasses.fields(AdvOptions):
             if f.name in ad:
                 setattr(o.adv, f.name, type(getattr(o.adv, f.name))(ad[f.name]))
+        mp = nml.get("mp_parameters", {})
+        lowered = {k.lower(): v for k, v in mp.items()}
+        for f in dataclasses.fields(MpOptions):
+            if f.name.lower() in lowered:
+                setattr(o.mp, f.name,
+                        type(getattr(o.mp, f.name))(lowered[f.name.lower()]))
 
         return o

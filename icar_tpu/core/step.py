@@ -247,6 +247,34 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s["precipitation"] = rain
             s["snowfall"] = snow
 
+        if phys.microphysics == C.MP_THOMPSON:
+            from ..physics import mp_thompson
+            from ..physics.thompson_tables import ThompsonParams
+            import dataclasses as _dc
+            tp = ThompsonParams(**{f.name: getattr(options.mp, f.name)
+                                   for f in _dc.fields(ThompsonParams)})
+            (theta, qv, qc, qi, qr, qs, qg, ni, nr, rain, snow,
+             graupel) = mp_thompson.mp_thompson(
+                s["potential_temperature"], s["water_vapor"],
+                s["cloud_water"], s["cloud_ice"], s["rain_mass"],
+                s["snow_mass"], s["graupel_mass"], s["ice_number"],
+                s["rain_number"], s["exner"], s["pressure"],
+                jnp.asarray(geom.dz_mass), dt,
+                s["precipitation"], s["snowfall"], s["graupel"], params=tp)
+            s = dict(s)
+            s["potential_temperature"] = theta
+            s["water_vapor"] = qv
+            s["cloud_water"] = qc
+            s["cloud_ice"] = qi
+            s["rain_mass"] = qr
+            s["snow_mass"] = qs
+            s["graupel_mass"] = qg
+            s["ice_number"] = ni
+            s["rain_number"] = nr
+            s["precipitation"] = rain
+            s["snowfall"] = snow
+            s["graupel"] = graupel
+
         if phys.microphysics == C.MP_WSM6:
             from ..physics import mp_wsm6
             (theta, qv, qc, qi, qr, qs, qg, rain, snow,

@@ -1,0 +1,968 @@
+"""Thompson 2-moment bulk microphysics (Thompson et al. 2004, 2008).
+
+JAX re-implementation of the column scheme in
+/root/reference/src/physics/mp_thompson.f90 (mp_thompson, lines
+1057-2844; driver mp_gt_driver, lines 772-1044), vectorized over the full
+(z, y, x) grid instead of per-column loops. Six water species (vapor,
+cloud, ice, rain, snow, graupel) with prognostic ice and rain number;
+snow follows the Field et al. (2005) two-gamma distribution with
+temperature-dependent moment relations; collision and freezing integrals
+come from the host-built lookup tables in `thompson_tables` and are read
+with vectorized gathers.
+
+Deliberate divergences from the reference (documented):
+- sedimentation flux divergence is applied at every level below the top
+  rather than only below `ksed1` (the highest level with fallspeed
+  > 1 mm/s); levels above differ only by fluxes of the R1=1e-12 floor.
+- the per-column `no_micro` early exit is dropped (SIMD grids compute
+  everywhere; results are identical because every process is masked).
+
+Layout (z, y, x), level 0 = surface. All inputs/outputs float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import numpy as np
+
+from . import thompson_tables as tt
+from .thompson_tables import (AM_I, AM_R, ATO, AV_R, BM_G, BM_I, BM_R, BM_S,
+                              BV_I, BV_R, C_CUBE, CP2, D0C, D0G, D0R, D0S,
+                              EPS, FV_R, GONV_MAX, GONV_MIN, HGFR, KAP0, KAP1,
+                              LAM0, LAM1, LFUS, LSUB, LVAP0, MU_S, NBC, NBR,
+                              NBS, NTB_C, NTB_G, NTB_G1, NTB_I, NTB_I1, NTB_R,
+                              NTB_R1, NTB_S, NTB_T, PI, R1, R2, RHO_NOT, RHO_W,
+                              RR2, RV, SA, SB, XM0I, ThompsonParams,
+                              get_tables)
+
+T_0 = 273.15
+ORV = 1.0 / RV
+OLFUS = 1.0 / LFUS
+
+
+def rslf(p, t):
+    """Liquid saturation mixing ratio, Flatau et al. 1992 polynomial
+    (mp_thompson.f90:3776-3805)."""
+    x = jnp.maximum(-80.0, t - 273.16)
+    C = (0.611583699e3, 0.444606896e2, 0.143177157e1, 0.264224321e-1,
+         0.299291081e-3, 0.203154182e-5, 0.702620698e-8, 0.379534310e-11,
+         -0.321582393e-13)
+    esl = C[8]
+    for cc in C[7::-1]:
+        esl = cc + x * esl
+    return 0.622 * esl / (p - esl)
+
+
+def rsif(p, t):
+    """Ice saturation mixing ratio (mp_thompson.f90:3812-3835)."""
+    x = jnp.maximum(-80.0, t - 273.16)
+    C = (0.609868993e3, 0.499320233e2, 0.184672631e1, 0.402737184e-1,
+         0.565392987e-3, 0.521693933e-5, 0.307839583e-7, 0.105785160e-9,
+         0.161444444e-12)
+    esi = C[8]
+    for cc in C[7::-1]:
+        esi = cc + x * esi
+    return 0.622 * esi / (p - esi)
+
+
+def _field_ab(tc, n):
+    """Field et al. (2005) moment coefficients a(n,Tc), b(n,Tc);
+    n is a Python float, tc an array."""
+    loga = (SA[0] + SA[1] * tc + SA[2] * n + SA[3] * tc * n
+            + SA[4] * tc * tc + SA[5] * n * n + SA[6] * tc * tc * n
+            + SA[7] * tc * n * n + SA[8] * tc ** 3 + SA[9] * n ** 3)
+    b = (SB[0] + SB[1] * tc + SB[2] * n + SB[3] * tc * n
+         + SB[4] * tc * tc + SB[5] * n * n + SB[6] * tc * tc * n
+         + SB[7] * tc * n * n + SB[8] * tc ** 3 + SB[9] * n ** 3)
+    return 10.0 ** loga, b
+
+
+def _field_moment(tc, n, smo2):
+    a, b = _field_ab(tc, float(n))
+    return a * smo2 ** b
+
+
+def _mantissa_idx(r, lo_exp, ntb):
+    """Decimal table index: value m*10^e maps to int(m) + 9*(e - lo_exp)
+    (the reference's goto-141 style mantissa search, 0-based here)."""
+    n = jnp.floor(jnp.log10(jnp.maximum(r, 1e-30)))
+    mant = r / 10.0 ** n
+    idx = jnp.trunc(mant).astype(jnp.int32) + 9 * (n.astype(jnp.int32)
+                                                   - lo_exp) - 1
+    return jnp.clip(idx, 0, ntb - 1)
+
+
+def _nint(x):
+    return jnp.floor(x + 0.5).astype(jnp.int32)
+
+
+def _filldown(vt, present):
+    """vt(k) = vt(k) if species present else value from the level above
+    (reference's vtxk(k)=vtxk(k+1) top-down carry)."""
+    def f(carry, x):
+        v, pres = x
+        out = jnp.where(pres, v, carry)
+        return out, out
+    _, res = lax.scan(f, jnp.zeros_like(vt[0]),
+                      (jnp.flip(vt, 0), jnp.flip(present, 0)))
+    return jnp.flip(res, 0)
+
+
+def _sediment(rx, nx_, vt_m, vt_n, rho, dz, DT, with_number,
+              floor_m=R1, floor_n=R2, vt_for_cfl=None):
+    """Explicit flux-form sedimentation with per-column substepping
+    (mp_thompson.f90:2657-2780). Returns updated (rx, nx_, qten_sed,
+    nten_sed, surface_flux_sum [kg/m^2])."""
+    if vt_for_cfl is None:
+        vt_for_cfl = jnp.maximum(vt_m, vt_n) if with_number else vt_m
+    per_k = jnp.where(vt_for_cfl > 1e-3,
+                      jnp.trunc(DT * vt_for_cfl / dz).astype(jnp.int32) + 1,
+                      0)
+    nstep = jnp.maximum(jnp.max(per_k, axis=0), 1)      # (ny, nx)
+    onstep = 1.0 / nstep.astype(rx.dtype)
+    n_max = jnp.max(nstep)
+    odzq = 1.0 / dz
+    orho = 1.0 / rho
+
+    def body(carry):
+        s, rx, nx_, qten, nten, sfc = carry
+        active = (s < nstep)
+        sed_m = vt_m * rx
+        zero = jnp.zeros_like(sed_m[:1])
+        div_m = jnp.concatenate([sed_m[1:], zero], 0) - sed_m
+        d_q = div_m * odzq * onstep[None] * orho
+        rx_new = jnp.maximum(floor_m, rx + div_m * odzq * DT * onstep[None])
+        qten_new = qten + d_q
+        sfc_inc = jnp.where(rx_new[0] > R1 * 10.0,
+                            sed_m[0] * DT * onstep, 0.0)
+        if with_number:
+            sed_n = vt_n * nx_
+            div_n = jnp.concatenate([sed_n[1:], zero], 0) - sed_n
+            nten_new = nten + div_n * odzq * onstep[None] * orho
+            nx_new = jnp.maximum(floor_n,
+                                 nx_ + div_n * odzq * DT * onstep[None])
+        else:
+            nten_new, nx_new = nten, nx_
+        am = active[None]
+        return (s + 1,
+                jnp.where(am, rx_new, rx), jnp.where(am, nx_new, nx_),
+                jnp.where(am, qten_new, qten), jnp.where(am, nten_new, nten),
+                sfc + jnp.where(active, sfc_inc, 0.0))
+
+    zten = jnp.zeros_like(rx)
+    sfc0 = jnp.zeros(rx.shape[1:], rx.dtype)
+    _, rx, nx_, qten, nten, sfc = lax.while_loop(
+        lambda c: c[0] < n_max, body,
+        (jnp.int32(0), rx, nx_, zten, jnp.zeros_like(rx), sfc0))
+    return rx, nx_, qten, nten, sfc
+
+
+def _snow_moments(rs, temp, c):
+    """Field et al. snow moments from the 2nd (= bm_s-th) moment
+    (mp_thompson.f90:1375-1450)."""
+    tc0 = jnp.minimum(-0.1, temp - 273.15)
+    smob = rs * c.oams
+    smo2 = smob                                     # bm_s == 2
+    # 0th moment uses only the tc0-dependent coefficient subset
+    loga0 = SA[0] + SA[1] * tc0 + SA[4] * tc0 ** 2 + SA[8] * tc0 ** 3
+    b0 = SB[0] + SB[1] * tc0 + SB[4] * tc0 ** 2 + SB[8] * tc0 ** 3
+    smo0 = 10.0 ** loga0 * smo2 ** b0
+    smo1 = _field_moment(tc0, 1.0, smo2)
+    smoc = _field_moment(tc0, float(c.cse[0]), smo2)
+    smod = _field_moment(tc0, float(c.cse[13]), smo2)
+    smoe = _field_moment(tc0, float(c.cse[12]), smo2)
+    smof = _field_moment(tc0, float(c.cse[15]), smo2)
+    return smob, smo2, smo0, smo1, smoc, smod, smoe, smof
+
+
+def _graupel_intercept(rg, temp, mvd_r, has_rain, c):
+    """Mixing-ratio-dependent graupel intercept with the top-down
+    running minimum (mp_thompson.f90:1455-1489)."""
+    xslw1 = jnp.where((temp < 270.65) & has_rain & (mvd_r > 100e-6),
+                      4.01 + jnp.log10(mvd_r), 0.01)
+    ygra1 = 4.31 + jnp.log10(jnp.maximum(5e-5, rg))
+    zans1 = 3.1 + (100. / (300. * xslw1 * ygra1
+                           / (10. / xslw1 + 1. + 0.25 * ygra1)
+                           + 30. + 10. * ygra1))
+    N0_exp = jnp.clip(10.0 ** zans1, GONV_MIN, GONV_MAX)
+    # running min from the model top downward
+    N0_exp = lax.cummin(N0_exp, axis=0, reverse=True)
+    lam_exp = (N0_exp * c.am_g * c.cgg[0] / rg) ** c.oge1
+    lamg = lam_exp * (c.cgg[2] * c.ogg2 * c.ogg1) ** c.obmg
+    ilamg = 1.0 / lamg
+    N0_g = N0_exp / (c.cgg[1] * lam_exp) * lamg ** c.cge[1]
+    return ilamg, N0_g
+
+
+def _rain_slope(rr, nr, c):
+    lamr = (AM_R * c.crg[2] * c.org2 * nr / rr) ** c.obmr
+    ilamr = 1.0 / lamr
+    mvd_r = (3.0 + c.mu_r + 0.672) / lamr
+    N0_r = nr * c.org2 * lamr ** c.cre[1]
+    return ilamr, mvd_r, N0_r
+
+
+def _rain_nr_from_mvd(rr, mvd, c):
+    lamr = (3.0 + c.mu_r + 0.672) / mvd
+    return c.crg[1] * c.org3 * rr * lamr ** BM_R / AM_R
+
+
+def _thermo(temp, pres, qv):
+    tempc = temp - 273.15
+    rho = 0.622 * pres / (RR2 * temp * (qv + 0.622))
+    rhof = jnp.sqrt(RHO_NOT / rho)
+    rhof2 = jnp.sqrt(rhof)
+    diffu = 2.11e-5 * (temp / 273.15) ** 1.94 * (101325. / pres)
+    visco = jnp.where(tempc >= 0.0,
+                      (1.718 + 0.0049 * tempc) * 1e-5,
+                      (1.718 + 0.0049 * tempc
+                       - 1.2e-5 * tempc * tempc) * 1e-5)
+    ocp = 1.0 / (CP2 * (1.0 + 0.887 * qv))
+    vsc2 = jnp.sqrt(rho / visco)
+    lvap = LVAP0 + (2106.0 - 4218.0) * tempc
+    tcond = (5.69 + 0.0168 * tempc) * 1e-5 * 418.936
+    return rho, rhof, rhof2, diffu, visco, ocp, vsc2, lvap, tcond
+
+
+@functools.partial(jax.jit, static_argnames=("params_key",))
+def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
+                      exner, p1d, dzq, dt, tables, params_key):
+    params = ThompsonParams(**dict(params_key))
+    _, c = get_tables(params)
+    T = tables
+    pp = params
+    DT = dt
+    odt = 1.0 / dt
+    odts = odt
+    dtype = th.dtype
+
+    t1d = th * exner
+    temp = t1d
+    qv = jnp.maximum(1e-10, qv1d)
+    pres = p1d
+    rho = 0.622 * pres / (RR2 * temp * (qv + 0.622))
+
+    L_qc = qc1d > R1
+    qc1d = jnp.where(L_qc, qc1d, 0.0)
+    rc = jnp.where(L_qc, qc1d * rho, R1)
+
+    L_qi = qi1d > R1
+    qi1d = jnp.where(L_qi, qi1d, 0.0)
+    ni1d = jnp.where(L_qi, ni1d, 0.0)
+    ri = jnp.where(L_qi, qi1d * rho, R1)
+    ni = jnp.where(L_qi, jnp.maximum(R2, ni1d * rho), R2)
+    # clamp ice mean size into [20, 300] microns by adjusting number
+    lami = (AM_I * c.cig[1] * c.oig1 * ni / ri) ** c.obmi
+    xDi = (BM_I + c.mu_i + 1.0) / lami
+    lami_lo = c.cie[1] / 20e-6
+    lami_hi = c.cie[1] / 300e-6
+    ni_lo = jnp.minimum(250e3, c.cig[0] * c.oig2 * ri / AM_I
+                        * lami_lo ** BM_I)
+    ni_hi = c.cig[0] * c.oig2 * ri / AM_I * lami_hi ** BM_I
+    ni = jnp.where(L_qi & (xDi < 20e-6), ni_lo,
+                   jnp.where(L_qi & (xDi > 300e-6), ni_hi, ni))
+
+    L_qr = qr1d > R1
+    qr1d = jnp.where(L_qr, qr1d, 0.0)
+    nr1d = jnp.where(L_qr, nr1d, 0.0)
+    rr = jnp.where(L_qr, qr1d * rho, R1)
+    nr = jnp.where(L_qr, jnp.maximum(R2, nr1d * rho), R2)
+    lamr = (AM_R * c.crg[2] * c.org2 * nr / rr) ** c.obmr
+    mvd_r = (3.0 + c.mu_r + 0.672) / lamr
+    mvd_clamped = jnp.clip(mvd_r, D0R * 0.75, 2.5e-3)
+    nr = jnp.where(L_qr & (mvd_r != mvd_clamped),
+                   _rain_nr_from_mvd(rr, mvd_clamped, c), nr)
+    mvd_r = jnp.where(L_qr, mvd_clamped, 0.0)
+
+    L_qs = qs1d > R1
+    qs1d = jnp.where(L_qs, qs1d, 0.0)
+    rs = jnp.where(L_qs, qs1d * rho, R1)
+    L_qg = qg1d > R1
+    qg1d = jnp.where(L_qg, qg1d, 0.0)
+    rg = jnp.where(L_qg, qg1d * rho, R1)
+
+    # thermodynamics
+    tempc = temp - 273.15
+    rho, rhof, rhof2, diffu, visco, ocp, vsc2, lvap, tcond = \
+        _thermo(temp, pres, qv)
+    qvs = rslf(pres, temp)
+    delQvs = jnp.maximum(0.0, rslf(pres, jnp.full_like(temp, 273.15)) - qv)
+    qvsi = jnp.where(tempc <= 0.0, rsif(pres, temp), qvs)
+    satw = qv / qvs
+    sati = qv / qvsi
+    ssatw = jnp.where(jnp.abs(satw - 1.) < EPS, 0.0, satw - 1.)
+    ssati = jnp.where(jnp.abs(sati - 1.) < EPS, 0.0, sati - 1.)
+
+    # snow moments + graupel/rain intercepts
+    smob, smo2, smo0, smo1, smoc, smod, smoe, smof = \
+        _snow_moments(rs, temp, c)
+    ilamg, N0_g = _graupel_intercept(rg, temp, mvd_r, L_qr, c)
+    ilamr, mvd_r, N0_r = _rain_slope(rr, nr, c)
+
+    zero = jnp.zeros_like(temp)
+
+    # ---- warm-rain processes (mp_thompson.f90:1496-1545) ---------------
+    Ef_rr = 2.0 - jnp.exp(jnp.minimum(2300.0 * (mvd_r - 1600.0e-6), 50.0))
+    pnr_rcr = jnp.where(L_qr & (mvd_r > D0R), Ef_rr * 4. * nr * rr, 0.0)
+
+    xDc = jnp.maximum(D0C * 1e6, ((rc / (AM_R * pp.Nt_c)) ** c.obmr) * 1e6)
+    lamc = (pp.Nt_c * AM_R * c.ccg[1] * c.ocg1 / rc) ** c.obmr
+    mvd_c = jnp.where(L_qc, (3.0 + c.mu_c + 0.672) / lamc, D0C)
+
+    Dc_g = ((c.ccg[2] * c.ocg2) ** c.obmr / lamc) * 1e6
+    Dc_b = jnp.maximum(xDc ** 3 * Dc_g ** 3 - xDc ** 6, 0.0) ** (1.0 / 6.0)
+    zeta1 = jnp.maximum(6.25e-6 * xDc * Dc_b ** 3 - 0.4, 0.0)
+    zeta = 0.027 * rc * zeta1
+    taud = jnp.maximum(0.5 * Dc_b - 7.5, 0.0) + R1
+    tau = 3.72 / (rc * taud)
+    wau_on = L_qc & (rc > 0.01e-3)
+    prr_wau = jnp.where(wau_on, jnp.minimum(rc * odts, zeta / tau), 0.0)
+    pnr_wau = prr_wau / (AM_R * c.mu_c * D0R ** 3)
+
+    # rain collecting cloud water
+    idx_efr = jnp.clip(
+        (NBR * jnp.log(mvd_r / tt.D0R)
+         / np.log(float(c.Dr[-1] / c.Dr[0]))).astype(jnp.int32),
+        0, NBR - 1)
+    idx_efc = jnp.clip((mvd_c * 1e6).astype(jnp.int32) - 1, 0, NBC - 1)
+    Ef_rw = T["t_Efrw"][idx_efr, idx_efc]
+    rcw_on = L_qc & L_qr & (mvd_r > D0R) & (mvd_c > D0C)
+    prr_rcw = jnp.where(
+        rcw_on,
+        jnp.minimum(rc * odts,
+                    rhof * c.t1_qr_qc * Ef_rw * rc * N0_r
+                    * ((1.0 / ilamr + FV_R) ** (-c.cre[8]))), 0.0)
+
+    # ---- table indices (mp_thompson.f90:1560-1700) ---------------------
+    idx_tc = jnp.clip(_nint(-tempc), 1, 45) - 1
+    idx_t_raw = jnp.trunc((tempc - 2.5) / 5.0).astype(jnp.int32) - 1
+    idx_t = jnp.clip(jnp.maximum(1, -idx_t_raw), 1, NTB_T) - 1
+    idx_c = jnp.where(rc > tt.r_c[0], _mantissa_idx(rc, c.nic2, NTB_C), 0)
+    idx_i = jnp.where(ri > tt.r_i[0], _mantissa_idx(ri, c.nii2, NTB_I), 0)
+    idx_i1 = jnp.where(ni > tt.Nt_i[0],
+                       _mantissa_idx(ni, c.nii3, NTB_I1), 0)
+    has_r = rr > tt.r_r[0]
+    idx_r = jnp.where(has_r, _mantissa_idx(rr, c.nir2, NTB_R), 0)
+    lam_exp_r = (1.0 / ilamr) * (c.crg[2] * c.org2 * c.org1) ** BM_R
+    N0_exp_r = c.org1 * rr / AM_R * lam_exp_r ** c.cre[0]
+    idx_r1 = jnp.where(has_r, _mantissa_idx(N0_exp_r, c.nir3, NTB_R1),
+                       NTB_R1 - 1)
+    idx_s = jnp.where(rs > tt.r_s[0], _mantissa_idx(rs, c.nis2, NTB_S), 0)
+    has_g = rg > tt.r_g[0]
+    idx_g = jnp.where(has_g, _mantissa_idx(rg, c.nig2, NTB_G), 0)
+    lam_exp_g = (1.0 / ilamg) * (c.cgg[2] * c.ogg2 * c.ogg1) ** BM_G
+    N0_exp_g = c.ogg1 * rg / c.am_g * lam_exp_g ** c.cge[0]
+    idx_g1 = jnp.where(has_g, _mantissa_idx(N0_exp_g, c.nig3, NTB_G1),
+                       NTB_G1 - 1)
+
+    # deposition/sublimation prefactor (Srivastava & Coen 1992)
+    otemp = 1.0 / temp
+    rvs = rho * qvsi
+    rvs_p = rvs * otemp * (LSUB * otemp * ORV - 1.)
+    rvs_pp = rvs * (otemp * (LSUB * otemp * ORV - 1.)
+                    * otemp * (LSUB * otemp * ORV - 1.)
+                    + (-2. * LSUB * otemp ** 3 * ORV) + otemp * otemp)
+    gamsc = LSUB * diffu / tcond * rvs_p
+    alphsc = jnp.maximum(1e-9, 0.5 * (gamsc / (1. + gamsc)) ** 2
+                         * rvs_pp / rvs_p * rvs / rvs_p)
+    xsat = jnp.where(jnp.abs(ssati) < 1e-9, 0.0, ssati)
+    t1_subl = 4. * PI * (1.0 - alphsc * xsat + 2. * alphsc ** 2 * xsat ** 2
+                         - 5. * alphsc ** 3 * xsat ** 3) / (1. + gamsc)
+
+    # snow/graupel collecting cloud water (mp_thompson.f90:1705-1736)
+    xDs = jnp.where(L_qs, smoc / jnp.maximum(smob, R1), 0.0)
+    idx_efs = jnp.clip(
+        (NBS * jnp.log(jnp.maximum(xDs, D0S) / tt.D0S)
+         / np.log(float(c.Ds[-1] / c.Ds[0]))).astype(jnp.int32), 0, NBS - 1)
+    Ef_sw = T["t_Efsw"][idx_efs, idx_efc]
+    scw_on = L_qc & (mvd_c > D0C) & (xDs > D0S)
+    prs_scw = jnp.where(scw_on, rhof * c.t1_qs_qc * Ef_sw * rc * smoe, 0.0)
+
+    xDg = (BM_G + c.mu_g + 1.) * ilamg
+    vtg_c = rhof * pp.av_g * c.cgg[5] * c.ogg3 * ilamg ** pp.bv_g
+    stoke_g = mvd_c * mvd_c * vtg_c * RHO_W / (9. * visco * xDg)
+    Ef_gw = jnp.where(stoke_g >= 0.4,
+                      jnp.where(stoke_g <= 10.0,
+                                0.55 * jnp.log10(2.51 * stoke_g), 0.77),
+                      0.0)
+    gcw_on = (L_qc & (mvd_c > D0C) & (rg >= tt.r_g[0]) & (xDg > D0G))
+    prg_gcw = jnp.where(gcw_on, rhof * c.t1_qg_qc * Ef_gw * rc * N0_g
+                        * ilamg ** c.cge[8], 0.0)
+
+    # ---- rain collecting snow / graupel via lookup tables --------------
+    def gat(name):
+        return T[name][idx_s, idx_t, idx_r1, idx_r].astype(dtype)
+
+    def gat_g(name):
+        return T[name][idx_g1, idx_g, idx_r1, idx_r].astype(dtype)
+
+    rs_on = (rr >= tt.r_r[0]) & (rs >= tt.r_s[0])
+    cold = temp < T_0
+    racs1 = gat("tcs_racs1")
+    racs2 = gat("tcs_racs2")
+    mracs1 = gat("tmr_racs1")
+    mracs2 = gat("tmr_racs2")
+    sacr1 = gat("tcr_sacr1")
+    sacr2 = gat("tcr_sacr2")
+    msacr1 = gat("tms_sacr1")
+    msacr2 = gat("tms_sacr2")
+    nracs1 = gat("tnr_racs1")
+    nracs2 = gat("tnr_racs2")
+    nsacr1 = gat("tnr_sacr1")
+    nsacr2 = gat("tnr_sacr2")
+
+    prr_rcs_c = jnp.maximum(-rr * odts,
+                            -(mracs2 + sacr2 + mracs1 + sacr1))
+    prs_rcs_c = jnp.maximum(-rs * odts, mracs2 + sacr2 - racs1 - msacr1)
+    prg_rcs_c = jnp.minimum((rr + rs) * odts,
+                            mracs1 + sacr1 + racs1 + msacr1)
+    pnr_rcs_c = nracs1 + nracs2 + nsacr1 + nsacr2
+    prs_rcs_w = jnp.maximum(-rs * odts, -racs1 - msacr1 + mracs2 + sacr2)
+    prr_rcs_w = -prs_rcs_w
+    pnr_rcs_w = nracs2 + nsacr2
+    prr_rcs = jnp.where(rs_on, jnp.where(cold, prr_rcs_c, prr_rcs_w), 0.0)
+    prs_rcs = jnp.where(rs_on, jnp.where(cold, prs_rcs_c, prs_rcs_w), 0.0)
+    prg_rcs = jnp.where(rs_on & cold, prg_rcs_c, 0.0)
+    pnr_rcs = jnp.where(rs_on, jnp.minimum(
+        nr * odts, jnp.where(cold, pnr_rcs_c, pnr_rcs_w)), 0.0)
+
+    rg_on = (rr >= tt.r_r[0]) & (rg >= tt.r_g[0])
+    prg_rcg_c = jnp.minimum(rr * odts, gat_g("tmr_racg") + gat_g("tcr_gacr"))
+    pnr_rcg_c = jnp.minimum(nr * odts,
+                            gat_g("tnr_racg") + gat_g("tnr_gacr"))
+    prr_rcg_w = jnp.minimum(rg * odts, gat_g("tcg_racg"))
+    prg_rcg = jnp.where(rg_on, jnp.where(cold, prg_rcg_c, -prr_rcg_w), 0.0)
+    prr_rcg = jnp.where(rg_on, jnp.where(cold, -prg_rcg_c, prr_rcg_w), 0.0)
+    pnr_rcg = jnp.where(rg_on & cold, pnr_rcg_c, 0.0)
+
+    # ---- processes below 0C (mp_thompson.f90:1789-1955) ----------------
+    rate_max_i = (qv - qvsi) * rho * odts * 0.999
+
+    frz_tab = (rr > tt.r_r[0])
+    prg_rfz = jnp.where(cold & frz_tab,
+                        T["tpg_qrfz"][idx_r, idx_r1, idx_tc] * odts, 0.0)
+    pri_rfz = jnp.where(
+        cold, jnp.where(frz_tab, T["tpi_qrfz"][idx_r, idx_r1, idx_tc] * odts,
+                        jnp.where((rr > R1) & (temp < HGFR),
+                                  rr * odts, 0.0)), 0.0)
+    pni_rfz = jnp.where(
+        cold, jnp.where(frz_tab, T["tni_qrfz"][idx_r, idx_r1, idx_tc] * odts,
+                        jnp.where((rr > R1) & (temp < HGFR),
+                                  nr * odts, 0.0)), 0.0)
+    pnr_rfz = jnp.where(
+        cold & frz_tab,
+        jnp.minimum(nr * odts, T["tnr_qrfz"][idx_r, idx_r1, idx_tc] * odts),
+        jnp.where(cold & (rr > R1) & (temp < HGFR), nr * odts, 0.0))
+
+    wfz_tab = rc > tt.r_c[0]
+    pri_wfz = jnp.where(
+        cold, jnp.where(wfz_tab,
+                        jnp.minimum(rc * odts,
+                                    T["tpi_qcfz"][idx_c, idx_tc] * odts),
+                        jnp.where((rc > R1) & (temp < HGFR),
+                                  rc * odts, 0.0)), 0.0)
+    pni_wfz = jnp.where(
+        cold & wfz_tab,
+        jnp.minimum(jnp.minimum(pp.Nt_c * odts,
+                                pri_wfz / (2. * XM0I)),
+                    T["tni_qcfz"][idx_c, idx_tc] * odts), 0.0)
+
+    # ice nucleation (Cooper)
+    nuc_on = cold & ((ssati >= 0.25) | ((ssatw > EPS) & (temp < 261.15)))
+    xnc = jnp.minimum(250e3, pp.TNO * jnp.exp(ATO * (T_0 - temp)))
+    xni_c = ni + (pni_rfz + pni_wfz) * DT
+    pni_inu = jnp.where(nuc_on, jnp.maximum(0.0, xnc - xni_c) * odts, 0.0)
+    pri_inu = jnp.where(nuc_on,
+                        jnp.minimum(rate_max_i, XM0I * pni_inu), 0.0)
+    pni_inu = pri_inu / XM0I
+
+    # ice deposition / sublimation
+    lami = (AM_I * c.cig[1] * c.oig1 * ni / ri) ** c.obmi
+    ilami = 1.0 / lami
+    xDi = jnp.maximum(jnp.asarray(c.D0i, dtype),
+                      (BM_I + c.mu_i + 1.0) * ilami)
+    xmi = AM_I * xDi ** BM_I
+    oxmi = 1.0 / xmi
+    ide_raw = C_CUBE * t1_subl * diffu * ssati * rvs \
+        * c.oig1 * c.cig[4] * ni * ilami
+    tpi_ide = T["tpi_ide"][idx_i, idx_i1].astype(dtype)
+    ide_on = cold & L_qi
+    pri_ide_neg = jnp.maximum(jnp.maximum(-ri * odts, ide_raw), rate_max_i)
+    pni_ide = jnp.where(ide_on & (ide_raw < 0.0),
+                        jnp.maximum(-ni * odts, pri_ide_neg * oxmi), 0.0)
+    pri_ide_pos = jnp.minimum(ide_raw, rate_max_i)
+    prs_ide = jnp.where(ide_on & (ide_raw >= 0.0),
+                        (1.0 - tpi_ide) * pri_ide_pos, 0.0)
+    pri_ide = jnp.where(ide_on,
+                        jnp.where(ide_raw < 0.0, pri_ide_neg,
+                                  tpi_ide * pri_ide_pos), 0.0)
+
+    # ice -> snow autoconversion via bin table
+    iau_big = (idx_i == NTB_I - 1) | (xDi > 5.0 * D0S)
+    iau_none = xDi < 0.1 * D0S
+    prs_iau = jnp.where(
+        ide_on,
+        jnp.where(iau_big, ri * .99 * odts,
+                  jnp.where(iau_none, 0.0,
+                            jnp.minimum(ri * .99 * odts,
+                                        T["tps_iaus"][idx_i, idx_i1]
+                                        * odts))), 0.0)
+    pni_iau = jnp.where(
+        ide_on,
+        jnp.where(iau_big, ni * .95 * odts,
+                  jnp.where(iau_none, 0.0,
+                            jnp.minimum(ni * .95 * odts,
+                                        T["tni_iaus"][idx_i, idx_i1]
+                                        * odts))), 0.0)
+
+    # snow deposition / sublimation
+    C_snow = jnp.clip(pp.C_sqrd + (tempc + 15.) * (pp.C_cubes - pp.C_sqrd)
+                      / (-30. + 15.), min(pp.C_sqrd, pp.C_cubes),
+                      max(pp.C_sqrd, pp.C_cubes))
+    sde_raw = C_snow * t1_subl * diffu * ssati * rvs \
+        * (c.t1_qs_sd * smo1 + c.t2_qs_sd * rhof2 * vsc2 * smof)
+    prs_sde_c = jnp.where(sde_raw < 0.0,
+                          jnp.maximum(jnp.maximum(-rs * odts, sde_raw),
+                                      rate_max_i),
+                          jnp.minimum(sde_raw, rate_max_i))
+    prs_sde = jnp.where(cold & L_qs, prs_sde_c, 0.0)
+
+    gde_raw = C_CUBE * t1_subl * diffu * ssati * rvs \
+        * N0_g * (c.t1_qg_sd * ilamg ** c.cge[9]
+                  + c.t2_qg_sd * vsc2 * rhof2 * ilamg ** c.cge[10])
+    prg_gde_c = jnp.where(gde_raw < 0.0,
+                          jnp.maximum(jnp.maximum(-rg * odts, gde_raw),
+                                      rate_max_i),
+                          jnp.minimum(gde_raw, rate_max_i))
+    prg_gde = jnp.where(cold & L_qg & (ssati < -EPS), prg_gde_c, 0.0)
+
+    # snow/rain collecting cloud ice
+    sci_on = cold & L_qi & (rs >= tt.r_s[0])
+    prs_sci = jnp.where(sci_on, c.t1_qs_qi * rhof * pp.Ef_si * ri * smoe,
+                        0.0)
+    pni_sci = prs_sci * oxmi
+    rci_on = cold & L_qi & (rr >= tt.r_r[0]) & (mvd_r > 4. * xDi)
+    lamr_c = 1.0 / ilamr
+    pri_rci = jnp.where(rci_on, rhof * c.t1_qr_qi * pp.Ef_ri * ri * N0_r
+                        * ((lamr_c + FV_R) ** (-c.cre[8])), 0.0)
+    pnr_rci = jnp.where(rci_on, rhof * c.t1_qr_qi * pp.Ef_ri * ni * N0_r
+                        * ((lamr_c + FV_R) ** (-c.cre[8])), 0.0)
+    pni_rci = pri_rci * oxmi
+    prr_rci = jnp.where(rci_on,
+                        jnp.minimum(rr * odts,
+                                    rhof * c.t2_qr_qi * pp.Ef_ri * ni * N0_r
+                                    * ((lamr_c + FV_R) ** (-c.cre[7]))), 0.0)
+    prg_rci = pri_rci + prr_rci
+
+    # Hallet-Mossop rime splintering
+    tf = jnp.where((tempc >= -5.0) & (tempc < -3.0), 0.5 * (-3.0 - tempc),
+                   jnp.where((tempc > -8.0) & (tempc < -5.0),
+                             (8.0 + tempc) / 3.0, 0.0))
+    ihm_on = cold & (prg_gcw > EPS) & (tempc > -8.0)
+    pni_ihm = jnp.where(ihm_on, 3.5e8 * tf * prg_gcw, 0.0)
+    pri_ihm = XM0I * pni_ihm
+    denom_hm = jnp.maximum(prs_scw + prg_gcw, 1e-30)
+    prs_ihm = prs_scw / denom_hm * pri_ihm
+    prg_ihm = prg_gcw / denom_hm * pri_ihm
+
+    # rimed snow -> graupel conversion + fallspeed boost
+    conv_on = cold & (prs_scw > 5.0 * prs_sde) & (prs_sde > EPS)
+    r_frac = jnp.minimum(30.0, prs_scw / jnp.maximum(prs_sde, 1e-30))
+    g_frac = jnp.minimum(0.75, 0.05 + (r_frac - 5.) * .028)
+    vts_boost = jnp.where(cold,
+                          jnp.where(conv_on,
+                                    jnp.minimum(1.5, 1.1 + (r_frac - 5.)
+                                                * .016), 1.0), 1.5)
+    prg_scw = jnp.where(conv_on, g_frac * prs_scw, 0.0)
+    prs_scw = jnp.where(conv_on, (1. - g_frac) * prs_scw, prs_scw)
+
+    # ---- melting (T >= 0C; mp_thompson.f90:1957-2010) ------------------
+    warm = ~cold
+    sml_raw = (tempc * tcond - LVAP0 * diffu * delQvs) \
+        * (c.t1_qs_me * smo1 + c.t2_qs_me * rhof2 * vsc2 * smof)
+    sml = sml_raw + 4218. * OLFUS * tempc * (prr_rcs + prs_scw)
+    prr_sml = jnp.where(warm & L_qs,
+                        jnp.minimum(rs * odts, jnp.maximum(0.0, sml)), 0.0)
+    pnr_sml = jnp.where(warm & L_qs,
+                        jnp.minimum(smo0 * odts,
+                                    smo0 / jnp.maximum(rs, R1) * prr_sml
+                                    * 10.0 ** (-0.75 * tempc)), 0.0)
+    pnr_sml = jnp.where((tempc > 3.5) | (rs < 0.005e-3), 0.0, pnr_sml)
+
+    sde_w = pp.C_cubes * t1_subl * diffu * ssati * rvs \
+        * (c.t1_qs_sd * smo1 + c.t2_qs_sd * rhof2 * vsc2 * smof)
+    prs_sde = jnp.where(warm & L_qs & (ssati < 0.0),
+                        jnp.maximum(-rs * odts, sde_w), prs_sde)
+
+    gml_raw = (tempc * tcond - LVAP0 * diffu * delQvs) \
+        * N0_g * (c.t1_qg_me * ilamg ** c.cge[9]
+                  + c.t2_qg_me * rhof2 * vsc2 * ilamg ** c.cge[10])
+    prr_gml = jnp.where(warm & L_qg,
+                        jnp.minimum(rg * odts, jnp.maximum(0.0, gml_raw)),
+                        0.0)
+    pnr_gml = jnp.where(warm & L_qg,
+                        N0_g * c.cgg[1] * ilamg ** c.cge[1]
+                        / jnp.maximum(rg, R1) * prr_gml
+                        * 10.0 ** (-1.5 * tempc), 0.0)
+    pnr_gml = jnp.where((tempc > 7.5) | (rg < 0.005e-3), 0.0, pnr_gml)
+    prg_gde = jnp.where(warm & L_qg & (ssati < 0.0),
+                        jnp.maximum(-rg * odts, gde_raw), prg_gde)
+
+    # dt>120s: route collected cloud water to rain above freezing
+    if_dt = DT > 120.0
+    prr_rcw = prr_rcw + jnp.where(warm & if_dt, prs_scw + prg_gcw, 0.0)
+    prs_scw = jnp.where(warm & if_dt, 0.0, prs_scw)
+    prg_gcw = jnp.where(warm & if_dt, 0.0, prg_gcw)
+
+    # ---- conservation scalings (mp_thompson.f90:2016-2105) -------------
+    sump = pri_inu + pri_ide + prs_ide + prs_sde + prg_gde
+    rate_max = (qv - qvsi) * rho * odts * 0.999
+    need = ((sump > EPS) & (sump > rate_max)) \
+        | ((sump < -EPS) & (sump < rate_max))
+    rat = jnp.where(need, rate_max / jnp.where(sump == 0, 1.0, sump), 1.0)
+    pri_inu, pri_ide, pni_ide = pri_inu * rat, pri_ide * rat, pni_ide * rat
+    prs_ide, prs_sde, prg_gde = prs_ide * rat, prs_sde * rat, prg_gde * rat
+
+    sump = -prr_wau - pri_wfz - prr_rcw - prs_scw - prg_scw - prg_gcw
+    rate_max = -rc * odts
+    rat = jnp.where((sump < rate_max) & L_qc,
+                    rate_max / jnp.where(sump == 0, 1.0, sump), 1.0)
+    prr_wau, pri_wfz, prr_rcw = prr_wau * rat, pri_wfz * rat, prr_rcw * rat
+    prs_scw, prg_scw, prg_gcw = prs_scw * rat, prg_scw * rat, prg_gcw * rat
+
+    sump = pri_ide - prs_iau - prs_sci - pri_rci
+    rate_max = -ri * odts
+    rat = jnp.where((sump < rate_max) & L_qi,
+                    rate_max / jnp.where(sump == 0, 1.0, sump), 1.0)
+    pri_ide, prs_iau = pri_ide * rat, prs_iau * rat
+    prs_sci, pri_rci = prs_sci * rat, pri_rci * rat
+
+    sump = -prg_rfz - pri_rfz - prr_rci + prr_rcs + prr_rcg
+    rate_max = -rr * odts
+    rat = jnp.where((sump < rate_max) & L_qr,
+                    rate_max / jnp.where(sump == 0, 1.0, sump), 1.0)
+    prg_rfz, pri_rfz, prr_rci = prg_rfz * rat, pri_rfz * rat, prr_rci * rat
+    prr_rcs, prr_rcg = prr_rcs * rat, prr_rcg * rat
+
+    sump = prs_sde - prs_ihm - prr_sml + prs_rcs
+    rate_max = -rs * odts
+    rat = jnp.where((sump < rate_max) & L_qs,
+                    rate_max / jnp.where(sump == 0, 1.0, sump), 1.0)
+    prs_sde, prs_ihm = prs_sde * rat, prs_ihm * rat
+    prr_sml, prs_rcs = prr_sml * rat, prs_rcs * rat
+
+    sump = prg_gde - prg_ihm - prr_gml + prg_rcg
+    rate_max = -rg * odts
+    rat = jnp.where((sump < rate_max) & L_qg,
+                    rate_max / jnp.where(sump == 0, 1.0, sump), 1.0)
+    prg_gde, prg_ihm = prg_gde * rat, prg_ihm * rat
+    prr_gml, prg_rcg = prr_gml * rat, prg_rcg * rat
+
+    pri_ihm = prs_ihm + prg_ihm
+    ratio = jnp.minimum(jnp.abs(prr_rcg), jnp.abs(prg_rcg))
+    prr_rcg = ratio * jnp.sign(prr_rcg)
+    prg_rcg = -prr_rcg
+    ratio = jnp.minimum(jnp.abs(prr_rcs), jnp.abs(prs_rcs))
+    prr_rcs = jnp.where(warm, ratio * jnp.sign(prr_rcs), prr_rcs)
+    prs_rcs = jnp.where(warm, -prr_rcs, prs_rcs)
+
+    # ---- tendencies (mp_thompson.f90:2110-2240) ------------------------
+    orho = 1.0 / rho
+    lfus2 = LSUB - lvap
+    qvten = (-pri_inu - pri_ide - prs_ide - prs_sde - prg_gde) * orho
+    qcten = (-prr_wau - pri_wfz - prr_rcw - prs_scw - prg_scw
+             - prg_gcw) * orho
+    qiten = (pri_inu + pri_ihm + pri_wfz + pri_rfz + pri_ide
+             - prs_iau - prs_sci - pri_rci) * orho
+    niten = (pni_inu + pni_ihm + pni_wfz + pni_rfz + pni_ide
+             - pni_iau - pni_sci - pni_rci) * orho
+
+    # ice number/mass balance
+    xri = jnp.maximum(R1, (qi1d + qiten * DT) * rho)
+    xni = jnp.maximum(R2, (ni1d + niten * DT) * rho)
+    lami = (AM_I * c.cig[1] * c.oig1 * xni / xri) ** c.obmi
+    xDi = (BM_I + c.mu_i + 1.0) / lami
+    xni_lo = jnp.minimum(250e3, c.cig[0] * c.oig2 * xri / AM_I
+                         * (c.cie[1] / 20e-6) ** BM_I)
+    xni_hi = c.cig[0] * c.oig2 * xri / AM_I * (c.cie[1] / 300e-6) ** BM_I
+    niten = jnp.where(xri > R1,
+                      jnp.where(xDi < 20e-6,
+                                (xni_lo - ni1d * rho) * odts * orho,
+                                jnp.where(xDi > 300e-6,
+                                          (xni_hi - ni1d * rho) * odts
+                                          * orho, niten)),
+                      -ni1d * odts)
+    xni = jnp.maximum(0.0, (ni1d + niten * DT) * rho)
+    niten = jnp.where(xni > 250e3, (250e3 - ni1d * rho) * odts * orho,
+                      niten)
+
+    qrten = (prr_wau + prr_rcw + prr_sml + prr_gml + prr_rcs + prr_rcg
+             - prg_rfz - pri_rfz - prr_rci) * orho
+    nrten = (pnr_wau + pnr_sml + pnr_gml
+             - (pnr_rfz + pnr_rcr + pnr_rcg + pnr_rcs + pnr_rci)) * orho
+
+    # rain number/mass balance
+    xrr = jnp.maximum(R1, (qr1d + qrten * DT) * rho)
+    xnr = jnp.maximum(R2, (nr1d + nrten * DT) * rho)
+    lamr_b = (AM_R * c.crg[2] * c.org2 * xnr / xrr) ** c.obmr
+    mvd_b = (3.0 + c.mu_r + 0.672) / lamr_b
+    mvd_cl = jnp.clip(mvd_b, D0R * 0.75, 2.5e-3)
+    xnr_cl = _rain_nr_from_mvd(xrr, mvd_cl, c)
+    nrten = jnp.where(xrr > R1,
+                      jnp.where(mvd_b != mvd_cl,
+                                (xnr_cl - nr1d * rho) * odts * orho, nrten),
+                      -nr1d * odts)
+    qrten = jnp.where(xrr > R1, qrten, -qr1d * odts)
+
+    qsten = (prs_iau + prs_sde + prs_sci + prs_scw + prs_rcs + prs_ide
+             - prs_ihm - prr_sml) * orho
+    qgten = (prg_scw + prg_rfz + prg_gde + prg_rcg + prg_gcw + prg_rci
+             + prg_rcs - prg_ihm - prr_gml) * orho
+
+    tten = jnp.where(
+        cold,
+        (LSUB * ocp * (pri_inu + pri_ide + prs_ide + prs_sde + prg_gde)
+         + lfus2 * ocp * (pri_wfz + pri_rfz + prg_rfz + prs_scw + prg_scw
+                          + prg_gcw + prg_rcs + prs_rcs + prr_rci
+                          + prg_rcg)) * orho,
+        (LFUS * ocp * (-prr_sml - prr_gml - prr_rcg - prr_rcs)
+         + LSUB * ocp * (prs_sde + prg_gde)) * orho)
+
+    # ---- update to TAU+1 (mp_thompson.f90:2245-2330) -------------------
+    temp = t1d + DT * tten
+    qv = jnp.maximum(1e-10, qv1d + DT * qvten)
+    rho, rhof, rhof2, diffu, visco, ocp, vsc2, lvap, tcond = \
+        _thermo(temp, pres, qv)
+    tempc = temp - 273.15
+    otemp = 1.0 / temp
+    qvs = rslf(pres, temp)
+    ssatw = qv / qvs - 1.0
+    ssatw = jnp.where(jnp.abs(ssatw) < EPS, 0.0, ssatw)
+    lvt2 = lvap * lvap * ocp * ORV * otemp * otemp
+
+    L_qc = (qc1d + qcten * DT) > R1
+    rc = jnp.where(L_qc, (qc1d + qcten * DT) * rho, R1)
+    L_qi = (qi1d + qiten * DT) > R1
+    ri = jnp.where(L_qi, (qi1d + qiten * DT) * rho, R1)
+    ni = jnp.where(L_qi, jnp.maximum(R2, (ni1d + niten * DT) * rho), R2)
+    L_qr = (qr1d + qrten * DT) > R1
+    rr = jnp.where(L_qr, (qr1d + qrten * DT) * rho, R1)
+    nr = jnp.where(L_qr, jnp.maximum(R2, (nr1d + nrten * DT) * rho), R2)
+    lamr_u = (AM_R * c.crg[2] * c.org2 * nr / rr) ** c.obmr
+    mvd_u = (3.0 + c.mu_r + 0.672) / lamr_u
+    mvd_ucl = jnp.clip(mvd_u, D0R * 0.75, 2.5e-3)
+    nr = jnp.where(L_qr & (mvd_u != mvd_ucl),
+                   _rain_nr_from_mvd(rr, mvd_ucl, c), nr)
+    mvd_r = jnp.where(L_qr, mvd_ucl, 0.0)
+    L_qs = (qs1d + qsten * DT) > R1
+    rs = jnp.where(L_qs, (qs1d + qsten * DT) * rho, R1)
+    L_qg = (qg1d + qgten * DT) > R1
+    rg = jnp.where(L_qg, (qg1d + qgten * DT) * rho, R1)
+
+    smob, smo2, smo0, smo1, smoc, smod, smoe, smof = \
+        _snow_moments(rs, temp, c)
+    ilamg, N0_g = _graupel_intercept(rg, temp, mvd_r, L_qr, c)
+    ilamr, mvd_r, N0_r = _rain_slope(rr, nr, c)
+
+    # ---- cloud water condensation/evaporation (Newton-Raphson) ---------
+    cond_on = (ssatw > EPS) | ((ssatw < -EPS) & L_qc)
+    clap = (qv - qvs) / (1. + lvt2 * qvs)
+    for _ in range(3):
+        fcd = qvs * jnp.exp(lvt2 * clap) - qv + clap
+        dfcd = qvs * lvt2 * jnp.exp(lvt2 * clap) + 1.
+        clap = clap - fcd / dfcd
+    xrc = rc + clap
+    prw_vcd = jnp.where(cond_on,
+                        jnp.where(xrc > 0.0, clap * odt,
+                                  -rc / rho * odts), 0.0)
+    qcten = qcten + prw_vcd
+    qvten = qvten - prw_vcd
+    tten = tten + lvap * ocp * prw_vcd
+    rc = jnp.where(cond_on, jnp.maximum(R1, (qc1d + DT * qcten) * rho), rc)
+    qv = jnp.where(cond_on, jnp.maximum(1e-10, qv1d + DT * qvten), qv)
+    temp = jnp.where(cond_on, t1d + DT * tten, temp)
+    rho = 0.622 * pres / (RR2 * temp * (qv + 0.622))
+    qvs = rslf(pres, temp)
+    ssatw_new = qv / qvs - 1.0
+    ssatw = jnp.where(cond_on, ssatw_new, ssatw)
+
+    # ---- rain evaporation (mp_thompson.f90:2410-2475) ------------------
+    rev_on = (ssatw < -EPS) & L_qr & ~(prw_vcd > 0.0)
+    tempc = temp - 273.15
+    otemp = 1.0 / temp
+    _, rhof, rhof2, diffu, visco, ocp, vsc2, lvap, tcond = \
+        _thermo(temp, pres, qv)
+    rvs = rho * qvs
+    rvs_p = rvs * otemp * (lvap * otemp * ORV - 1.)
+    rvs_pp = rvs * (otemp * (lvap * otemp * ORV - 1.)
+                    * otemp * (lvap * otemp * ORV - 1.)
+                    + (-2. * lvap * otemp ** 3 * ORV) + otemp * otemp)
+    gamsc = lvap * diffu / tcond * rvs_p
+    alphsc = jnp.maximum(1e-9, 0.5 * (gamsc / (1. + gamsc)) ** 2
+                         * rvs_pp / rvs_p * rvs / rvs_p)
+    xsat = jnp.minimum(-1e-9, ssatw)
+    t1_evap = 2. * PI * (1.0 - alphsc * xsat + 2. * alphsc ** 2 * xsat ** 2
+                         - 5. * alphsc ** 3 * xsat ** 3) / (1. + gamsc)
+    lamr_e = 1.0 / ilamr
+    tiny_r = (qv / qvs < 0.95) & (rr / rho <= 1e-8)
+    rev_big = t1_evap * diffu * (-ssatw) * N0_r * rvs \
+        * (c.t1_qr_ev * ilamr ** c.cre[9]
+           + c.t2_qr_ev * vsc2 * rhof2
+           * ((lamr_e + 0.5 * FV_R) ** (-c.cre[10])))
+    rate_max_e = jnp.minimum(rr / rho * odts, (qvs - qv) * odts)
+    prv_rev = jnp.where(rev_on,
+                        jnp.where(tiny_r, rr / rho * odts,
+                                  jnp.minimum(rate_max_e, rev_big / rho)),
+                        0.0)
+    pnr_rev = jnp.where(rev_on,
+                        jnp.minimum(nr * 0.99 / rho * odts,
+                                    prv_rev * nr / jnp.maximum(rr, R1)),
+                        0.0)
+    qrten = qrten - prv_rev
+    qvten = qvten + prv_rev
+    nrten = nrten - pnr_rev
+    tten = tten - lvap * ocp * prv_rev
+
+    rr = jnp.where(rev_on, jnp.maximum(R1, (qr1d + DT * qrten) * rho), rr)
+    qv = jnp.where(rev_on, jnp.maximum(1e-10, qv1d + DT * qvten), qv)
+    nr = jnp.where(rev_on, jnp.maximum(R2, (nr1d + DT * nrten) * rho), nr)
+    temp = jnp.where(rev_on, t1d + DT * tten, temp)
+    rho = 0.622 * pres / (RR2 * temp * (qv + 0.622))
+    rhof = jnp.sqrt(RHO_NOT / rho)
+
+    # ---- terminal velocities (mp_thompson.f90:2495-2650) ---------------
+    has_rr = rr > R1
+    lamr_v = (AM_R * c.crg[2] * c.org2 * nr / rr) ** c.obmr
+    vtr_m = rhof * AV_R * c.crg[5] * c.org3 * lamr_v ** c.cre[2] \
+        * ((lamr_v + FV_R) ** (-c.cre[5]))
+    vtr_n = rhof * AV_R * c.crg[6] / c.crg[11] * lamr_v ** c.cre[11] \
+        * ((lamr_v + FV_R) ** (-c.cre[6]))
+    vtrk = _filldown(jnp.where(has_rr, vtr_m, 0.0), has_rr)
+    vtnrk = _filldown(jnp.where(has_rr, vtr_n, 0.0), has_rr)
+
+    has_ri = ri > R1
+    lami_v = (AM_I * c.cig[1] * c.oig1 * ni / ri) ** c.obmi
+    ilami_v = 1.0 / lami_v
+    vti_m = rhof * pp.av_i * c.cig[2] * c.oig2 * ilami_v ** BV_I
+    vti_n = rhof * pp.av_i * c.cig[5] / c.cig[6] * ilami_v ** BV_I
+    vtik = _filldown(jnp.where(has_ri, vti_m, 0.0), has_ri)
+    vtnik = _filldown(jnp.where(has_ri, vti_n, 0.0), has_ri)
+
+    has_rs = rs > R1
+    xDs_v = smoc / jnp.maximum(smob, R1)
+    Mrat = 1.0 / jnp.maximum(xDs_v, 1e-12)
+    ils1 = 1. / (Mrat * LAM0 + pp.fv_s)
+    ils2 = 1. / (Mrat * LAM1 + pp.fv_s)
+    t1_vts = KAP0 * c.csg[3] * ils1 ** c.cse[3]
+    t2_vts = KAP1 * Mrat ** MU_S * c.csg[9] * ils2 ** c.cse[9]
+    ils1b = 1. / (Mrat * LAM0)
+    ils2b = 1. / (Mrat * LAM1)
+    t3_vts = KAP0 * c.csg[0] * ils1b ** c.cse[0]
+    t4_vts = KAP1 * Mrat ** MU_S * c.csg[6] * ils2b ** c.cse[6]
+    vts = rhof * pp.av_s * (t1_vts + t2_vts) / (t3_vts + t4_vts)
+    vts_full = jnp.where(temp > T_0,
+                         jnp.maximum(vts * vts_boost, vtrk),
+                         vts * vts_boost)
+    vtsk = _filldown(jnp.where(has_rs, vts_full, 0.0), has_rs)
+
+    has_rg = rg > R1
+    vtg = rhof * pp.av_g * c.cgg[5] * c.ogg3 * ilamg ** pp.bv_g
+    vtg_full = jnp.where(temp > T_0, jnp.maximum(vtg, vtrk), vtg)
+    vtgk = _filldown(jnp.where(has_rg, vtg_full, 0.0), has_rg)
+
+    # ---- sedimentation -------------------------------------------------
+    rr, nr, d_q, d_n, ppt_rain = _sediment(
+        rr, nr, vtrk, vtnrk, rho, dzq, DT, True)
+    qrten = qrten + d_q
+    nrten = nrten + d_n
+    ri, ni, d_q, d_n, ppt_ice = _sediment(
+        ri, ni, vtik, vtnik, rho, dzq, DT, True, vt_for_cfl=vtik)
+    qiten = qiten + d_q
+    niten = niten + d_n
+    rs, _, d_q, _, ppt_snow = _sediment(
+        rs, rs, vtsk, vtsk, rho, dzq, DT, False)
+    qsten = qsten + d_q
+    rg, _, d_q, _, ppt_graupel = _sediment(
+        rg, rg, vtgk, vtgk, rho, dzq, DT, False)
+    qgten = qgten + d_q
+
+    # ---- instant melt / homogeneous freeze (mp_thompson.f90:2786-2810) -
+    xri = jnp.maximum(0.0, qi1d + qiten * DT)
+    melt = (temp > T_0) & (xri > 0.0)
+    qcten = qcten + jnp.where(melt, xri * odt, 0.0)
+    qiten = qiten - jnp.where(melt, xri * odt, 0.0)
+    niten = jnp.where(melt, -ni1d * odt, niten)
+    tten = tten - jnp.where(melt, LFUS * ocp * xri * odt, 0.0)
+
+    xrc = jnp.maximum(0.0, qc1d + qcten * DT)
+    frz = (temp < HGFR) & (xrc > 0.0)
+    lfus2 = LSUB - lvap
+    qiten = qiten + jnp.where(frz, xrc * odt, 0.0)
+    niten = niten + jnp.where(frz, xrc / XM0I * odt, 0.0)
+    qcten = qcten - jnp.where(frz, xrc * odt, 0.0)
+    tten = tten + jnp.where(frz, lfus2 * ocp * xrc * odt, 0.0)
+
+    # ---- final update (mp_thompson.f90:2815-2844) ----------------------
+    t_out = t1d + tten * DT
+    qv_out = jnp.maximum(1e-10, qv1d + qvten * DT)
+    qc_out = qc1d + qcten * DT
+    qc_out = jnp.where(qc_out <= R1, 0.0, qc_out)
+    qi_out = qi1d + qiten * DT
+    ni_out = jnp.maximum(R2 / rho, ni1d + niten * DT)
+    gone_i = qi_out <= R1
+    lami_f = (AM_I * c.cig[1] * c.oig1 * ni_out
+              / jnp.maximum(qi_out, R1)) ** c.obmi
+    xDi_f = (BM_I + c.mu_i + 1.0) / lami_f
+    lami_f = jnp.where(xDi_f < 20e-6, c.cie[1] / 20e-6,
+                       jnp.where(xDi_f > 300e-6, c.cie[1] / 300e-6, lami_f))
+    ni_out = jnp.where(gone_i, 0.0,
+                       jnp.minimum(c.cig[0] * c.oig2 * qi_out / AM_I
+                                   * lami_f ** BM_I, 250e3 / rho))
+    qi_out = jnp.where(gone_i, 0.0, qi_out)
+    qr_out = qr1d + qrten * DT
+    nr_out = jnp.maximum(R2 / rho, nr1d + nrten * DT)
+    gone_r = qr_out <= R1
+    lamr_f = (AM_R * c.crg[2] * c.org2 * nr_out
+              / jnp.maximum(qr_out, R1)) ** c.obmr
+    mvd_f = jnp.clip((3.0 + c.mu_r + 0.672) / lamr_f, D0R * 0.75, 2.5e-3)
+    nr_out = jnp.where(gone_r, 0.0, _rain_nr_from_mvd(qr_out, mvd_f, c))
+    qr_out = jnp.where(gone_r, 0.0, qr_out)
+    qs_out = qs1d + qsten * DT
+    qs_out = jnp.where(qs_out <= R1, 0.0, qs_out)
+    qg_out = qg1d + qgten * DT
+    qg_out = jnp.where(qg_out <= R1, 0.0, qg_out)
+
+    # driver-level qv floor (mp_gt_driver, :1005-1020). The reference's
+    # neighbor-average smoothing there is dead code: its own inner
+    # `if (qv1d(k) < 1e-7)` re-tests the ORIGINAL value and always
+    # overwrites the average with 1e-7, so the net effect is a floor.
+    qv_out = jnp.maximum(qv_out, 1e-7)
+
+    th_out = t_out / exner
+    return (th_out, qv_out, qc_out, qi_out, qr_out, qs_out, qg_out,
+            ni_out, nr_out, ppt_rain, ppt_ice, ppt_snow, ppt_graupel)
+
+
+def mp_thompson(th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz, dt,
+                rain, snow, graupel, params: ThompsonParams = None):
+    """One Thompson step over the full grid (mp_gt_driver,
+    mp_thompson.f90:772-1044). rain/snow/graupel are (y, x) accumulators
+    [mm]; ni/nr are number mixing ratios [kg^-1].
+
+    Returns (th, qv, qc, qi, qr, qs, qg, ni, nr, rain, snow, graupel)."""
+    params = params or ThompsonParams()
+    tables, _ = get_tables(params)
+    tables = {k: jnp.asarray(v) for k, v in tables.items()}
+    key = tuple(sorted(vars(params).items()))
+    (th, qv, qc, qi, qr, qs_, qg, ni, nr,
+     ppt_rain, ppt_ice, ppt_snow, ppt_graupel) = _mp_thompson_impl(
+        th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz,
+        jnp.asarray(dt, th.dtype), tables, key)
+    rain = rain + ppt_rain + ppt_snow + ppt_graupel + ppt_ice
+    snow = snow + ppt_snow + ppt_ice
+    graupel = graupel + ppt_graupel
+    return th, qv, qc, qi, qr, qs_, qg, ni, nr, rain, snow, graupel

@@ -196,7 +196,8 @@ def collect_requests(options) -> VarRequest:
                          "cloud_ice", "rain_mass", "snow_mass", "graupel_mass",
                          "ice_number", "rain_number"])
         req.restart_vars(["precipitation", "snowfall", "graupel", "cloud_water",
-                          "cloud_ice", "rain_mass", "snow_mass", "graupel_mass"])
+                          "cloud_ice", "rain_mass", "snow_mass", "graupel_mass",
+                          "ice_number", "rain_number"])
     elif phys.microphysics == C.MP_WSM3:
         # 3-class: qci doubles as cloud/ice, qrs as rain/snow
         # (mp_driver.f90:554-575)

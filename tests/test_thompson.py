@@ -1,0 +1,136 @@
+"""Thompson 2-moment microphysics tests: lookup tables, column processes,
+conservation, and end-to-end model run."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icar_tpu import constants as C
+from icar_tpu.models.icar import ideal_ridge_model
+from icar_tpu.physics import thompson_tables as TT
+from icar_tpu.physics.mp_thompson import mp_thompson, rslf, rsif
+
+
+def column(nz=20, ny=3, nx=3, t_sfc=290.0, rh=0.5, qc=0.0, qi=0.0,
+           qr=0.0, qs=0.0, qg=0.0, nr=0.0, ni=0.0):
+    dz = np.full((nz, ny, nx), 500.0, np.float32)
+    z = np.cumsum(dz, axis=0) - 250.0
+    p = (1e5 * np.exp(-z / 8000.0)).astype(np.float32)
+    t = (t_sfc - 0.0065 * z).astype(np.float32)
+    exner = (p / 1e5) ** (C.RD / C.CP)
+    th = t / exner
+    qsat = np.asarray(rslf(jnp.asarray(p), jnp.asarray(t)))
+    qv = (rh * qsat).astype(np.float32)
+    full = lambda v: jnp.full((nz, ny, nx), v, jnp.float32)
+    return dict(th=jnp.asarray(th.astype(np.float32)), qv=jnp.asarray(qv),
+                qc=full(qc), qi=full(qi), qr=full(qr), qs=full(qs),
+                qg=full(qg), ni=full(ni), nr=full(nr),
+                exner=jnp.asarray(exner.astype(np.float32)),
+                p=jnp.asarray(p), dz=jnp.asarray(dz), t=t)
+
+
+def run(c, dt=60.0, steps=1):
+    acc = [jnp.zeros(c["p"].shape[1:], jnp.float32)] * 3
+    st = [c["th"], c["qv"], c["qc"], c["qi"], c["qr"], c["qs"], c["qg"],
+          c["ni"], c["nr"]]
+    for _ in range(steps):
+        out = mp_thompson(*st, c["exner"], c["p"], c["dz"], dt, *acc)
+        st, acc = list(out[:9]), list(out[9:])
+    return st, acc
+
+
+def test_saturation_formulas():
+    # Flatau polynomial vs the Clausius-Clapeyron ballpark
+    qs = float(rslf(jnp.float32(1e5), jnp.float32(300.0)))
+    assert 0.021 < qs < 0.024
+    qsi = float(rsif(jnp.float32(1e5), jnp.float32(250.0)))
+    qsw = float(rslf(jnp.float32(1e5), jnp.float32(250.0)))
+    assert qsi < qsw          # ice saturation below water saturation
+
+
+def test_tables_sane():
+    tabs, c = TT.get_tables()
+    # collision efficiencies bounded
+    assert 0.0 <= tabs["t_Efrw"].min() and tabs["t_Efrw"].max() <= 0.95
+    # freezing probability grows with colder temperatures
+    f = tabs["tpi_qcfz"][20]          # fixed cloud content, all temps
+    assert f[-1] > f[0]
+    # ice->snow conversion: large-ice entries move everything to snow
+    assert tabs["tpi_ide"].max() == pytest.approx(1.0)
+    # rain freezing splits between ice (small drops) and graupel (large)
+    assert tabs["tpg_qrfz"].max() > 0 and tabs["tpi_qrfz"].max() > 0
+
+
+def test_condensation_and_autoconversion():
+    c = column(rh=1.15, t_sfc=295.0, qc=1.5e-3)
+    st, acc = run(c, steps=10)
+    th, qv, qc, qi, qr = st[:5]
+    assert float(qr.max()) > 1e-5            # warm rain formed
+    assert float(st[8].max()) > 0            # rain number too
+    assert float(acc[0].max()) > 0           # surface rain
+    assert float(acc[1].max()) == 0          # no snow in warm column
+    # vapor relaxed toward saturation
+    qs_end = np.asarray(rslf(c["p"], th * c["exner"]))
+    assert float((np.asarray(qv) - qs_end).max()) < 2e-3
+
+
+def test_cold_column_ice_nucleation():
+    c = column(rh=1.1, t_sfc=258.0)
+    st, acc = run(c, steps=10)
+    qi, ni = st[3], st[7]
+    assert float(qi.max()) > 1e-7            # ice nucleated
+    assert float(ni.max()) > 1e3             # with number concentration
+    assert np.isfinite(np.asarray(st[0])).all()
+
+
+def test_snow_reaches_ground():
+    c = column(rh=1.05, t_sfc=264.0, qc=1e-3)
+    st, acc = run(c, steps=60)
+    assert float(st[5].max()) > 1e-5         # snow mass in column
+    assert float(acc[1].mean()) > 0.01       # accumulated snow at surface
+    np.testing.assert_array_less(np.asarray(acc[1]), np.asarray(acc[0]) + 1e-9)
+
+
+def test_supercooled_rain_freezes():
+    c = column(rh=0.9, t_sfc=262.0, qr=1e-3, nr=1e7)
+    st, acc = run(c, dt=60.0, steps=10)
+    # Bigg freezing moves rain into graupel/ice
+    assert float(st[6].max()) + float(st[3].max()) > 1e-6
+    assert float(st[4].mean()) < float(c["qr"].mean())
+
+
+def test_water_conservation():
+    c = column(rh=1.05, t_sfc=280.0, qc=1e-3, qs=2e-4, qg=1e-4)
+    rho = np.asarray(c["p"]) / (287.04 * c["t"])
+    total0 = ((np.asarray(c["qv"]) + 1e-3 + 2e-4 + 1e-4)
+              * rho * np.asarray(c["dz"])).sum(axis=0)
+    st, acc = run(c, steps=10)
+    t1 = np.asarray(st[0] * c["exner"])
+    rho1 = np.asarray(c["p"]) / (287.04 * t1)
+    total1 = sum(np.asarray(q) for q in st[1:7]) * rho1
+    total1 = (total1 * np.asarray(c["dz"])).sum(axis=0)
+    np.testing.assert_allclose(total1 + np.asarray(acc[0]), total0, rtol=5e-3)
+
+
+def test_dry_column_noop():
+    c = column(rh=0.4)
+    st, acc = run(c)
+    np.testing.assert_allclose(np.asarray(acc[0]), 0.0)
+    np.testing.assert_allclose(np.asarray(st[1]), np.asarray(c["qv"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st[0]), np.asarray(c["th"]),
+                               rtol=1e-5)
+
+
+def test_model_runs_with_thompson():
+    m = ideal_ridge_model(nx=48, ny=12, nz=10, dx=1000.0, hill_height=600.0,
+                          u_speed=10.0, rh=1.0, mp=C.MP_THOMPSON)
+    assert "ice_number" in m.advect_names
+    assert "rain_number" in m.advect_names
+    m.advance(1200.0)
+    for n in ("potential_temperature", "water_vapor", "cloud_water",
+              "rain_mass", "ice_number", "precipitation"):
+        assert np.isfinite(m.field(n)).all(), n
+    assert m.field("cloud_water").max() > 1e-6    # orographic cloud
+    th = m.field("potential_temperature")
+    assert 250 < th.min() and th.max() < 600
