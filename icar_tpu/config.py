@@ -114,6 +114,8 @@ class LsmOptions:
     monthly_vegfrac: bool = False
     sh_feedback_fraction: float = 1.0
     lh_feedback_fraction: float = 1.0
+    max_swe: float = 1e10
+    LU_Categories: str = "MODIFIED_IGBP_MODIS_NOAH"
 
 
 @dataclass
@@ -262,7 +264,7 @@ class Options:
                      C.WIND_ITERATIVE, C.WIND_LINEAR_ITERATIVE),
             "pbl": (C.PBL_NONE, C.PBL_SIMPLE, C.PBL_YSU),
             "rad": (C.RA_NONE, C.RA_BASIC, C.RA_SIMPLE),
-            "lsm": (C.LSM_NONE, C.LSM_BASIC),
+            "lsm": (C.LSM_NONE, C.LSM_BASIC, C.LSM_NOAH),
             "water": (C.WATER_NONE, C.WATER_SIMPLE),
             "conv": (C.CU_NONE,),
         }

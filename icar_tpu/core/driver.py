@@ -115,7 +115,8 @@ class ICARDriver:
         s = dict(m.state)
         s["u"], s["v"], s["w"] = u, v, w
         m.state = diagnostic_update(s, m.geom)
-        for name in ("skin_temperature", "sst", "soil_temperature"):
+        for name in ("skin_temperature", "sst", "soil_temperature",
+                     "soil_deep_temperature"):
             if name in s and float(jnp.max(jnp.abs(s[name]))) == 0.0:
                 t0 = s["temperature"][0]
                 m.state[name] = jnp.broadcast_to(t0, s[name].shape).astype(

@@ -129,6 +129,62 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     s["sst"], s["surface_pressure"], wind, s["ustar"],
                     s["water_vapor"][0], s["temperature"][0], z_atm,
                     water_mask, sh, lh, z0, tskin)
+            if phys.landsurface == C.LSM_NOAH:
+                from ..physics import lsm_noah as noah_mod
+                from ..physics.noah_params import load_tables
+                tables = load_tables()
+                lnz = jnp.log((z_atm + z0) / z0)
+                base = (75 * C.KARMAN ** 2
+                        * jnp.sqrt((z_atm + z0) / z0)) / lnz ** 2
+                chs = sfc_mod.exchange_coefficient(
+                    wind, tskin, s["temperature"][0], z_atm,
+                    (C.KARMAN / lnz) ** 2, base)
+                chs = chs * jnp.maximum(wind, 1.0)
+                land = s["land_mask"] == 1.0
+                veg_t = s["veg_type"].astype(jnp.int32)
+                precip_delta = jnp.maximum(
+                    (s["precipitation"] - s["rainbl"]).astype(
+                        jnp.float32), 0.0)
+                nout = noah_mod.noah_driver(
+                    tables,
+                    jnp.asarray(geom.dz_interface)[0], s["water_vapor"][0],
+                    s["pressure_interface"][0], s["pressure_interface"][1],
+                    s["temperature"][0], s["exner"][0],
+                    s["surface_pressure"], tskin, chs,
+                    s["longwave"], s["shortwave"], s["albedo"],
+                    s["emissivity"], precip_delta, dt,
+                    veg_t, s["soil_type"].astype(jnp.int32),
+                    s["vegetation_fraction"], s["snow_albedo_max"],
+                    s["soil_deep_temperature"], land,
+                    s["canopy_water"], s["soil_temperature"],
+                    s["soil_water_content"], s["soil_liquid_water"],
+                    s["swe"].astype(jnp.float32), s["snow_height"],
+                    s["snow_cover"], s["snow_time"], z0)
+                sh = jnp.where(land, nout["hfx"], sh)
+                lh = jnp.where(land, nout["lh"], lh)
+                z0 = jnp.where(land, nout["roughness"], z0)
+                tskin = jnp.where(land, nout["skin_temperature"], tskin)
+                qv_surf = jnp.where(land, nout["qsfc"], qv_surf)
+                for name, key in (
+                        ("canopy_water", "canopy_water"),
+                        ("soil_temperature", "soil_temperature"),
+                        ("soil_water_content", "soil_water_content"),
+                        ("soil_liquid_water", "soil_liquid_water"),
+                        ("snow_height", "snow_height"),
+                        ("snow_cover", "snow_cover"),
+                        ("albedo", "albedo"),
+                        ("emissivity", "emissivity"),
+                        ("snow_time", "snotime"),
+                        ("ground_heat_flux", "ground_heat_flux")):
+                    s[name] = nout[key]
+                s["swe"] = jnp.minimum(nout["swe"],
+                                       options.lsm.max_swe).astype(
+                    s["swe"].dtype)
+                s["runoff_surface"] = (s["runoff_surface"]
+                                       + nout["runoff_surface"])
+                s["runoff_subsurface"] = (s["runoff_subsurface"]
+                                          + nout["runoff_subsurface"])
+                s["rainbl"] = s["precipitation"]
             th, qv = sfc_mod.apply_fluxes(
                 s["potential_temperature"], s["water_vapor"], s["density"],
                 jnp.asarray(geom.dz_interface), s["exner"], sh, lh, dt,

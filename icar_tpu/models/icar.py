@@ -176,7 +176,8 @@ class ICARModel:
         s = diagnostic_update(s, self.geom)
         # surface initial conditions for idealized runs (no forcing files):
         # skin/SST start at the lowest-level air temperature
-        for name in ("skin_temperature", "sst", "soil_temperature"):
+        for name in ("skin_temperature", "sst", "soil_temperature",
+                     "soil_deep_temperature"):
             if name in s and float(jnp.max(jnp.abs(s[name]))) == 0.0:
                 t0 = s["temperature"][0]
                 s[name] = jnp.broadcast_to(t0, s[name].shape).astype(

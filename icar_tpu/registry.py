@@ -37,8 +37,14 @@ class VarSpec:
     def shape(self, nz: int, ny: int, nx: int) -> Tuple[int, ...]:
         if self.dims == "2d":
             return (ny + (self.stagger == "y"), nx + (self.stagger == "x"))
+        if self.dims == "soil":
+            return (NUM_SOIL_LAYERS, ny, nx)
         dz = nz + 1 if self.stagger == "zi" else nz
         return (dz, ny + (self.stagger == "y"), nx + (self.stagger == "x"))
+
+
+# Noah/NoahMP soil column depth (lsm_driver.f90:517 DZs=[0.1,0.3,0.6,1.0])
+NUM_SOIL_LAYERS = 4
 
 
 def _v(name, dims="3d", **kw) -> VarSpec:
@@ -112,8 +118,21 @@ _SPECS = [
     _v("vegetation_fraction", dims="2d", units="1", default=0.5),
     _v("land_mask", dims="2d", units="1", default=1.0),
     # soil / snow state (LSM + external initial conditions)
-    _v("soil_water_content", units="m3 m-3"),
-    _v("soil_temperature", units="K"),
+    _v("soil_water_content", dims="soil", units="m3 m-3", default=0.3),
+    _v("soil_temperature", dims="soil", units="K"),
+    _v("soil_liquid_water", dims="soil", units="m3 m-3", default=0.3),
+    _v("soil_deep_temperature", dims="2d", units="K", forcing_name="tsoil_deep"),
+    _v("canopy_water", dims="2d", units="mm"),
+    _v("snow_cover", dims="2d", units="1"),
+    _v("snow_albedo_max", dims="2d", units="1", default=0.8),
+    _v("snow_time", dims="2d", units="s"),
+    _v("emissivity", dims="2d", units="1", default=0.99),
+    _v("ground_heat_flux", dims="2d", units="W m-2"),
+    _v("runoff_surface", dims="2d", units="mm", dtype="float64"),
+    _v("runoff_subsurface", dims="2d", units="mm", dtype="float64"),
+    _v("veg_type", dims="2d", units="1", default=10.0),
+    _v("soil_type", dims="2d", units="1", default=6.0),
+    _v("rainbl", dims="2d", units="mm", dtype="float64"),
     _v("swe", dims="2d", units="mm", standard_name="liquid_water_content_of_surface_snow"),
     _v("snow_height", dims="2d", units="m", standard_name="surface_snow_thickness"),
 ]
@@ -255,6 +274,18 @@ def collect_requests(options) -> VarRequest:
                         "swe", "snow_height"])
         req.restart_vars(["skin_temperature", "soil_water_content",
                           "soil_temperature", "swe", "snow_height"])
+    if phys.landsurface == C.LSM_NOAH:
+        # full Noah column state (lsm_var_request, lsm_driver.f90:115-242)
+        req.alloc_vars(["soil_liquid_water", "soil_deep_temperature",
+                        "canopy_water", "snow_cover", "snow_albedo_max",
+                        "snow_time", "emissivity", "ground_heat_flux",
+                        "runoff_surface", "runoff_subsurface", "veg_type",
+                        "soil_type", "rainbl", "u_10m", "v_10m",
+                        "precipitation", "surface_pressure", "temperature",
+                        "pressure_interface", "density", "u_mass", "v_mass"])
+        req.restart_vars(["soil_liquid_water", "canopy_water", "snow_cover",
+                          "snow_time", "albedo", "emissivity",
+                          "roughness_z0", "rainbl"])
     if phys.watersurface != C.WATER_NONE:
         req.alloc_vars(["sst", "skin_temperature", "sensible_heat",
                         "latent_heat", "ustar", "land_mask"])
