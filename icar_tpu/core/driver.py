@@ -90,6 +90,7 @@ class ICARDriver:
                  "hfls": "latent_heat", "rsds": "shortwave",
                  "rlds": "longwave", "pressure_i": "pressure_interface",
                  "temperature_i": "temperature_interface",
+                 "cu_precipitation": "convective_precipitation",
                  "precip": "precipitation"}
         from .. import registry
         resolved = [alias.get(n, n) for n in names]

@@ -247,6 +247,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 s["hpbl"] = hpbl
             if "exch_h" in s:
                 s["exch_h"] = exch_h
+        if phys.convection != C.CU_NONE and phys.boundarylayer != C.PBL_NONE:
+            qv_before_pbl = s["water_vapor"]
         if phys.boundarylayer == C.PBL_SIMPLE:
             water_mask = (s["land_mask"] == 2.0) if "land_mask" in s else None
             th, qv, qc, qi, qr, qs = pbl_mod.pbl_simple(
@@ -263,6 +265,49 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                               ("rain_mass", qr), ("snow_mass", qs)):
                 if name in s:
                     s[name] = val
+
+        # --- convection (convect, time_step.f90:497; cu_driver.f90)
+        if phys.convection == C.CU_TIEDTKE:
+            from ..physics import cu_tiedtke as cu_mod
+            s = dict(s)
+            if phys.boundarylayer != C.PBL_NONE:
+                s["tend_qv_pbl"] = (s["water_vapor"] - qv_before_pbl) / dt
+            w_if = jnp.concatenate(
+                [jnp.zeros_like(s["w_real"][:1]), s["w_real"]], axis=0)
+            # pressure_interface holds the interface BELOW each layer;
+            # append the model-top interface by reflection
+            p_if = jnp.concatenate(
+                [s["pressure_interface"],
+                 2.0 * s["pressure"][-1:] - s["pressure_interface"][-1:]],
+                axis=0)
+            th_c, qv_c, qc_c, qi_c, rain_c = cu_mod.tiedtke(
+                s["u_mass"], s["v_mass"], w_if, s["temperature"],
+                s["water_vapor"], s.get("cloud_water", zeros3()),
+                s.get("cloud_ice", zeros3()), s["exner"], s["density"],
+                s["tend_qv_adv"], s["tend_qv_pbl"], s["pressure"],
+                p_if,
+                jnp.asarray(geom.dz_interface),
+                s["latent_heat"] / C.LH_VAPORIZATION, s["sensible_heat"],
+                s["land_mask"], dt)
+            cu = options.cu
+            frac = cu.tendency_fraction
+            if frac > 0:
+                th0, qv0 = s["potential_temperature"], s["water_vapor"]
+                if cu.tend_th_fraction > 0:
+                    s["potential_temperature"] = th0 + (th_c - th0) \
+                        * cu.tend_th_fraction
+                if cu.tend_qv_fraction > 0:
+                    s["water_vapor"] = qv0 + (qv_c - qv0) \
+                        * cu.tend_qv_fraction
+                if cu.tend_qc_fraction > 0 and "cloud_water" in s:
+                    s["cloud_water"] = s["cloud_water"] \
+                        + (qc_c - s["cloud_water"]) * cu.tend_qc_fraction
+                if cu.tend_qi_fraction > 0 and "cloud_ice" in s:
+                    s["cloud_ice"] = s["cloud_ice"] \
+                        + (qi_c - s["cloud_ice"]) * cu.tend_qi_fraction
+            s["precipitation"] = s["precipitation"] + rain_c
+            s["convective_precipitation"] = (
+                s["convective_precipitation"] + rain_c)
 
         # --- extra physics hooks (custom schemes)
         if physics_extra:
@@ -372,6 +417,11 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s = dict(s)
             for i, k in enumerate(adv_names):
                 s[k] = out[i]
+            if phys.convection != C.CU_NONE and "water_vapor" in adv_names:
+                # moisture-convergence tendency feeding the next
+                # substep's convective trigger (tend%qv_adv)
+                i_qv = adv_names.index("water_vapor")
+                s["tend_qv_adv"] = (out[i_qv] - stacked[i_qv]) / dt
         return s
 
     def _slice_natural(d):
@@ -402,8 +452,9 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             # YSU consumes the 10m-wind/ustar diagnostics every substep
             state = diagnostic_update(state, geom,
                                       full=(phys.boundarylayer == C.PBL_YSU),
-                                      with_w_real=(phys.microphysics
-                                                   == C.MP_WSM3))
+                                      with_w_real=(
+                                          phys.microphysics == C.MP_WSM3
+                                          or phys.convection != C.CU_NONE))
             state = physics_step(state, dt, t, aux)
             if with_forcing:
                 state = apply_forcing(state, dqdt, dt, bmask)

@@ -232,7 +232,7 @@ def ideal_ridge_model(nx=300, ny=20, nz=20, dx=1000.0, hill_height=1000.0,
                       windtype=C.WIND_NONE, flat_z_height=-5,
                       dz_levels=None, rad=C.RA_NONE, pbl=C.PBL_NONE,
                       lsm=C.LSM_NONE, water=C.WATER_NONE,
-                      adv=C.ADV_UPWIND) -> ICARModel:
+                      adv=C.ADV_UPWIND, conv=C.CU_NONE) -> ICARModel:
     """Convenience constructor for the standard ideal-ridge benchmark case
     (tests/gen_ideal_test.py semantics)."""
     from ..forcing.ideal import ideal_latlon, make_ideal_case, schaer_topography
@@ -251,6 +251,7 @@ def ideal_ridge_model(nx=300, ny=20, nz=20, dx=1000.0, hill_height=1000.0,
     o.physics.boundarylayer = pbl
     o.physics.landsurface = lsm
     o.physics.watersurface = water
+    o.physics.convection = conv
 
     terrain = schaer_topography(nx, ny, hill_height, dx)
     lat, lon = ideal_latlon(nx, ny, dx)

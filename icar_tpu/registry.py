@@ -133,6 +133,10 @@ _SPECS = [
     _v("veg_type", dims="2d", units="1", default=10.0),
     _v("soil_type", dims="2d", units="1", default=6.0),
     _v("rainbl", dims="2d", units="mm", dtype="float64"),
+    # convection (cu_var_request, cu_driver.f90:146-230)
+    _v("tend_qv_adv", units="kg kg-1 s-1"),
+    _v("tend_qv_pbl", units="kg kg-1 s-1"),
+    _v("convective_precipitation", dims="2d", units="mm", dtype="float64"),
     _v("swe", dims="2d", units="mm", standard_name="liquid_water_content_of_surface_snow"),
     _v("snow_height", dims="2d", units="m", standard_name="surface_snow_thickness"),
 ]
@@ -241,6 +245,15 @@ def collect_requests(options) -> VarRequest:
         # even with no microphysics, theta and qv are advected (CI Schaer test)
         req.advect_vars(["potential_temperature", "water_vapor"])
 
+    if phys.convection == C.CU_TIEDTKE:
+        req.alloc_vars(["temperature", "pressure", "pressure_interface",
+                        "exner", "density", "u_mass", "v_mass", "w_real",
+                        "water_vapor", "cloud_water", "cloud_ice",
+                        "potential_temperature", "sensible_heat",
+                        "latent_heat", "tend_qv_adv", "tend_qv_pbl",
+                        "land_mask", "precipitation",
+                        "convective_precipitation"])
+        req.restart_vars(["convective_precipitation"])
     if phys.windtype in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE):
         # wind_linear_var_request (wind.f90:32-56)
         req.alloc_vars(["nsquared", "potential_temperature", "exner",
