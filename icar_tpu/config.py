@@ -108,6 +108,15 @@ class CuOptions:
 
 
 @dataclass
+class BiasOptions:
+    """Online precipitation bias correction (bias_parameters namelist,
+    options_obj.f90:1722-1765)."""
+    use_bias_correction: bool = False
+    filename: str = ""
+    rain_fraction_var: str = "rain_fraction"
+
+
+@dataclass
 class LsmOptions:
     update_interval: float = 300.0
     monthly_albedo: bool = False
@@ -217,6 +226,7 @@ class Options:
     adv: AdvOptions = field(default_factory=AdvOptions)
     mp: MpOptions = field(default_factory=MpOptions)
     cu: CuOptions = field(default_factory=CuOptions)
+    bias: BiasOptions = field(default_factory=BiasOptions)
     lsm: LsmOptions = field(default_factory=LsmOptions)
     rad: RadOptions = field(default_factory=RadOptions)
     version: str = C.VERSION_STRING
@@ -412,6 +422,14 @@ class Options:
         for f in dataclasses.fields(AdvOptions):
             if f.name in ad:
                 setattr(o.adv, f.name, type(getattr(o.adv, f.name))(ad[f.name]))
+        bi = nml.get("bias_parameters", {})
+        if "bias_correction_filename" in bi:
+            o.bias.filename = str(bi["bias_correction_filename"])
+            o.bias.use_bias_correction = True
+        if "rain_fraction_var" in bi:
+            o.bias.rain_fraction_var = str(bi["rain_fraction_var"])
+        if "use_bias_correction" in pm:
+            o.bias.use_bias_correction = bool(pm["use_bias_correction"])
         mp = nml.get("mp_parameters", {})
         lowered = {k.lower(): v for k, v in mp.items()}
         for f in dataclasses.fields(MpOptions):

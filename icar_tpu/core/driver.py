@@ -72,6 +72,17 @@ class ICARDriver:
             out_name = options.output.output_file + "run.nc"
             self.writer = OutputWriter(out_name, self._output_names(), options)
         self.restart_base = options.output.restart_file
+        # online precipitation bias correction (setup_bias_correction,
+        # init.f90:300-321): monthly rain-fraction climatology, clipped to
+        # [0.2, 5] then inverted
+        self.rain_fraction = None
+        if options.bias.use_bias_correction and options.bias.filename:
+            with NCFile(options.bias.filename) as f:
+                rf = np.asarray(f.read(options.bias.rain_fraction_var),
+                                np.float32)
+            if rf.ndim != 3:
+                raise ValueError("rain_fraction must be (12, ny, nx)")
+            self.rain_fraction = 1.0 / np.clip(rf, 0.2, 5.0)
         self.timers["init"].stop()
 
     def _output_names(self):
@@ -143,6 +154,26 @@ class ICARDriver:
         if applied:
             print("external initial conditions applied:", ", ".join(applied))
 
+    def _apply_rain_fraction(self, precip_before, t):
+        """Scale this interval's precipitation increment by the monthly
+        bias-correction fraction on interior cells (apply_rain_fraction,
+        mp_driver.f90:350-397)."""
+        date = self.options.start_time() + TimeDelta(t)
+        n = self.rain_fraction.shape[0]
+        step = min(int(n * date.year_fraction()), n - 1)
+        cur = self.model.state["precipitation"]
+        frac = np.ones(cur.shape, np.float32)
+        ny, nx = self.rain_fraction.shape[1:]
+        frac[:ny, :nx] = self.rain_fraction[step]
+        frac[0, :] = 1.0
+        frac[-1, :] = 1.0
+        frac[:, 0] = 1.0
+        frac[:, -1] = 1.0
+        s = dict(self.model.state)
+        s["precipitation"] = precip_before + (cur - precip_before) \
+            * jnp.asarray(frac)
+        self.model.state = s
+
     def _forcing_tendencies(self, raw):
         """Target fields -> wind solve -> relaxation tendencies
         (update_winds update path + update_delta_fields,
@@ -199,10 +230,15 @@ class ICARDriver:
 
             while t < input_end - 1e-3:
                 target_t = min(next_output, input_end)
+                if self.rain_fraction is not None:
+                    precip_before = jnp.asarray(
+                        self.model.state["precipitation"])
                 self.timers["physics"].start()
                 self.model.advance(target_t - t)
                 self.timers["physics"].stop()
                 t = target_t
+                if self.rain_fraction is not None:
+                    self._apply_rain_fraction(precip_before, t)
                 if debug:
                     from ..utils.diagnostics_debug import domain_check
                     self.model.state, problems = domain_check(

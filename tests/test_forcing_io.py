@@ -279,3 +279,35 @@ def test_namelist_output_engine_roundtrip(tmp_path):
     o2.domain.nx = o2.domain.ny = 50
     with pytest.raises(ValueError, match="unknown output engine"):
         o2.validate()
+
+
+def test_rain_fraction_bias_correction(tmp_path):
+    """Monthly precipitation bias scaling (apply_rain_fraction,
+    mp_driver.f90:350-397): interval delta scaled on interior cells by
+    1/clip(fraction) for the current month."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from icar_tpu.config import Options
+    from icar_tpu.core.driver import ICARDriver
+
+    o = Options()
+    o.run.start_date = "2020-07-10 00:00:00"   # July -> month index 6
+    rf = np.ones((12, 4, 6), np.float32)
+    rf[6] = 2.0                                 # halve July precip
+    d = SimpleNamespace(options=o, rain_fraction=1.0 / np.clip(rf, 0.2, 5.0),
+                        model=SimpleNamespace(state={}))
+    before = jnp.zeros((4, 6), jnp.float64)
+    after = jnp.full((4, 6), 10.0, jnp.float64)
+    d.model.state = {"precipitation": after}
+    ICARDriver._apply_rain_fraction(d, before, t=0.0)
+    out = np.asarray(d.model.state["precipitation"])
+    np.testing.assert_allclose(out[1:-1, 1:-1], 5.0)   # interior halved
+    np.testing.assert_allclose(out[0, :], 10.0)        # boundary untouched
+    # January (different start date) leaves precip unscaled
+    o.run.start_date = "2020-01-10 00:00:00"
+    d.model.state = {"precipitation": after}
+    ICARDriver._apply_rain_fraction(d, before, t=0.0)
+    np.testing.assert_allclose(
+        np.asarray(d.model.state["precipitation"]), 10.0)
