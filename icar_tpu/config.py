@@ -276,7 +276,7 @@ class Options:
             "rad": (C.RA_NONE, C.RA_BASIC, C.RA_SIMPLE),
             "lsm": (C.LSM_NONE, C.LSM_BASIC, C.LSM_NOAH),
             "water": (C.WATER_NONE, C.WATER_SIMPLE),
-            "conv": (C.CU_NONE, C.CU_TIEDTKE),
+            "conv": (C.CU_NONE, C.CU_TIEDTKE, C.CU_NSAS, C.CU_BMJ),
         }
         if self.output.engine not in ("netcdf4", "classic-async"):
             errs.append(f"unknown output engine {self.output.engine!r} "

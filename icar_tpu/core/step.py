@@ -309,6 +309,65 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s["convective_precipitation"] = (
                 s["convective_precipitation"] + rain_c)
 
+        if phys.convection == C.CU_NSAS:
+            from ..physics import cu_nsas as nsas_mod
+            s = dict(s)
+            w_if = jnp.concatenate(
+                [jnp.zeros_like(s["w_real"][:1]), s["w_real"]], axis=0)
+            p_if = jnp.concatenate(
+                [s["pressure_interface"],
+                 2.0 * s["pressure"][-1:] - s["pressure_interface"][-1:]],
+                axis=0)
+            th_c, qv_c, qc_c, qi_c, rain_c = nsas_mod.nsas(
+                s["u_mass"], s["v_mass"], w_if, s["temperature"],
+                s["water_vapor"], s.get("cloud_water", zeros3()),
+                s.get("cloud_ice", zeros3()), s["density"], s["pressure"],
+                p_if, jnp.asarray(geom.dz_interface), s["exner"],
+                s.get("hpbl", jnp.zeros_like(s["sensible_heat"])),
+                s["sensible_heat"],
+                s["latent_heat"] / C.LH_VAPORIZATION,
+                s["land_mask"], geom.dx, dt)
+            cu = options.cu
+            th0, qv0 = s["potential_temperature"], s["water_vapor"]
+            if cu.tend_th_fraction > 0:
+                s["potential_temperature"] = th0 + (th_c - th0) \
+                    * cu.tend_th_fraction
+            if cu.tend_qv_fraction > 0:
+                s["water_vapor"] = qv0 + (qv_c - qv0) \
+                    * cu.tend_qv_fraction
+            if cu.tend_qc_fraction > 0 and "cloud_water" in s:
+                s["cloud_water"] = s["cloud_water"] \
+                    + (qc_c - s["cloud_water"]) * cu.tend_qc_fraction
+            if cu.tend_qi_fraction > 0 and "cloud_ice" in s:
+                s["cloud_ice"] = s["cloud_ice"] \
+                    + (qi_c - s["cloud_ice"]) * cu.tend_qi_fraction
+            s["precipitation"] = s["precipitation"] + rain_c
+            s["convective_precipitation"] = (
+                s["convective_precipitation"] + rain_c)
+
+        if phys.convection == C.CU_BMJ:
+            from ..physics import cu_bmj as bmj_mod
+            s = dict(s)
+            th_c, qv_c, rain_c, cldefi_c = bmj_mod.bmj(
+                s["temperature"], s["potential_temperature"],
+                s["water_vapor"], s["pressure"], s["exner"],
+                s["density"], jnp.asarray(geom.dz_interface),
+                s["land_mask"], s["cldefi"], dt,
+                psfc=s["pressure_interface"][0])
+            cu = options.cu
+            if cu.tend_th_fraction > 0:
+                th0 = s["potential_temperature"]
+                s["potential_temperature"] = th0 + (th_c - th0) \
+                    * cu.tend_th_fraction
+            if cu.tend_qv_fraction > 0:
+                qv0 = s["water_vapor"]
+                s["water_vapor"] = qv0 + (qv_c - qv0) \
+                    * cu.tend_qv_fraction
+            s["cldefi"] = cldefi_c
+            s["precipitation"] = s["precipitation"] + rain_c
+            s["convective_precipitation"] = (
+                s["convective_precipitation"] + rain_c)
+
         # --- extra physics hooks (custom schemes)
         if physics_extra:
             for _, fn in physics_extra:
@@ -417,7 +476,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s = dict(s)
             for i, k in enumerate(adv_names):
                 s[k] = out[i]
-            if phys.convection != C.CU_NONE and "water_vapor" in adv_names:
+            if "tend_qv_adv" in s and "water_vapor" in adv_names:
                 # moisture-convergence tendency feeding the next
                 # substep's convective trigger (tend%qv_adv)
                 i_qv = adv_names.index("water_vapor")

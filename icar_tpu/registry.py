@@ -117,6 +117,8 @@ _SPECS = [
     _v("albedo", dims="2d", units="1", default=0.17),
     _v("vegetation_fraction", dims="2d", units="1", default=0.5),
     _v("land_mask", dims="2d", units="1", default=1.0),
+    # BMJ prognostic cloud efficiency (cu_driver.f90:28, cu_bmj.f90 CLDEFI)
+    _v("cldefi", dims="2d", units="1", default=0.6),
     # soil / snow state (LSM + external initial conditions)
     _v("soil_water_content", dims="soil", units="m3 m-3", default=0.3),
     _v("soil_temperature", dims="soil", units="K"),
@@ -245,7 +247,13 @@ def collect_requests(options) -> VarRequest:
         # even with no microphysics, theta and qv are advected (CI Schaer test)
         req.advect_vars(["potential_temperature", "water_vapor"])
 
-    if phys.convection == C.CU_TIEDTKE:
+    if phys.convection == C.CU_BMJ:
+        req.alloc_vars(["temperature", "pressure", "pressure_interface",
+                        "exner", "density", "water_vapor",
+                        "potential_temperature", "land_mask", "cldefi",
+                        "precipitation", "convective_precipitation"])
+        req.restart_vars(["convective_precipitation", "cldefi"])
+    if phys.convection in (C.CU_TIEDTKE, C.CU_NSAS):
         req.alloc_vars(["temperature", "pressure", "pressure_interface",
                         "exner", "density", "u_mass", "v_mass", "w_real",
                         "water_vapor", "cloud_water", "cloud_ice",
@@ -254,6 +262,8 @@ def collect_requests(options) -> VarRequest:
                         "land_mask", "precipitation",
                         "convective_precipitation"])
         req.restart_vars(["convective_precipitation"])
+    if phys.convection == C.CU_NSAS:
+        req.alloc_vars(["hpbl"])
     if phys.windtype in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE):
         # wind_linear_var_request (wind.f90:32-56)
         req.alloc_vars(["nsquared", "potential_temperature", "exner",
