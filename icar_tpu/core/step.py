@@ -407,7 +407,11 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s["precipitation"] = rain
             s["snowfall"] = snow
 
-        if phys.microphysics == C.MP_THOMPSON:
+        if phys.microphysics in (C.MP_THOMPSON, C.MP_THOMPSON_AER):
+            # mp=5 is the Thompson-Eidhammer scheme, which ICAR invokes
+            # WITHOUT aerosol fields (mp_driver.f90:446-476), i.e. in its
+            # is_aerosol_aware=.false. constant-Nc fallback = the Thompson
+            # core; it additionally diagnoses effective radii.
             from ..physics import mp_thompson
             from ..physics.thompson_tables import ThompsonParams
             import dataclasses as _dc
@@ -434,6 +438,13 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s["precipitation"] = rain
             s["snowfall"] = snow
             s["graupel"] = graupel
+            if phys.microphysics == C.MP_THOMPSON_AER:
+                re_qc, re_qi, re_qs = mp_thompson.calc_effect_rad(
+                    theta * s["exner"], s["pressure"], qv, qc, qi, ni,
+                    qs, params=tp)
+                s["re_cloud"] = re_qc
+                s["re_ice"] = re_qi
+                s["re_snow"] = re_qs
 
         if phys.microphysics == C.MP_WSM6:
             from ..physics import mp_wsm6

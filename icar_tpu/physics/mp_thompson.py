@@ -966,3 +966,48 @@ def mp_thompson(th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz, dt,
     snow = snow + ppt_snow + ppt_ice
     graupel = graupel + ppt_graupel
     return th, qv, qc, qi, qr, qs_, qg, ni, nr, rain, snow, graupel
+
+
+# 1-indexed gamma ratios G(i+4)/G(i+1) = (i+1)(i+2)(i+3) for the cloud
+# droplet shape-parameter family (calc_effectRad g_ratio,
+# mp_thompson_aer.f90:5045-5046)
+_G_RATIO = jnp.asarray([24., 60., 120., 210., 336., 504., 720., 990.,
+                        1320., 1716., 2184., 2730., 3360., 4080., 4896.])
+
+
+def calc_effect_rad(t, p, qv, qc, qi, ni, qs_, params: ThompsonParams
+                    = None):
+    """Cloud/ice/snow effective radii [m] for radiation coupling
+    (calc_effectRad, mp_thompson_aer.f90:5026-5127).
+
+    ICAR invokes the Thompson-Eidhammer scheme without aerosol fields
+    (mp_driver.f90:446-476 passes no nc/nwfa/nifa), so the scheme runs
+    with is_aerosol_aware=.false. and the droplet number here is the
+    constant Nt_c, exactly as in the reference fallback branch."""
+    params = params or ThompsonParams()
+    _, c = get_tables(params)
+    rho = 0.622 * p / (RR2 * t * (qv + 0.622))
+    rc = jnp.maximum(R1, qc * rho)
+    nc = jnp.full_like(rc, params.Nt_c)          # non-aerosol fallback
+    ri = jnp.maximum(R1, qi * rho)
+    ni_ = jnp.maximum(R2, ni * rho)
+    rs = jnp.maximum(R1, qs_ * rho)
+
+    # cloud droplets: generalized-gamma with Nc-dependent shape
+    inu_c = jnp.clip(jnp.rint(1000e6 / nc).astype(jnp.int32) + 2, 2, 15)
+    inu_c = jnp.where(nc < 100.0, 15, inu_c)
+    g_r = _G_RATIO[inu_c - 1]
+    lamc = (nc * AM_R * g_r / rc) ** c.obmr
+    re_qc = jnp.clip(0.5 * (3.0 + inu_c) / lamc, 2.51e-6, 50e-6)
+    re_qc = jnp.where((rc > R1) & (nc > R2), re_qc, 2.49e-6)
+
+    # cloud ice
+    lami = (AM_I * c.cig[1] * c.oig1 * ni_ / ri) ** c.obmi
+    re_qi = jnp.clip(0.5 * (3.0 + c.mu_i) / lami, 5.01e-6, 125e-6)
+    re_qi = jnp.where((ri > R1) & (ni_ > R2), re_qi, 4.99e-6)
+
+    # snow: ratio of the (bm_s+1)-th to bm_s-th Field moments
+    smob, _, _, _, smoc, _, _, _ = _snow_moments(rs, t, c)
+    re_qs = jnp.clip(0.5 * smoc / smob, 10e-6, 999e-6)
+    re_qs = jnp.where(rs > R1, re_qs, 9.99e-6)
+    return re_qc, re_qi, re_qs

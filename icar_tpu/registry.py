@@ -78,6 +78,10 @@ _SPECS = [
     _v("snow_number", units="kg-1"),
     _v("graupel_mass", units="kg kg-1", standard_name="mass_fraction_of_graupel_in_air"),
     _v("graupel_number", units="kg-1"),
+    # effective radii for radiation coupling (Thompson-Eidhammer, mp=5)
+    _v("re_cloud", units="m", standard_name="effective_radius_of_cloud_droplets", default=2.49e-6),
+    _v("re_ice", units="m", standard_name="effective_radius_of_cloud_ice", default=4.99e-6),
+    _v("re_snow", units="m", standard_name="effective_radius_of_snow", default=9.99e-6),
     # surface accumulations (double precision in the reference, variable_h.f90:15)
     _v("precipitation", dims="2d", units="mm", standard_name="precipitation_amount", dtype="float64"),
     _v("snowfall", dims="2d", units="mm", standard_name="snowfall_amount", dtype="float64"),
@@ -223,6 +227,10 @@ def collect_requests(options) -> VarRequest:
         req.restart_vars(["precipitation", "snowfall", "graupel", "cloud_water",
                           "cloud_ice", "rain_mass", "snow_mass", "graupel_mass",
                           "ice_number", "rain_number"])
+        if phys.microphysics == C.MP_THOMPSON_AER:
+            # mp_thompson_aer_var_request (mp_driver.f90:115-144)
+            req.alloc_vars(["re_cloud", "re_ice", "re_snow"])
+            req.restart_vars(["re_cloud", "re_ice", "re_snow"])
     elif phys.microphysics == C.MP_WSM3:
         # 3-class: qci doubles as cloud/ice, qrs as rain/snow
         # (mp_driver.f90:554-575)

@@ -134,3 +134,40 @@ def test_model_runs_with_thompson():
     assert m.field("cloud_water").max() > 1e-6    # orographic cloud
     th = m.field("potential_temperature")
     assert 250 < th.min() and th.max() < 600
+
+
+def test_effective_radii():
+    """mp=5 effective-radius diagnostics (calc_effectRad,
+    mp_thompson_aer.f90:5026-5127) in the constant-Nc fallback ICAR
+    actually uses (no aerosol fields passed, mp_driver.f90:446-476)."""
+    from icar_tpu.physics.mp_thompson import calc_effect_rad
+
+    c = column(t_sfc=285.0, rh=0.6, qc=5e-4, qi=2e-5, qs=1e-4, ni=1e6)
+    t = jnp.asarray(c["t"].astype(np.float32))
+    re_qc, re_qi, re_qs = calc_effect_rad(
+        t, c["p"], c["qv"], c["qc"], c["qi"], c["ni"], c["qs"])
+    re_qc, re_qi, re_qs = map(np.asarray, (re_qc, re_qi, re_qs))
+    assert (re_qc >= 2.49e-6).all() and (re_qc <= 50e-6).all()
+    assert (re_qi >= 4.99e-6).all() and (re_qi <= 125e-6).all()
+    assert (re_qs >= 9.99e-6).all() and (re_qs <= 999e-6).all()
+    # condensate present -> radii above the no-cloud sentinel values
+    assert re_qc.max() > 2.51e-6
+    assert re_qi.max() > 5.01e-6
+    assert re_qs.max() > 10e-6
+    # empty column -> sentinel minima
+    c0 = column(rh=0.3)
+    r0 = calc_effect_rad(t, c0["p"], c0["qv"], c0["qc"], c0["qi"],
+                         c0["ni"], c0["qs"])
+    assert float(np.asarray(r0[0]).max()) == pytest.approx(2.49e-6)
+
+
+def test_model_runs_with_thompson_aer():
+    m = ideal_ridge_model(nx=48, ny=12, nz=10, dx=1000.0, hill_height=600.0,
+                          u_speed=10.0, rh=1.0, mp=C.MP_THOMPSON_AER)
+    assert "re_cloud" in m.state
+    m.advance(1200.0)
+    for n in ("potential_temperature", "cloud_water", "re_cloud",
+              "re_ice", "re_snow", "precipitation"):
+        assert np.isfinite(m.field(n)).all(), n
+    # orographic cloud drives droplet radii off the sentinel floor
+    assert m.field("re_cloud").max() > 2.51e-6
