@@ -77,3 +77,24 @@ def test_sharded_forcing_relaxation():
     m.advance(300.0)
     dqv = m.field("water_vapor") - qv0
     np.testing.assert_allclose(dqv[:, 0, :], 3e-5, rtol=2e-2)
+
+
+def test_sharded_convection_matches_single_device():
+    """NSAS and BMJ are column schemes with per-level scans; their
+    results must be invariant under the (y, x) mesh decomposition."""
+    from icar_tpu import constants as C
+    from icar_tpu.models.icar import ideal_ridge_model
+
+    for conv in (C.CU_NSAS, C.CU_BMJ):
+        kw = dict(nx=48, ny=16, nz=12, dx=4000.0, hill_height=300.0,
+                  u_speed=8.0, rh=0.95, mp=C.MP_WSM3, conv=conv)
+        m1 = ideal_ridge_model(**kw)
+        m2 = ideal_ridge_model(**kw)
+        m2.attach_mesh(make_mesh(48, 16))
+        m1.advance(900.0)
+        m2.advance(900.0)
+        for n in ("potential_temperature", "water_vapor",
+                  "convective_precipitation"):
+            np.testing.assert_allclose(
+                m1.field(n), m2.field(n), rtol=2e-5, atol=1e-4,
+                err_msg=f"conv={conv} sharded mismatch in {n}")
