@@ -92,3 +92,45 @@ def test_halo_width():
     assert o.halo_width() == 1
     o.physics.advection = C.ADV_MPDATA
     assert o.halo_width() == 2
+
+
+def test_reference_complete_namelist_parses():
+    """The reference's complete_icar_options.nml (every namelist group
+    with every documented key) must parse, with representative values
+    from each group landing in the right Options fields
+    (options_obj.f90:45-86 group list)."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/run/complete_icar_options.nml"
+    if not os.path.exists(path):
+        pytest.skip("reference namelist not available")
+    o = Options.from_namelist(path)
+    # &parameters
+    assert o.domain.dx == 4000.0
+    assert o.run.start_date.startswith("2001-04-02")
+    assert o.forcing.smooth_wind_distance == 72000
+    assert o.forcing.time_varying_z is True
+    assert o.forcing.agl_cap == 300
+    # &z_info
+    # nz=15 in &parameters; dz_levels lists 40 entries and the model
+    # uses the first nz of them (models/icar.py dz_levels[:nz])
+    assert o.domain.nz == 15
+    assert len(o.domain.dz_levels) == 40
+    assert o.domain.dz_levels[0] == 50.0
+    # &physics
+    assert o.physics.microphysics == 1
+    assert o.physics.windtype == 1
+    # &lt_parameters
+    assert o.lt.n_spd_values == 10
+    assert o.lt.nsqmax == pytest.approx(-7.42)
+    # &mp_parameters
+    assert o.mp.Nt_c == pytest.approx(100e6)
+    assert o.mp.mu_r == 0.0
+    # &cu_parameters
+    assert o.cu.tend_qv_fraction == 1.0
+    # &output_list
+    assert "ta2m" in o.output.names
+    # &files_list
+    assert o.forcing.init_conditions_file
