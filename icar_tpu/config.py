@@ -256,6 +256,15 @@ class Options:
             errs.append("cfl_reduction_factor > 1 is unstable")
         if self.physics.microphysics == C.MP_SIMPLE and self.physics.convection not in (C.CU_NONE, C.CU_SIMPLE):
             errs.append("mp_simple is not tuned for use with deep convection schemes")
+        if self.mp.top_mp_level > 0:
+            import sys
+            print("warning: mp top_mp_level is not implemented in icar_tpu; "
+                  "microphysics runs on all levels", file=sys.stderr)
+        if self.mp.local_precip_fraction != 1.0:
+            import sys
+            print("warning: mp local_precip_fraction != 1 is not implemented "
+                  "in icar_tpu; precipitation is not redistributed",
+                  file=sys.stderr)
         known = {
             "mp": (self.physics.microphysics, range(0, 7)),
             "adv": (self.physics.advection, range(0, 3)),

@@ -92,7 +92,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
     lon2d = jnp.asarray(geom.lon)
     z_atm = jnp.asarray(geom.z[0] - geom.terrain)
 
-    def physics_step(state, dt, t, aux):
+    def physics_step(state, dt, t, aux, mp_elapsed, lsm_elapsed):
         from ..physics import pbl_simple as pbl_mod
         from ..physics import ra_simple as ra_mod
         from ..physics import surface as sfc_mod
@@ -115,96 +115,118 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s["cloud_fraction"] = cc
 
         # --- land / water surface (lsm, time_step.f90:491)
+        # flux/soil computation is throttled by lsm update_interval
+        # (default 300 s; lsm_driver.f90:999-1022), while the computed
+        # sensible/latent fluxes feed the lowest layers every substep
+        # (apply_fluxes, lsm_driver.f90:1549-1552)
         if phys.landsurface != C.LSM_NONE or phys.watersurface != C.WATER_NONE:
+            def do_surface(s, lsm_dt):
+                s = dict(s)
+                wind = jnp.sqrt(s["u_mass"][0] ** 2 + s["v_mass"][0] ** 2)
+                sh = s.get("sensible_heat", jnp.zeros_like(wind))
+                lh = s.get("latent_heat", jnp.zeros_like(wind))
+                z0 = s["roughness_z0"]
+                tskin = s.get("skin_temperature", s["temperature"][0])
+                qv_surf = s["water_vapor"][0]
+                if phys.watersurface == C.WATER_SIMPLE and "sst" in s:
+                    water_mask = s["land_mask"] == 2.0   # kLC_WATER
+                    sh, lh, z0, tskin, qv_surf = sfc_mod.water_simple(
+                        s["sst"], s["surface_pressure"], wind, s["ustar"],
+                        s["water_vapor"][0], s["temperature"][0], z_atm,
+                        water_mask, sh, lh, z0, tskin)
+                if phys.landsurface == C.LSM_NOAH:
+                    from ..physics import lsm_noah as noah_mod
+                    from ..physics.noah_params import load_tables
+                    tables = load_tables()
+                    lnz = jnp.log((z_atm + z0) / z0)
+                    base = (75 * C.KARMAN ** 2
+                            * jnp.sqrt((z_atm + z0) / z0)) / lnz ** 2
+                    chs = sfc_mod.exchange_coefficient(
+                        wind, tskin, s["temperature"][0], z_atm,
+                        (C.KARMAN / lnz) ** 2, base)
+                    chs = chs * jnp.maximum(wind, 1.0)
+                    land = s["land_mask"] == 1.0
+                    veg_t = s["veg_type"].astype(jnp.int32)
+                    precip_delta = jnp.maximum(
+                        (s["precipitation"] - s["rainbl"]).astype(
+                            jnp.float32), 0.0)
+                    nout = noah_mod.noah_driver(
+                        tables,
+                        jnp.asarray(geom.dz_interface)[0], s["water_vapor"][0],
+                        s["pressure_interface"][0], s["pressure_interface"][1],
+                        s["temperature"][0], s["exner"][0],
+                        s["surface_pressure"], tskin, chs,
+                        s["longwave"], s["shortwave"], s["albedo"],
+                        s["emissivity"], precip_delta, lsm_dt,
+                        veg_t, s["soil_type"].astype(jnp.int32),
+                        s["vegetation_fraction"], s["snow_albedo_max"],
+                        s["soil_deep_temperature"], land,
+                        s["canopy_water"], s["soil_temperature"],
+                        s["soil_water_content"], s["soil_liquid_water"],
+                        s["swe"].astype(jnp.float32), s["snow_height"],
+                        s["snow_cover"], s["snow_time"], z0)
+                    sh = jnp.where(land, nout["hfx"], sh)
+                    lh = jnp.where(land, nout["lh"], lh)
+                    z0 = jnp.where(land, nout["roughness"], z0)
+                    tskin = jnp.where(land, nout["skin_temperature"], tskin)
+                    qv_surf = jnp.where(land, nout["qsfc"], qv_surf)
+                    for name, key in (
+                            ("canopy_water", "canopy_water"),
+                            ("soil_temperature", "soil_temperature"),
+                            ("soil_water_content", "soil_water_content"),
+                            ("soil_liquid_water", "soil_liquid_water"),
+                            ("snow_height", "snow_height"),
+                            ("snow_cover", "snow_cover"),
+                            ("albedo", "albedo"),
+                            ("emissivity", "emissivity"),
+                            ("snow_time", "snotime"),
+                            ("ground_heat_flux", "ground_heat_flux")):
+                        s[name] = nout[key]
+                    s["swe"] = jnp.minimum(nout["swe"],
+                                           options.lsm.max_swe).astype(
+                        s["swe"].dtype)
+                    s["runoff_surface"] = (s["runoff_surface"]
+                                           + nout["runoff_surface"])
+                    s["runoff_subsurface"] = (s["runoff_subsurface"]
+                                              + nout["runoff_subsurface"])
+                    s["rainbl"] = s["precipitation"]
+                lnz2 = jnp.log((2.0 + z0) / z0)
+                ex2 = (C.KARMAN / lnz2) ** 2 * wind
+                t2, q2 = sfc_mod.surface_diagnostics(
+                    sh, lh / C.LH_VAPORIZATION, tskin, qv_surf, ex2, ex2,
+                    s["surface_pressure"])
+                s["sensible_heat"] = sh
+                s["latent_heat"] = lh
+                s["roughness_z0"] = z0
+                if "skin_temperature" in s:
+                    s["skin_temperature"] = tskin
+                if "temperature_2m" in s:
+                    s["temperature_2m"] = t2
+                    s["humidity_2m"] = q2
+
+                return s
+
+            lsm_int = float(options.lsm.update_interval)
+            if lsm_int > 0:
+                lsm_elapsed = lsm_elapsed + dt
+                run_now = lsm_elapsed >= lsm_int - 1e-6
+                s = jax.lax.cond(
+                    run_now,
+                    lambda op: do_surface(op[0], op[1]),
+                    lambda op: op[0],
+                    (s, lsm_elapsed))
+                lsm_elapsed = jnp.where(run_now, 0.0, lsm_elapsed)
+            else:
+                s = do_surface(s, dt)
             s = dict(s)
-            wind = jnp.sqrt(s["u_mass"][0] ** 2 + s["v_mass"][0] ** 2)
-            sh = s.get("sensible_heat", jnp.zeros_like(wind))
-            lh = s.get("latent_heat", jnp.zeros_like(wind))
-            z0 = s["roughness_z0"]
-            tskin = s.get("skin_temperature", s["temperature"][0])
-            qv_surf = s["water_vapor"][0]
-            if phys.watersurface == C.WATER_SIMPLE and "sst" in s:
-                water_mask = s["land_mask"] == 2.0   # kLC_WATER
-                sh, lh, z0, tskin, qv_surf = sfc_mod.water_simple(
-                    s["sst"], s["surface_pressure"], wind, s["ustar"],
-                    s["water_vapor"][0], s["temperature"][0], z_atm,
-                    water_mask, sh, lh, z0, tskin)
-            if phys.landsurface == C.LSM_NOAH:
-                from ..physics import lsm_noah as noah_mod
-                from ..physics.noah_params import load_tables
-                tables = load_tables()
-                lnz = jnp.log((z_atm + z0) / z0)
-                base = (75 * C.KARMAN ** 2
-                        * jnp.sqrt((z_atm + z0) / z0)) / lnz ** 2
-                chs = sfc_mod.exchange_coefficient(
-                    wind, tskin, s["temperature"][0], z_atm,
-                    (C.KARMAN / lnz) ** 2, base)
-                chs = chs * jnp.maximum(wind, 1.0)
-                land = s["land_mask"] == 1.0
-                veg_t = s["veg_type"].astype(jnp.int32)
-                precip_delta = jnp.maximum(
-                    (s["precipitation"] - s["rainbl"]).astype(
-                        jnp.float32), 0.0)
-                nout = noah_mod.noah_driver(
-                    tables,
-                    jnp.asarray(geom.dz_interface)[0], s["water_vapor"][0],
-                    s["pressure_interface"][0], s["pressure_interface"][1],
-                    s["temperature"][0], s["exner"][0],
-                    s["surface_pressure"], tskin, chs,
-                    s["longwave"], s["shortwave"], s["albedo"],
-                    s["emissivity"], precip_delta, dt,
-                    veg_t, s["soil_type"].astype(jnp.int32),
-                    s["vegetation_fraction"], s["snow_albedo_max"],
-                    s["soil_deep_temperature"], land,
-                    s["canopy_water"], s["soil_temperature"],
-                    s["soil_water_content"], s["soil_liquid_water"],
-                    s["swe"].astype(jnp.float32), s["snow_height"],
-                    s["snow_cover"], s["snow_time"], z0)
-                sh = jnp.where(land, nout["hfx"], sh)
-                lh = jnp.where(land, nout["lh"], lh)
-                z0 = jnp.where(land, nout["roughness"], z0)
-                tskin = jnp.where(land, nout["skin_temperature"], tskin)
-                qv_surf = jnp.where(land, nout["qsfc"], qv_surf)
-                for name, key in (
-                        ("canopy_water", "canopy_water"),
-                        ("soil_temperature", "soil_temperature"),
-                        ("soil_water_content", "soil_water_content"),
-                        ("soil_liquid_water", "soil_liquid_water"),
-                        ("snow_height", "snow_height"),
-                        ("snow_cover", "snow_cover"),
-                        ("albedo", "albedo"),
-                        ("emissivity", "emissivity"),
-                        ("snow_time", "snotime"),
-                        ("ground_heat_flux", "ground_heat_flux")):
-                    s[name] = nout[key]
-                s["swe"] = jnp.minimum(nout["swe"],
-                                       options.lsm.max_swe).astype(
-                    s["swe"].dtype)
-                s["runoff_surface"] = (s["runoff_surface"]
-                                       + nout["runoff_surface"])
-                s["runoff_subsurface"] = (s["runoff_subsurface"]
-                                          + nout["runoff_subsurface"])
-                s["rainbl"] = s["precipitation"]
             th, qv = sfc_mod.apply_fluxes(
                 s["potential_temperature"], s["water_vapor"], s["density"],
-                jnp.asarray(geom.dz_interface), s["exner"], sh, lh, dt,
+                jnp.asarray(geom.dz_interface), s["exner"],
+                s["sensible_heat"], s["latent_heat"], dt,
                 sh_feedback_fraction=options.lsm.sh_feedback_fraction,
                 lh_feedback_fraction=options.lsm.lh_feedback_fraction)
-            lnz2 = jnp.log((2.0 + z0) / z0)
-            ex2 = (C.KARMAN / lnz2) ** 2 * wind
-            t2, q2 = sfc_mod.surface_diagnostics(
-                sh, lh / C.LH_VAPORIZATION, tskin, qv_surf, ex2, ex2,
-                s["surface_pressure"])
             s["potential_temperature"] = th
             s["water_vapor"] = qv
-            s["sensible_heat"] = sh
-            s["latent_heat"] = lh
-            s["roughness_z0"] = z0
-            if "skin_temperature" in s:
-                s["skin_temperature"] = tskin
-            if "temperature_2m" in s:
-                s["temperature_2m"] = t2
-                s["humidity_2m"] = q2
 
         # --- planetary boundary layer (pbl, time_step.f90:494)
         if phys.boundarylayer == C.PBL_YSU:
@@ -373,99 +395,116 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             for _, fn in physics_extra:
                 s = fn(s, geom, dt)
 
-        # --- microphysics
-        if phys.microphysics == C.MP_SIMPLE:
-            theta, qv, qc, qr, qs, rain, snow = mp_simple.mp_simple(
-                s["pressure"], s["potential_temperature"], s["exner"],
-                s["density"], s["water_vapor"], s["cloud_water"],
-                s["rain_mass"], s["snow_mass"], s["precipitation"],
-                s["snowfall"], dt, jnp.asarray(geom.dz_interface),
-                # the Pallas kernel is single-device; sharded global-view
-                # execution uses the jnp path
-                use_pallas=(natural_shapes is None))
-            s = dict(s)
-            s["potential_temperature"] = theta
-            s["water_vapor"] = qv
-            s["cloud_water"] = qc
-            s["rain_mass"] = qr
-            s["snow_mass"] = qs
-            s["precipitation"] = rain
-            s["snowfall"] = snow
+        # --- microphysics, optionally batched by the mp update_interval
+        # (mp_driver.f90:698-713: accumulate substeps and run the scheme
+        # with the accumulated dt once enough model time has passed)
+        def do_microphysics(s, dt):
+            if phys.microphysics == C.MP_SIMPLE:
+                theta, qv, qc, qr, qs, rain, snow = mp_simple.mp_simple(
+                    s["pressure"], s["potential_temperature"], s["exner"],
+                    s["density"], s["water_vapor"], s["cloud_water"],
+                    s["rain_mass"], s["snow_mass"], s["precipitation"],
+                    s["snowfall"], dt, jnp.asarray(geom.dz_interface),
+                    # the Pallas kernel is single-device; sharded global-view
+                    # execution uses the jnp path
+                    use_pallas=(natural_shapes is None))
+                s = dict(s)
+                s["potential_temperature"] = theta
+                s["water_vapor"] = qv
+                s["cloud_water"] = qc
+                s["rain_mass"] = qr
+                s["snow_mass"] = qs
+                s["precipitation"] = rain
+                s["snowfall"] = snow
 
-        if phys.microphysics == C.MP_WSM3:
-            from ..physics import mp_wsm3
-            theta, qv, qci, qrs, rain, snow = mp_wsm3.wsm3(
-                s["potential_temperature"], s["water_vapor"],
-                s["cloud_water"], s["rain_mass"], s["w_real"], s["exner"],
-                s["pressure"], jnp.asarray(geom.dz_mass), s["density"], dt,
-                s["precipitation"], s["snowfall"])
-            s = dict(s)
-            s["potential_temperature"] = theta
-            s["water_vapor"] = qv
-            s["cloud_water"] = qci
-            s["rain_mass"] = qrs
-            s["precipitation"] = rain
-            s["snowfall"] = snow
+            if phys.microphysics == C.MP_WSM3:
+                from ..physics import mp_wsm3
+                theta, qv, qci, qrs, rain, snow = mp_wsm3.wsm3(
+                    s["potential_temperature"], s["water_vapor"],
+                    s["cloud_water"], s["rain_mass"], s["w_real"], s["exner"],
+                    s["pressure"], jnp.asarray(geom.dz_mass), s["density"], dt,
+                    s["precipitation"], s["snowfall"])
+                s = dict(s)
+                s["potential_temperature"] = theta
+                s["water_vapor"] = qv
+                s["cloud_water"] = qci
+                s["rain_mass"] = qrs
+                s["precipitation"] = rain
+                s["snowfall"] = snow
 
-        if phys.microphysics in (C.MP_THOMPSON, C.MP_THOMPSON_AER):
-            # mp=5 is the Thompson-Eidhammer scheme, which ICAR invokes
-            # WITHOUT aerosol fields (mp_driver.f90:446-476), i.e. in its
-            # is_aerosol_aware=.false. constant-Nc fallback = the Thompson
-            # core; it additionally diagnoses effective radii.
-            from ..physics import mp_thompson
-            from ..physics.thompson_tables import ThompsonParams
-            import dataclasses as _dc
-            tp = ThompsonParams(**{f.name: getattr(options.mp, f.name)
-                                   for f in _dc.fields(ThompsonParams)})
-            (theta, qv, qc, qi, qr, qs, qg, ni, nr, rain, snow,
-             graupel) = mp_thompson.mp_thompson(
-                s["potential_temperature"], s["water_vapor"],
-                s["cloud_water"], s["cloud_ice"], s["rain_mass"],
-                s["snow_mass"], s["graupel_mass"], s["ice_number"],
-                s["rain_number"], s["exner"], s["pressure"],
-                jnp.asarray(geom.dz_mass), dt,
-                s["precipitation"], s["snowfall"], s["graupel"], params=tp)
-            s = dict(s)
-            s["potential_temperature"] = theta
-            s["water_vapor"] = qv
-            s["cloud_water"] = qc
-            s["cloud_ice"] = qi
-            s["rain_mass"] = qr
-            s["snow_mass"] = qs
-            s["graupel_mass"] = qg
-            s["ice_number"] = ni
-            s["rain_number"] = nr
-            s["precipitation"] = rain
-            s["snowfall"] = snow
-            s["graupel"] = graupel
-            if phys.microphysics == C.MP_THOMPSON_AER:
-                re_qc, re_qi, re_qs = mp_thompson.calc_effect_rad(
-                    theta * s["exner"], s["pressure"], qv, qc, qi, ni,
-                    qs, params=tp)
-                s["re_cloud"] = re_qc
-                s["re_ice"] = re_qi
-                s["re_snow"] = re_qs
+            if phys.microphysics in (C.MP_THOMPSON, C.MP_THOMPSON_AER):
+                # mp=5 is the Thompson-Eidhammer scheme, which ICAR invokes
+                # WITHOUT aerosol fields (mp_driver.f90:446-476), i.e. in its
+                # is_aerosol_aware=.false. constant-Nc fallback = the Thompson
+                # core; it additionally diagnoses effective radii.
+                from ..physics import mp_thompson
+                from ..physics.thompson_tables import ThompsonParams
+                import dataclasses as _dc
+                tp = ThompsonParams(**{f.name: getattr(options.mp, f.name)
+                                       for f in _dc.fields(ThompsonParams)})
+                (theta, qv, qc, qi, qr, qs, qg, ni, nr, rain, snow,
+                 graupel) = mp_thompson.mp_thompson(
+                    s["potential_temperature"], s["water_vapor"],
+                    s["cloud_water"], s["cloud_ice"], s["rain_mass"],
+                    s["snow_mass"], s["graupel_mass"], s["ice_number"],
+                    s["rain_number"], s["exner"], s["pressure"],
+                    jnp.asarray(geom.dz_mass), dt,
+                    s["precipitation"], s["snowfall"], s["graupel"], params=tp)
+                s = dict(s)
+                s["potential_temperature"] = theta
+                s["water_vapor"] = qv
+                s["cloud_water"] = qc
+                s["cloud_ice"] = qi
+                s["rain_mass"] = qr
+                s["snow_mass"] = qs
+                s["graupel_mass"] = qg
+                s["ice_number"] = ni
+                s["rain_number"] = nr
+                s["precipitation"] = rain
+                s["snowfall"] = snow
+                s["graupel"] = graupel
+                if phys.microphysics == C.MP_THOMPSON_AER:
+                    re_qc, re_qi, re_qs = mp_thompson.calc_effect_rad(
+                        theta * s["exner"], s["pressure"], qv, qc, qi, ni,
+                        qs, params=tp)
+                    s["re_cloud"] = re_qc
+                    s["re_ice"] = re_qi
+                    s["re_snow"] = re_qs
 
-        if phys.microphysics == C.MP_WSM6:
-            from ..physics import mp_wsm6
-            (theta, qv, qc, qi, qr, qs, qg, rain, snow,
-             graupel) = mp_wsm6.wsm6(
-                s["potential_temperature"], s["water_vapor"],
-                s["cloud_water"], s["cloud_ice"], s["rain_mass"],
-                s["snow_mass"], s["graupel_mass"], s["exner"],
-                s["pressure"], jnp.asarray(geom.dz_mass), s["density"], dt,
-                s["precipitation"], s["snowfall"], s["graupel"])
-            s = dict(s)
-            s["potential_temperature"] = theta
-            s["water_vapor"] = qv
-            s["cloud_water"] = qc
-            s["cloud_ice"] = qi
-            s["rain_mass"] = qr
-            s["snow_mass"] = qs
-            s["graupel_mass"] = qg
-            s["precipitation"] = rain
-            s["snowfall"] = snow
-            s["graupel"] = graupel
+            if phys.microphysics == C.MP_WSM6:
+                from ..physics import mp_wsm6
+                (theta, qv, qc, qi, qr, qs, qg, rain, snow,
+                 graupel) = mp_wsm6.wsm6(
+                    s["potential_temperature"], s["water_vapor"],
+                    s["cloud_water"], s["cloud_ice"], s["rain_mass"],
+                    s["snow_mass"], s["graupel_mass"], s["exner"],
+                    s["pressure"], jnp.asarray(geom.dz_mass), s["density"], dt,
+                    s["precipitation"], s["snowfall"], s["graupel"])
+                s = dict(s)
+                s["potential_temperature"] = theta
+                s["water_vapor"] = qv
+                s["cloud_water"] = qc
+                s["cloud_ice"] = qi
+                s["rain_mass"] = qr
+                s["snow_mass"] = qs
+                s["graupel_mass"] = qg
+                s["precipitation"] = rain
+                s["snowfall"] = snow
+                s["graupel"] = graupel
+            return s
+
+        mp_interval = float(options.mp.update_interval)
+        if phys.microphysics != C.MP_NONE and mp_interval > 0:
+            mp_elapsed = mp_elapsed + dt
+            run_now = mp_elapsed >= mp_interval - 1e-6
+            s = jax.lax.cond(
+                run_now,
+                lambda op: do_microphysics(op[0], op[1]),
+                lambda op: op[0],
+                (s, mp_elapsed))
+            mp_elapsed = jnp.where(run_now, 0.0, mp_elapsed)
+        else:
+            s = do_microphysics(s, dt)
 
         # --- advection of all requested species in one fused pass
         if adv_names and phys.advection in (C.ADV_UPWIND, C.ADV_MPDATA):
@@ -492,7 +531,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 # substep's convective trigger (tend%qv_adv)
                 i_qv = adv_names.index("water_vapor")
                 s["tend_qv_adv"] = (out[i_qv] - stacked[i_qv]) / dt
-        return s
+        return s, mp_elapsed, lsm_elapsed
 
     def _slice_natural(d):
         out = {}
@@ -512,7 +551,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             return t < end_time - 1e-3
 
         def body(carry):
-            state, t, n = carry
+            state, t, n, mp_el, lsm_el = carry
             dt = compute_dt(state["u"], state["v"], state["w"], dz_levels,
                             geom.dx, options.run.cfl_reduction_factor,
                             options.run.cfl_strictness)
@@ -525,7 +564,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                                       with_w_real=(
                                           phys.microphysics == C.MP_WSM3
                                           or phys.convection != C.CU_NONE))
-            state = physics_step(state, dt, t, aux)
+            state, mp_el, lsm_el = physics_step(state, dt, t, aux,
+                                                mp_el, lsm_el)
             if with_forcing:
                 state = apply_forcing(state, dqdt, dt, bmask)
             # clamp over-shot negatives in the last couple of substeps
@@ -534,9 +574,16 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             clamped = enforce_limits(state)
             state = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(near_end, b, a), state, clamped)
-            return state, t + dt, n + 1
+            return state, t + dt, n + 1, mp_el, lsm_el
 
-        state, t, n = jax.lax.while_loop(cond, body, (state, t0, jnp.int32(0)))
+        # counters start at their intervals so the first substep runs the
+        # throttled physics immediately (last_model_time init in the
+        # reference drivers)
+        state, t, n, _, _ = jax.lax.while_loop(
+            cond, body,
+            (state, t0, jnp.int32(0),
+             jnp.float32(options.mp.update_interval),
+             jnp.float32(options.lsm.update_interval)))
         # output-only diagnostics (IVT/IWV, 10m winds, w_real) once per
         # interval rather than per substep
         state = diagnostic_update(state, geom, full=True)

@@ -81,3 +81,58 @@ def test_progresses_with_time():
         m.advance(300.0)
         qc_t.append(model_qc := m.field("cloud_water").sum())
     assert m.model_time == 900.0
+
+
+def test_mp_update_interval_batching():
+    """mp update_interval > 0 batches microphysics calls: the scheme runs
+    with the accumulated dt once enough model time has passed
+    (mp_driver.f90:698-713). Precip still falls and results stay close to
+    the every-substep run."""
+    import numpy as np
+
+    from icar_tpu import constants as C
+    from icar_tpu.models.icar import ideal_ridge_model
+
+    kw = dict(nx=48, ny=12, nz=12, dx=1000.0, hill_height=700.0,
+              u_speed=10.0, rh=1.0, mp=C.MP_SIMPLE)
+    m0 = ideal_ridge_model(**kw)
+    m1 = ideal_ridge_model(**kw)
+    m1.options.mp.update_interval = 60.0     # several substeps per call
+    m0.advance(900.0)
+    m1.advance(900.0)
+    p0 = np.asarray(m0.field("precipitation"))
+    p1 = np.asarray(m1.field("precipitation"))
+    assert p1.max() > 0.1                     # batched MP still precipitates
+    for n in ("potential_temperature", "water_vapor", "precipitation"):
+        assert np.isfinite(m1.field(n)).all(), n
+    # batching changes saturation-adjustment timing, but totals stay
+    # within a modest factor of the reference run
+    assert 0.3 < p1.max() / p0.max() < 3.0
+
+
+def test_lsm_update_interval_throttling():
+    """LSM flux/soil computation is throttled by lsm update_interval
+    (default 300 s, lsm_driver.f90:999-1022) while fluxes are applied
+    every substep; disabling the throttle gives similar (not identical)
+    results."""
+    import numpy as np
+
+    from icar_tpu import constants as C
+    from icar_tpu.models.icar import ideal_ridge_model
+
+    kw = dict(nx=40, ny=12, nz=12, dx=2000.0, hill_height=400.0,
+              u_speed=8.0, rh=0.8, mp=C.MP_SIMPLE, lsm=C.LSM_BASIC,
+              water=C.WATER_SIMPLE, rad=C.RA_SIMPLE)
+    m_thr = ideal_ridge_model(**kw)        # default: 300 s
+    assert m_thr.options.lsm.update_interval == 300.0
+    m_all = ideal_ridge_model(**kw)
+    m_all.options.lsm.update_interval = 0.0
+    m_thr.advance(900.0)
+    m_all.advance(900.0)
+    for m in (m_thr, m_all):
+        for n in ("potential_temperature", "sensible_heat",
+                  "latent_heat", "skin_temperature"):
+            assert np.isfinite(m.field(n)).all(), n
+    t1 = np.asarray(m_thr.field("potential_temperature"))
+    t2 = np.asarray(m_all.field("potential_temperature"))
+    assert np.abs(t1 - t2).max() < 2.0     # modest timing differences
