@@ -125,6 +125,30 @@ class LsmOptions:
     lh_feedback_fraction: float = 1.0
     max_swe: float = 1e10
     LU_Categories: str = "MODIFIED_IGBP_MODIS_NOAH"
+    # land-use special categories; -1 = resolve from LU_Categories
+    # (set_default_LU_categories, options_obj.f90:1669-1711)
+    urban_category: int = -1
+    ice_category: int = -1
+    water_category: int = -1
+    lake_category: int = -1
+    # lake model knobs (lsm_driver.f90:887-893, 952-955)
+    lakedepth_default: float = 50.0
+    lake_min_elev: float = 5.0
+
+    def resolved_categories(self):
+        """(urban, ice, water, lake) with LU-table defaults filled in."""
+        lu = self.LU_Categories.upper()
+        defaults = {
+            "MODIFIED_IGBP_MODIS_NOAH": (13, 15, 17, 21),
+            "USGS": (1, 24, 16, -1),            # no separate lake category
+            "USGS-RUC": (1, 24, 16, 28),
+            "MODI-RUC": (13, 15, 17, 21),
+        }.get(lu, (13, 15, 17, 21))
+        out = []
+        for v, d in zip((self.urban_category, self.ice_category,
+                         self.water_category, self.lake_category), defaults):
+            out.append(v if v != -1 else d)
+        return tuple(out)
 
 
 @dataclass
@@ -284,7 +308,7 @@ class Options:
             "pbl": (C.PBL_NONE, C.PBL_SIMPLE, C.PBL_YSU),
             "rad": (C.RA_NONE, C.RA_BASIC, C.RA_SIMPLE),
             "lsm": (C.LSM_NONE, C.LSM_BASIC, C.LSM_NOAH),
-            "water": (C.WATER_NONE, C.WATER_SIMPLE),
+            "water": (C.WATER_NONE, C.WATER_SIMPLE, C.WATER_LAKE),
             "conv": (C.CU_NONE, C.CU_TIEDTKE, C.CU_NSAS, C.CU_BMJ),
         }
         if self.output.engine not in ("netcdf4", "classic-async"):
@@ -445,5 +469,17 @@ class Options:
             if f.name.lower() in lowered:
                 setattr(o.mp, f.name,
                         type(getattr(o.mp, f.name))(lowered[f.name.lower()]))
+
+        # lsm_parameters / cu_parameters / rad_parameters: plain
+        # field-for-field namelist groups (options_obj.f90:1537+,1767+,1860+)
+        for group, obj, cls_ in (("lsm_parameters", o.lsm, LsmOptions),
+                                 ("cu_parameters", o.cu, CuOptions),
+                                 ("rad_parameters", o.rad, RadOptions)):
+            grp = {k.lower(): v for k, v in nml.get(group, {}).items()}
+            for f in dataclasses.fields(cls_):
+                if f.name.lower() in grp:
+                    cur = getattr(obj, f.name)
+                    conv = type(cur) if not callable(cur) else str
+                    setattr(obj, f.name, conv(grp[f.name.lower()]))
 
         return o

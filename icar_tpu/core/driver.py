@@ -61,6 +61,7 @@ class ICARDriver:
 
         self._install_initial_conditions(raw0)
         self._install_external_conditions()
+        self._init_lake()
         if mesh is not None:
             self.model.attach_mesh(mesh)
 
@@ -153,6 +154,35 @@ class ICARDriver:
         self.model.state = s
         if applied:
             print("external initial conditions applied:", ", ".join(applied))
+
+    def _init_lake(self):
+        """CLM lake model state initialization (lakeini,
+        water_lake.f90:4904-5431 via lsm_init, lsm_driver.f90:884-989).
+        Skipped on restart — the checkpoint carries the lake state."""
+        from .. import constants as C
+        o = self.options
+        if o.physics.watersurface != C.WATER_LAKE or o.run.restart:
+            return
+        from ..physics.water_lake import lake_init
+        m = self.model
+        fields = {k: np.asarray(v) for k, v in m.state.items()}
+        _, _, water_cat, lake_cat = o.lsm.resolved_categories()
+        lake_init(fields, np.asarray(m.geom.terrain),
+                  np.asarray(m.geom.lat), lake_category=lake_cat,
+                  water_category=water_cat,
+                  lakedepth_default=o.lsm.lakedepth_default,
+                  lake_min_elev=o.lsm.lake_min_elev)
+        s = dict(m.state)
+        for k, v in fields.items():
+            if k in s:
+                s[k] = jnp.asarray(v, s[k].dtype)
+        # lakes count as water in the land mask (lsm_driver.f90:710,880)
+        if "land_mask" in s:
+            s["land_mask"] = jnp.where(jnp.asarray(fields["lakemask"]) > 0.5,
+                                       2.0, s["land_mask"])
+        m.state = s
+        n_lake = int(fields["lakemask"].sum())
+        print(f"lake model initialized: {n_lake} lake cells")
 
     def _apply_rain_fraction(self, precip_before, t):
         """Scale this interval's precipitation increment by the monthly

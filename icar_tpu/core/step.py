@@ -128,12 +128,48 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 z0 = s["roughness_z0"]
                 tskin = s.get("skin_temperature", s["temperature"][0])
                 qv_surf = s["water_vapor"][0]
-                if phys.watersurface == C.WATER_SIMPLE and "sst" in s:
+                if phys.watersurface in (C.WATER_SIMPLE, C.WATER_LAKE) \
+                        and "sst" in s:
+                    # under water=3 the simple scheme still handles ocean
+                    # cells (lsm_driver.f90:1063-1072); lake cells are
+                    # overwritten below
                     water_mask = s["land_mask"] == 2.0   # kLC_WATER
                     sh, lh, z0, tskin, qv_surf = sfc_mod.water_simple(
                         s["sst"], s["surface_pressure"], wind, s["ustar"],
                         s["water_vapor"][0], s["temperature"][0], z_atm,
                         water_mask, sh, lh, z0, tskin)
+                if phys.watersurface == C.WATER_LAKE:
+                    # CLM lake model for lakemask cells
+                    # (lsm_driver.f90:1075-1140). Precip input: accumulated
+                    # precipitation since the last lsm call, like the Noah
+                    # call's RAINBL (the reference passes a stale
+                    # current_precipitation module variable here — its
+                    # assignment at lsm_driver.f90:1082 is commented out;
+                    # we use the freshly computed delta instead).
+                    from ..physics import water_lake as lake_mod
+                    lakemask = s["lakemask"] > 0.5
+                    precip_delta = jnp.maximum(
+                        (s["precipitation"] - s["rainbl"]).astype(
+                            jnp.float32), 0.0)
+                    lout, lfields = lake_mod.lake_driver(
+                        s, s["temperature"][0], s["pressure_interface"][0],
+                        s["pressure_interface"][1],
+                        jnp.asarray(geom.dz_interface)[0],
+                        s["water_vapor"][0], s["u_mass"][0], s["v_mass"][0],
+                        s["longwave"], s["shortwave"], precip_delta,
+                        jnp.asarray(geom.lat), lsm_dt)
+                    sh = jnp.where(lakemask, lout["hfx"], sh)
+                    lh = jnp.where(lakemask, lout["lh"], lh)
+                    tskin = jnp.where(lakemask, lout["tsk"], tskin)
+                    s["ground_heat_flux"] = jnp.where(
+                        lakemask, lout["grdflx"], s["ground_heat_flux"])
+                    s["albedo"] = jnp.where(
+                        lakemask, lout["albedo"], s["albedo"])
+                    for k, v in lfields.items():
+                        m = lakemask[None] if v.ndim == 3 else lakemask
+                        s[k] = jnp.where(m, v.astype(s[k].dtype), s[k])
+                    if phys.landsurface != C.LSM_NOAH:
+                        s["rainbl"] = s["precipitation"]
                 if phys.landsurface == C.LSM_NOAH:
                     from ..physics import lsm_noah as noah_mod
                     from ..physics.noah_params import load_tables

@@ -39,12 +39,21 @@ class VarSpec:
             return (ny + (self.stagger == "y"), nx + (self.stagger == "x"))
         if self.dims == "soil":
             return (NUM_SOIL_LAYERS, ny, nx)
+        if self.dims == "lake":
+            return (NUM_LAKE_LAYERS, ny, nx)
+        if self.dims == "soisno":
+            return (NUM_SNOW_LAYERS + NUM_SOIL_LAYERS, ny, nx)
+        if self.dims == "soisno_i":
+            return (NUM_SNOW_LAYERS + NUM_SOIL_LAYERS + 1, ny, nx)
         dz = nz + 1 if self.stagger == "zi" else nz
         return (dz, ny + (self.stagger == "y"), nx + (self.stagger == "x"))
 
 
 # Noah/NoahMP soil column depth (lsm_driver.f90:517 DZs=[0.1,0.3,0.6,1.0])
 NUM_SOIL_LAYERS = 4
+# CLM lake model column (water_lake.f90:44-46)
+NUM_LAKE_LAYERS = 10
+NUM_SNOW_LAYERS = 5
 
 
 def _v(name, dims="3d", **kw) -> VarSpec:
@@ -145,6 +154,29 @@ _SPECS = [
     _v("convective_precipitation", dims="2d", units="mm", dtype="float64"),
     _v("swe", dims="2d", units="mm", standard_name="liquid_water_content_of_surface_snow"),
     _v("snow_height", dims="2d", units="m", standard_name="surface_snow_thickness"),
+    # CLM lake model state (water=3; kVARS lake fields, lsm_driver.f90:216-237)
+    _v("lake_depth", dims="2d", units="m", forcing_name="lake_depth"),
+    _v("lakemask", dims="2d", units="1"),
+    _v("lakedepth2d", dims="2d", units="m", default=50.0),
+    _v("savedtke12d", dims="2d", units="W m-1 K-1", default=0.6),
+    _v("snl2d", dims="2d", units="1"),
+    _v("t_grnd2d", dims="2d", units="K", default=277.0),
+    _v("t_lake3d", dims="lake", units="K", default=277.0),
+    _v("lake_icefrac3d", dims="lake", units="1"),
+    _v("z_lake3d", dims="lake", units="m"),
+    _v("dz_lake3d", dims="lake", units="m", default=5.0),
+    _v("t_soisno3d", dims="soisno", units="K", default=277.0),
+    _v("h2osoi_ice3d", dims="soisno", units="kg m-2"),
+    _v("h2osoi_liq3d", dims="soisno", units="kg m-2"),
+    _v("h2osoi_vol3d", dims="soisno", units="m3 m-3"),
+    _v("z3d", dims="soisno", units="m"),
+    _v("dz3d", dims="soisno", units="m", default=0.1),
+    _v("zi3d", dims="soisno_i", units="m"),
+    _v("watsat3d", dims="soil", units="m3 m-3", default=0.42),
+    _v("csol3d", dims="soil", units="J m-3 K-1", default=2.2e6),
+    _v("tkmg3d", dims="soil", units="W m-1 K-1", default=1.5),
+    _v("tkdry3d", dims="soil", units="W m-1 K-1", default=0.2),
+    _v("tksatu3d", dims="soil", units="W m-1 K-1", default=1.0),
 ]
 
 REGISTRY = {s.name: s for s in _SPECS}
@@ -320,6 +352,27 @@ def collect_requests(options) -> VarRequest:
     if phys.watersurface != C.WATER_NONE:
         req.alloc_vars(["sst", "skin_temperature", "sensible_heat",
                         "latent_heat", "ustar", "land_mask"])
+    if phys.watersurface == C.WATER_LAKE:
+        # lake_var_request (lsm_driver.f90:216-237)
+        req.alloc_vars(["lake_depth", "lakemask", "lakedepth2d",
+                        "savedtke12d", "snl2d", "t_grnd2d", "t_lake3d",
+                        "lake_icefrac3d", "z_lake3d", "dz_lake3d",
+                        "t_soisno3d", "h2osoi_ice3d", "h2osoi_liq3d",
+                        "h2osoi_vol3d", "z3d", "dz3d", "zi3d", "watsat3d",
+                        "csol3d", "tkmg3d", "tkdry3d", "tksatu3d",
+                        "veg_type", "soil_type", "swe", "snow_height",
+                        "emissivity", "albedo", "ground_heat_flux",
+                        "temperature_2m", "humidity_2m", "rainbl",
+                        "precipitation", "u_mass", "v_mass", "temperature",
+                        "pressure_interface", "water_vapor", "shortwave",
+                        "longwave", "latitude"])
+        req.restart_vars(["lakemask", "lakedepth2d", "savedtke12d", "snl2d",
+                          "t_grnd2d", "t_lake3d", "lake_icefrac3d",
+                          "z_lake3d", "dz_lake3d", "t_soisno3d",
+                          "h2osoi_ice3d", "h2osoi_liq3d", "h2osoi_vol3d",
+                          "z3d", "dz3d", "zi3d", "watsat3d", "csol3d",
+                          "tkmg3d", "tkdry3d", "tksatu3d", "swe",
+                          "snow_height"])
 
     # diagnostics always useful
     req.alloc_vars(["ivt", "iwv", "iwl", "iwi", "u_10m", "v_10m", "ustar",
