@@ -307,7 +307,7 @@ class Options:
                      C.WIND_ITERATIVE, C.WIND_LINEAR_ITERATIVE),
             "pbl": (C.PBL_NONE, C.PBL_SIMPLE, C.PBL_YSU),
             "rad": (C.RA_NONE, C.RA_BASIC, C.RA_SIMPLE),
-            "lsm": (C.LSM_NONE, C.LSM_BASIC, C.LSM_NOAH),
+            "lsm": (C.LSM_NONE, C.LSM_BASIC, C.LSM_NOAH, C.LSM_NOAHMP),
             "water": (C.WATER_NONE, C.WATER_SIMPLE, C.WATER_LAKE),
             "conv": (C.CU_NONE, C.CU_TIEDTKE, C.CU_NSAS, C.CU_BMJ),
         }

@@ -62,6 +62,7 @@ class ICARDriver:
         self._install_initial_conditions(raw0)
         self._install_external_conditions()
         self._init_lake()
+        self._init_noahmp()
         if mesh is not None:
             self.model.attach_mesh(mesh)
 
@@ -183,6 +184,52 @@ class ICARDriver:
         m.state = s
         n_lake = int(fields["lakemask"].sum())
         print(f"lake model initialized: {n_lake} lake cells")
+
+    def _init_noahmp(self):
+        """NoahMP prognostic-state initialization (noahmp_init +
+        snow_init, lsm_noahmpdrv.f90:1443-2149). Skipped on restart."""
+        from .. import constants as C
+        o = self.options
+        if o.physics.landsurface != C.LSM_NOAHMP or o.run.restart:
+            return
+        from ..physics import noahmp as nmp
+        from ..physics.noahmp_params import load_mp_tables
+        from ..physics.noah_params import load_tables
+        m = self.model
+        s = dict(m.state)
+        init = nmp.noahmp_init_state(
+            np.asarray(s["skin_temperature"]),
+            np.asarray(s["swe"], np.float32),
+            np.asarray(s["snow_height"]),
+            np.asarray(s["soil_temperature"]),
+            np.asarray(s["soil_water_content"]),
+            np.asarray(s["soil_type"]), np.asarray(s["veg_type"]),
+            load_mp_tables(lu_categories=o.lsm.LU_Categories),
+            load_tables())
+        mapping = {
+            "snow_albedo_prev": "albold", "snow_water_eq_prev": "sneqvo",
+            "soil_liquid_water": "sh2o", "soil_water_content": "smc",
+            "canopy_temperature": "tah",
+            "canopy_vapor_pressure": "eah", "canopy_fwet": "fwet",
+            "canopy_water_liquid": "canliq", "canopy_water_ice": "canice",
+            "veg_leaf_temperature": "tv", "ground_surf_temperature": "tg",
+            "snow_layer_depth": "zsnso", "snow_height": "snowh",
+            "snow_layer_ice": "snice",
+            "snow_layer_liquid_water": "snliq",
+            "water_table_depth": "zwt", "water_aquifer": "wa",
+            "storage_gw": "wt", "lai": "lai", "sai": "sai",
+            "coeff_momentum_drag": "cm", "coeff_heat_exchange": "ch",
+            "snow_age_factor": "tauss", "swe": "sneqv",
+        }
+        for field, key in mapping.items():
+            if field in s:
+                s[field] = jnp.asarray(init[key], s[field].dtype)
+        s["snow_nlayers"] = jnp.asarray(init["isnow"], jnp.float32)
+        nsn = s["snow_temperature"].shape[0]
+        s["snow_temperature"] = jnp.asarray(init["stc"][:nsn])
+        s["soil_temperature"] = jnp.asarray(init["stc"][nsn:])
+        m.state = s
+        print("NoahMP state initialized")
 
     def _apply_rain_fraction(self, precip_before, t):
         """Scale this interval's precipitation increment by the monthly

@@ -226,6 +226,131 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     s["runoff_subsurface"] = (s["runoff_subsurface"]
                                               + nout["runoff_subsurface"])
                     s["rainbl"] = s["precipitation"]
+                if phys.landsurface == C.LSM_NOAHMP:
+                    # NoahMP (lsm_driver.f90:1293-1517); cosz from the
+                    # solar-elevation helper exactly as the reference
+                    # (cosine_zenith_angle = sin(solar_elevation),
+                    # lsm_driver.f90:1336-1338)
+                    from ..physics import noahmp as nmp_mod
+                    from ..physics import ra_simple as ra_mod
+                    from ..physics.noahmp_params import (load_mp_tables,
+                                                         resolve_params)
+                    from ..physics.noah_params import load_tables
+                    mp_tables = load_mp_tables(
+                        lu_categories=options.lsm.LU_Categories)
+                    veg_t = s["veg_type"].astype(jnp.int32)
+                    soil_t = s["soil_type"].astype(jnp.int32)
+                    pnmp = resolve_params(mp_tables, load_tables(),
+                                          veg_t, soil_t)
+                    doy = aux["day_of_year0"] + t / 86400.0
+                    elev, _ = ra_mod.solar_elevation(
+                        doy, aux["year_length"], lon2d, sin_lat, cos_lat)
+                    cosz = jnp.sin(elev)
+                    land = s["land_mask"] == 1.0
+                    precip_delta = jnp.maximum(
+                        (s["precipitation"] - s["rainbl"]).astype(
+                            jnp.float32), 0.0)
+                    nstate = dict(
+                        albold=s["snow_albedo_prev"],
+                        sneqvo=s["snow_water_eq_prev"],
+                        stc=jnp.concatenate([s["snow_temperature"],
+                                             s["soil_temperature"]],
+                                            axis=0),
+                        sh2o=s["soil_liquid_water"],
+                        smc=s["soil_water_content"],
+                        tah=s["canopy_temperature"],
+                        eah=s["canopy_vapor_pressure"],
+                        fwet=s["canopy_fwet"],
+                        canliq=s["canopy_water_liquid"],
+                        canice=s["canopy_water_ice"],
+                        tv=s["veg_leaf_temperature"],
+                        tg=s["ground_surf_temperature"],
+                        qsfc=s["water_vapor"][0],
+                        isnow=s["snow_nlayers"].astype(jnp.int32),
+                        zsnso=s["snow_layer_depth"],
+                        snowh=s["snow_height"],
+                        sneqv=s["swe"].astype(jnp.float32),
+                        snice=s["snow_layer_ice"],
+                        snliq=s["snow_layer_liquid_water"],
+                        zwt=s["water_table_depth"],
+                        wa=s["water_aquifer"],
+                        wt=s["storage_gw"],
+                        lai=s["lai"], sai=s["sai"],
+                        cm=s["coeff_momentum_drag"],
+                        ch=s["coeff_heat_exchange"],
+                        tauss=s["snow_age_factor"])
+                    nout, nnew = nmp_mod.noahmp_driver(
+                        pnmp, jnp.asarray(geom.lat), aux["year_length"],
+                        doy, cosz, lsm_dt, s["vegetation_fraction"],
+                        veg_t, s["temperature"][0],
+                        s["pressure_interface"][1],
+                        s["pressure_interface"][0],
+                        s["u_mass"][0], s["v_mass"][0],
+                        s["water_vapor"][0], s["shortwave"],
+                        s["longwave"], precip_delta,
+                        s["soil_deep_temperature"], z_atm, nstate)
+                    sh = jnp.where(land, nout["hfx"], sh)
+                    lh = jnp.where(land, nout["lh"], lh)
+                    tskin = jnp.where(land, nout["tsk"], tskin)
+                    z0 = jnp.where(land, nout["z0wrf"], z0)
+                    qv_surf = jnp.where(land, nout["q1"], qv_surf)
+                    s["ground_heat_flux"] = jnp.where(
+                        land, nout["grdflx"], s["ground_heat_flux"])
+                    alb_valid = land & (nout["albedo"] > 0.0)
+                    s["albedo"] = jnp.where(alb_valid, nout["albedo"],
+                                            s["albedo"])
+                    s["emissivity"] = jnp.where(land, nout["emissi"],
+                                                s["emissivity"])
+                    s["runoff_surface"] = s["runoff_surface"] \
+                        + jnp.where(land, nout["runsrf"] * lsm_dt, 0.0)
+                    s["runoff_subsurface"] = s["runoff_subsurface"] \
+                        + jnp.where(land, nout["runsub"] * lsm_dt, 0.0)
+                    for name, key in (
+                            ("snow_albedo_prev", "albold"),
+                            ("snow_water_eq_prev", "sneqvo"),
+                            ("soil_liquid_water", "sh2o"),
+                            ("soil_water_content", "smc"),
+                            ("canopy_temperature", "tah"),
+                            ("canopy_vapor_pressure", "eah"),
+                            ("canopy_fwet", "fwet"),
+                            ("canopy_water_liquid", "canliq"),
+                            ("canopy_water_ice", "canice"),
+                            ("veg_leaf_temperature", "tv"),
+                            ("ground_surf_temperature", "tg"),
+                            ("snow_layer_depth", "zsnso"),
+                            ("snow_height", "snowh"),
+                            ("snow_layer_ice", "snice"),
+                            ("snow_layer_liquid_water", "snliq"),
+                            ("water_table_depth", "zwt"),
+                            ("water_aquifer", "wa"),
+                            ("storage_gw", "wt"),
+                            ("lai", "lai"), ("sai", "sai"),
+                            ("coeff_momentum_drag", "cm"),
+                            ("coeff_heat_exchange", "ch"),
+                            ("snow_age_factor", "tauss")):
+                        v = nnew[key]
+                        m = land[None] if v.ndim == 3 else land
+                        s[name] = jnp.where(m, v.astype(s[name].dtype),
+                                            s[name])
+                    nsn = len(s["snow_temperature"])
+                    s["snow_temperature"] = jnp.where(
+                        land[None], nnew["stc"][:nsn],
+                        s["snow_temperature"])
+                    s["soil_temperature"] = jnp.where(
+                        land[None], nnew["stc"][nsn:],
+                        s["soil_temperature"])
+                    s["snow_nlayers"] = jnp.where(
+                        land, nnew["isnow"].astype(jnp.float32),
+                        s["snow_nlayers"])
+                    s["swe"] = jnp.where(
+                        land,
+                        jnp.minimum(nnew["sneqv"], options.lsm.max_swe),
+                        s["swe"].astype(jnp.float32)).astype(
+                            s["swe"].dtype)
+                    s["canopy_water"] = jnp.where(
+                        land, nnew["canliq"] + nnew["canice"],
+                        s["canopy_water"])
+                    s["rainbl"] = s["precipitation"]
                 lnz2 = jnp.log((2.0 + z0) / z0)
                 ex2 = (C.KARMAN / lnz2) ** 2 * wind
                 t2, q2 = sfc_mod.surface_diagnostics(

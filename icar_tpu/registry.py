@@ -45,6 +45,10 @@ class VarSpec:
             return (NUM_SNOW_LAYERS + NUM_SOIL_LAYERS, ny, nx)
         if self.dims == "soisno_i":
             return (NUM_SNOW_LAYERS + NUM_SOIL_LAYERS + 1, ny, nx)
+        if self.dims == "snowlayer":
+            return (NUM_NMP_SNOW_LAYERS, ny, nx)
+        if self.dims == "snowsoil":
+            return (NUM_NMP_SNOW_LAYERS + NUM_SOIL_LAYERS, ny, nx)
         dz = nz + 1 if self.stagger == "zi" else nz
         return (dz, ny + (self.stagger == "y"), nx + (self.stagger == "x"))
 
@@ -54,6 +58,8 @@ NUM_SOIL_LAYERS = 4
 # CLM lake model column (water_lake.f90:44-46)
 NUM_LAKE_LAYERS = 10
 NUM_SNOW_LAYERS = 5
+# NoahMP snow stack (lsm_noahmpdrv.f90:512)
+NUM_NMP_SNOW_LAYERS = 3
 
 
 def _v(name, dims="3d", **kw) -> VarSpec:
@@ -177,6 +183,30 @@ _SPECS = [
     _v("tkmg3d", dims="soil", units="W m-1 K-1", default=1.5),
     _v("tkdry3d", dims="soil", units="W m-1 K-1", default=0.2),
     _v("tksatu3d", dims="soil", units="W m-1 K-1", default=1.0),
+    # NoahMP prognostic state (lsm=4; kVARS names from the noahmplsm call,
+    # lsm_driver.f90:1340-1512)
+    _v("snow_nlayers", dims="2d", units="1"),
+    _v("veg_leaf_temperature", dims="2d", units="K", default=285.0),
+    _v("ground_surf_temperature", dims="2d", units="K", default=285.0),
+    _v("canopy_water_ice", dims="2d", units="mm"),
+    _v("canopy_water_liquid", dims="2d", units="mm"),
+    _v("canopy_vapor_pressure", dims="2d", units="Pa", default=2000.0),
+    _v("canopy_temperature", dims="2d", units="K", default=285.0),
+    _v("coeff_momentum_drag", dims="2d", units="1"),
+    _v("coeff_heat_exchange", dims="2d", units="1"),
+    _v("canopy_fwet", dims="2d", units="1"),
+    _v("snow_water_eq_prev", dims="2d", units="mm"),
+    _v("snow_albedo_prev", dims="2d", units="1", default=0.65),
+    _v("snow_age_factor", dims="2d", units="1"),
+    _v("water_table_depth", dims="2d", units="m", default=2.5),
+    _v("water_aquifer", dims="2d", units="mm", default=4900.0),
+    _v("storage_gw", dims="2d", units="mm", default=4900.0),
+    _v("lai", dims="2d", units="m2 m-2", default=0.5),
+    _v("sai", dims="2d", units="m2 m-2", default=0.1),
+    _v("snow_temperature", dims="snowlayer", units="K"),
+    _v("snow_layer_depth", dims="snowsoil", units="m"),
+    _v("snow_layer_ice", dims="snowlayer", units="mm"),
+    _v("snow_layer_liquid_water", dims="snowlayer", units="mm"),
 ]
 
 REGISTRY = {s.name: s for s in _SPECS}
@@ -349,6 +379,38 @@ def collect_requests(options) -> VarRequest:
         req.restart_vars(["soil_liquid_water", "canopy_water", "snow_cover",
                           "snow_time", "albedo", "emissivity",
                           "roughness_z0", "rainbl"])
+    if phys.landsurface == C.LSM_NOAHMP:
+        # NoahMP prognostic column (lsm_var_request for kLSM_NOAHMP,
+        # lsm_driver.f90:145-242)
+        req.alloc_vars(["soil_liquid_water", "soil_deep_temperature",
+                        "canopy_water", "snow_cover", "emissivity",
+                        "ground_heat_flux", "runoff_surface",
+                        "runoff_subsurface", "veg_type", "soil_type",
+                        "rainbl", "u_10m", "v_10m", "precipitation",
+                        "surface_pressure", "temperature",
+                        "pressure_interface", "density", "u_mass",
+                        "v_mass", "snow_nlayers", "veg_leaf_temperature",
+                        "ground_surf_temperature", "canopy_water_ice",
+                        "canopy_water_liquid", "canopy_vapor_pressure",
+                        "canopy_temperature", "coeff_momentum_drag",
+                        "coeff_heat_exchange", "canopy_fwet",
+                        "snow_water_eq_prev", "snow_albedo_prev",
+                        "snow_age_factor", "water_table_depth",
+                        "water_aquifer", "storage_gw", "lai", "sai",
+                        "snow_temperature", "snow_layer_depth",
+                        "snow_layer_ice", "snow_layer_liquid_water"])
+        req.restart_vars(["soil_liquid_water", "canopy_water_ice",
+                          "canopy_water_liquid", "canopy_vapor_pressure",
+                          "canopy_temperature", "canopy_fwet",
+                          "veg_leaf_temperature",
+                          "ground_surf_temperature", "snow_nlayers",
+                          "snow_water_eq_prev", "snow_albedo_prev",
+                          "snow_age_factor", "water_table_depth",
+                          "water_aquifer", "storage_gw", "lai", "sai",
+                          "snow_temperature", "snow_layer_depth",
+                          "snow_layer_ice", "snow_layer_liquid_water",
+                          "coeff_momentum_drag", "coeff_heat_exchange",
+                          "rainbl"])
     if phys.watersurface != C.WATER_NONE:
         req.alloc_vars(["sst", "skin_temperature", "sensible_heat",
                         "latent_heat", "ustar", "land_mask"])
