@@ -350,6 +350,68 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     s["canopy_water"] = jnp.where(
                         land, nnew["canliq"] + nnew["canice"],
                         s["canopy_water"])
+                    # glacier cells (vegtype == isice) use the dedicated
+                    # glacier column (noahmplsm, lsm_noahmpdrv.f90:876)
+                    from ..physics import noahmp_glacier as gla_mod
+                    gmask = land & (veg_t == mp_tables.isice)
+                    gstate = dict(nstate)
+                    ficeold_g = jnp.where(
+                        nstate["snice"] + nstate["snliq"] > 0.0,
+                        nstate["snice"]
+                        / jnp.maximum(nstate["snice"] + nstate["snliq"],
+                                      1e-6), 0.0)
+                    qair_g = s["water_vapor"][0] \
+                        / (1.0 + s["water_vapor"][0])
+                    gout, gnew = gla_mod.glacier_sflx(
+                        pnmp, cosz, lsm_dt, jnp.asarray(nmp_mod.ZSOIL),
+                        s["temperature"][0], s["pressure_interface"][1],
+                        s["u_mass"][0], s["v_mass"][0], qair_g,
+                        s["shortwave"], s["longwave"],
+                        precip_delta / lsm_dt,
+                        s["soil_deep_temperature"], ficeold_g, z_atm,
+                        gstate)
+                    sh = jnp.where(gmask, gout["fsh"], sh)
+                    lh = jnp.where(gmask, gout["fgev"], lh)
+                    tskin = jnp.where(gmask, gout["trad"], tskin)
+                    s["ground_heat_flux"] = jnp.where(
+                        gmask, gout["ssoil"], s["ground_heat_flux"])
+                    galb = gmask & (gout["albedo"] > 0.0)
+                    s["albedo"] = jnp.where(galb, gout["albedo"],
+                                            s["albedo"])
+                    s["runoff_surface"] = s["runoff_surface"] \
+                        + jnp.where(gmask, gout["runsrf"] * lsm_dt, 0.0)
+                    s["runoff_subsurface"] = s["runoff_subsurface"] \
+                        + jnp.where(gmask, gout["runsub"] * lsm_dt, 0.0)
+                    for name, key in (
+                            ("snow_water_eq_prev", "sneqvo"),
+                            ("soil_liquid_water", "sh2o"),
+                            ("soil_water_content", "smc"),
+                            ("ground_surf_temperature", "tg"),
+                            ("snow_layer_depth", "zsnso"),
+                            ("snow_height", "snowh"),
+                            ("snow_layer_ice", "snice"),
+                            ("snow_layer_liquid_water", "snliq"),
+                            ("coeff_momentum_drag", "cm"),
+                            ("coeff_heat_exchange", "ch"),
+                            ("snow_age_factor", "tauss")):
+                        v = gnew[key]
+                        m = gmask[None] if v.ndim == 3 else gmask
+                        s[name] = jnp.where(m, v.astype(s[name].dtype),
+                                            s[name])
+                    s["snow_temperature"] = jnp.where(
+                        gmask[None], gnew["stc"][:nsn],
+                        s["snow_temperature"])
+                    s["soil_temperature"] = jnp.where(
+                        gmask[None], gnew["stc"][nsn:],
+                        s["soil_temperature"])
+                    s["snow_nlayers"] = jnp.where(
+                        gmask, gnew["isnow"].astype(jnp.float32),
+                        s["snow_nlayers"])
+                    s["swe"] = jnp.where(
+                        gmask,
+                        jnp.minimum(gnew["sneqv"], options.lsm.max_swe),
+                        s["swe"].astype(jnp.float32)).astype(
+                            s["swe"].dtype)
                     s["rainbl"] = s["precipitation"]
                 lnz2 = jnp.log((2.0 + z0) / z0)
                 ex2 = (C.KARMAN / lnz2) ** 2 * wind

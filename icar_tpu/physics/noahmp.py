@@ -1458,14 +1458,14 @@ def _combo_nmp(dz1, liq1, ice1, t1, dz2, liq2, ice2, t2):
 
 
 def snowfall_acc(p, dt, qsnow, snowhin, sfctmp, isnow, snowh, sneqv,
-                 dzsnso, stc, snice, snliq):
+                 dzsnso, stc, snice, snliq, new_layer_thresh=0.025):
     """Snow accumulation and new-layer initiation (SNOWFALL,
     :6433-6501). dzsnso here is the POSITIVE thickness stack."""
     bulk = (isnow == 0) & (qsnow > 0.0)
     snowh = jnp.where(bulk, snowh + snowhin * dt, snowh)
     sneqv = jnp.where(bulk, sneqv + qsnow * dt, sneqv)
 
-    newnode = bulk & (snowh >= 0.025)
+    newnode = bulk & (snowh >= new_layer_thresh)
     m0 = NSNOW - 1
     isnow = jnp.where(newnode, -1, isnow)
     dzsnso = dzsnso.at[m0].set(jnp.where(newnode, snowh, dzsnso[m0]))
@@ -1517,7 +1517,8 @@ def compact_snow(p, dt, stc, snice, snliq, imelt, ficeold, isnow, dzsnso):
 
 
 def combine_snow(p, isnow, sh2o, sice, stc, snice, snliq, dzsnso, snowh,
-                 sneqv, dzsnso_soil1):
+                 sneqv, dzsnso_soil1, dzmin_vals=(0.025, 0.025, 0.1),
+                 gone_thresh=0.025, glacier=False):
     """Merge thin/ice-poor snow layers (COMBINE, :6503-6689); positive
     thickness stack. dzmin = [0.025, 0.025, 0.1]."""
     ny, nx = isnow.shape
@@ -1543,8 +1544,10 @@ def combine_snow(p, isnow, sh2o, sice, stc, snice, snliq, dzsnso, snowh,
             snice = snice.at[m - 1].add(jnp.where(up, snice[m], 0.0))
             dzsnso = dzsnso.at[m - 1].add(jnp.where(up, dzsnso[m], 0.0))
             solo = low & ~multi
-            pos = snice[m] >= 0.0
-            ponding1 = jnp.where(solo & pos, snliq[m], ponding1)
+            pos = (snice[m] >= 0.0) | glacier
+            ponding1 = jnp.where(
+                solo & pos,
+                (ponding1 + snliq[m]) if glacier else snliq[m], ponding1)
             sneqv = jnp.where(solo & pos, snice[m], sneqv)
             snowh = jnp.where(solo & pos, dzsnso[m], snowh)
             p1n = snliq[m] + snice[m]
@@ -1579,14 +1582,14 @@ def combine_snow(p, isnow, sh2o, sice, stc, snice, snliq, dzsnso, snowh,
     sneqv = jnp.where(multi, sneqv_s, sneqv)
     snowh = jnp.where(multi, snowh_s, snowh)
 
-    gone = multi & (snowh < 0.025)
+    gone = multi & (snowh < gone_thresh)
     isnow = jnp.where(gone, 0, isnow)
     sneqv = jnp.where(gone, zwice, sneqv)
     ponding2 = jnp.where(gone, zwliq, ponding2)
     snowh = jnp.where(gone & (sneqv <= 0.0), 0.0, snowh)
 
     # pass 2: combine below-minimum layers
-    dzmin = jnp.asarray([0.025, 0.025, 0.1], jnp.float32)
+    dzmin = jnp.asarray(list(dzmin_vals), jnp.float32)
     isnow_old2 = isnow
     mssi = jnp.ones_like(isnow)
     for i in range(-NSNOW + 1, 1):
@@ -1627,7 +1630,7 @@ def combine_snow(p, isnow, sh2o, sice, stc, snice, snliq, dzsnso, snowh,
             ponding1, ponding2)
 
 
-def divide_snow(p, isnow, stc, snice, snliq, dzsnso):
+def divide_snow(p, isnow, stc, snice, snliq, dzsnso, split2_thresh=0.20):
     """Subdivide thick layers (DIVIDE, :6691-6817); NoahMP's 3-layer
     cascade in top-down compressed coordinates."""
     msno = -isnow
@@ -1668,7 +1671,7 @@ def divide_snow(p, isnow, stc, snice, snliq, dzsnso):
     swice = swice.at[1].set(jnp.where(c1, icec, swice[1]))
     tsno = tsno.at[1].set(jnp.where(c1, tc, tsno[1]))
     # split layer 2 with temperature gradient (:6769-6783)
-    c2 = c1 & (msno <= 2) & (dz[1] > 0.20)
+    c2 = c1 & (msno <= 2) & (dz[1] > split2_thresh)
     dtdz = (tsno[0] - tsno[1]) / jnp.maximum((dz[0] + dz[1]) / 2.0, MPE)
     half2 = 0.5 * dz[1]
     t3 = tsno[1] - dtdz * half2 / 2.0
@@ -2268,6 +2271,14 @@ def noahmp_init_state(tsk, swe, snow_height, soil_t, soil_m, soiltype,
               * ((tslb - t0) / tslb)) ** (-1.0 / bexp[None]) * smcmax[None]
     fk = np.maximum(np.where(np.isfinite(fk), fk, 0.02), 0.02)
     sh2o = np.where(tslb < 273.149, np.minimum(fk, smois), smois)
+
+    # glacier cells start fully frozen (noahmp_init, :1792-1800)
+    isice = np.asarray(vegtype) == mp_tables.isice
+    smois = np.where(isice[None], 1.0, smois)
+    sh2o = np.where(isice[None], 0.0, sh2o)
+    tslb = np.where(isice[None], np.minimum(tslb, 263.15), tslb)
+    snow = np.where(isice, np.maximum(snow, 10.0), snow)
+    snowh = np.where(isice, snow * 0.01, snowh)
 
     cold = (snow > 0.0) & (tsk > 273.15)
     t_init = np.where(cold, 273.15, tsk).astype(np.float32)

@@ -267,3 +267,73 @@ class TestModelIntegration:
             assert np.all(np.isfinite(v)), name
         tsk = np.asarray(m.field("skin_temperature"))
         assert np.all((tsk > 240.0) & (tsk < 330.0))
+
+
+class TestGlacier:
+    def _setup(self, tsk=265.0, swe=500.0):
+        tables = load_mp_tables()
+        nt = load_tables()
+        ny, nx = 2, 3
+        vegtype = jnp.full((ny, nx), tables.isice, jnp.int32)
+        soiltype = jnp.full((ny, nx), 6, jnp.int32)
+        p = resolve_params(tables, nt, vegtype, soiltype)
+        st = nmp.noahmp_init_state(
+            np.full((ny, nx), tsk, np.float32),
+            np.full((ny, nx), swe, np.float32),
+            np.zeros((ny, nx), np.float32),
+            np.full((nmp.NSOIL, ny, nx), 262.0, np.float32),
+            np.full((nmp.NSOIL, ny, nx), 0.3, np.float32),
+            np.asarray(soiltype), np.asarray(vegtype), tables, nt)
+        st = {k: jnp.asarray(v) for k, v in st.items()}
+        return p, st
+
+    def _drive(self, p, st, t_air, sw, lw, prcp_mm=0.0, cosz=0.3,
+               dt=1800.0, nsteps=1):
+        from icar_tpu.physics import noahmp_glacier as gla
+        ny, nx = st["tg"].shape
+        full = lambda v: jnp.full((ny, nx), v, jnp.float32)
+        out = None
+        for _ in range(nsteps):
+            out, st = gla.glacier_sflx(
+                p, full(cosz), dt, jnp.asarray(nmp.ZSOIL), full(t_air),
+                full(85000.0), full(5.0), full(0.0), full(0.002),
+                full(sw), full(lw), full(prcp_mm / dt), full(260.0),
+                jnp.ones((nmp.NSNOW, ny, nx)), full(30.0), st)
+        return out, st
+
+    def test_init_frozen(self):
+        p, st = self._setup()
+        assert np.all(np.asarray(st["smc"]) == 1.0)
+        assert np.all(np.asarray(st["sh2o"]) == 0.0)
+        assert np.all(np.asarray(st["stc"][nmp.NSNOW:]) <= 263.15)
+        assert np.all(np.asarray(st["sneqv"]) >= 10.0)
+
+    def test_cold_stable(self):
+        p, st = self._setup(tsk=255.0)
+        out, st2 = self._drive(p, st, t_air=250.0, sw=100.0, lw=180.0,
+                               nsteps=12)
+        tg = np.asarray(st2["tg"])
+        assert np.all(np.isfinite(tg)) and np.all((tg > 230) & (tg < 274))
+        # high albedo over glacier snow
+        assert float(np.asarray(out["albedo"]).min()) > 0.4
+        assert np.all(np.asarray(st2["smc"]) <= 1.0 + 1e-6)
+
+    def test_summer_melt_runoff(self):
+        # thin pack so percolation breaks through within the test window
+        p, st = self._setup(tsk=271.0, swe=30.0)
+        out, st2 = self._drive(p, st, t_air=283.0, sw=600.0, lw=340.0,
+                               cosz=0.8, nsteps=24)
+        # melting glacier: surface pinned near freezing, snow shrinking,
+        # melt percolating through to runoff
+        assert float(np.asarray(st2["tg"]).max()) <= 273.2
+        assert float(np.asarray(st2["sneqv"]).max()) < 30.0
+        assert float(np.asarray(out["qmelt"]).max()) > 0.0
+        assert float(np.asarray(out["runsrf"]).max()) > 0.0
+        assert np.all(np.isfinite(np.asarray(st2["stc"])))
+
+    def test_snowfall_on_glacier(self):
+        p, st = self._setup(tsk=260.0, swe=20.0)
+        out, st2 = self._drive(p, st, t_air=263.0, sw=50.0, lw=200.0,
+                               prcp_mm=3.0, nsteps=20)
+        assert float(np.asarray(st2["sneqv"]).min()) > 20.0
+        assert np.all(np.asarray(st2["isnow"]) < 0)
