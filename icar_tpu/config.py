@@ -108,6 +108,18 @@ class CuOptions:
 
 
 @dataclass
+class BlockOptions:
+    """Flow-blocking parameterization (block_parameters namelist,
+    options_obj.f90:1340-1385)."""
+    block_flow: bool = False
+    blocking_contribution: float = 0.5
+    smooth_froude_distance: float = 6000.0
+    n_smoothing_passes: int = 3
+    block_fr_max: float = 0.75
+    block_fr_min: float = 0.5
+
+
+@dataclass
 class BiasOptions:
     """Online precipitation bias correction (bias_parameters namelist,
     options_obj.f90:1722-1765)."""
@@ -251,6 +263,7 @@ class Options:
     mp: MpOptions = field(default_factory=MpOptions)
     cu: CuOptions = field(default_factory=CuOptions)
     bias: BiasOptions = field(default_factory=BiasOptions)
+    block: BlockOptions = field(default_factory=BlockOptions)
     lsm: LsmOptions = field(default_factory=LsmOptions)
     rad: RadOptions = field(default_factory=RadOptions)
     version: str = C.VERSION_STRING
@@ -474,7 +487,9 @@ class Options:
         # field-for-field namelist groups (options_obj.f90:1537+,1767+,1860+)
         for group, obj, cls_ in (("lsm_parameters", o.lsm, LsmOptions),
                                  ("cu_parameters", o.cu, CuOptions),
-                                 ("rad_parameters", o.rad, RadOptions)):
+                                 ("rad_parameters", o.rad, RadOptions),
+                                 ("block_parameters", o.block,
+                                  BlockOptions)):
             grp = {k.lower(): v for k, v in nml.get(group, {}).items()}
             for f in dataclasses.fields(cls_):
                 if f.name.lower() in grp:

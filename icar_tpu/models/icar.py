@@ -48,6 +48,8 @@ class ICARModel:
         self._lut_values = None
         self.u_perturbation = None
         self.v_perturbation = None
+        # flow-blocking LUT + terrain heights (initialize_blocking)
+        self._blocking = None
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -140,6 +142,29 @@ class ICARModel:
             lt.linear_update_fraction, lt.linear_contribution)
         return u, v
 
+    def _apply_blocking(self, u, v):
+        """Froude-number flow blocking (add_blocked_flow,
+        winds_blocking.f90:52-65; disabled by default as in the
+        reference's block_flow namelist switch)."""
+        from ..ops import blocking as blk
+        bo = self.options.block
+        if self._blocking is None:
+            dz = np.asarray(
+                self.options.domain.dz_levels[:self.geom.nz], np.float32)
+            self._blocking = blk.init_blocking(
+                np.asarray(self.geom.terrain, np.float64), self.geom.dx,
+                dz, self.options.lt, bo)
+        s = self.state
+        froude = blk.update_froude(
+            s["potential_temperature"], u, v, jnp.asarray(self.geom.z),
+            self._blocking.terrain_blocking,
+            max(1, int(round(bo.smooth_froude_distance / self.geom.dx))),
+            bo.n_smoothing_passes, bo.block_fr_max)
+        return blk.apply_blocking(
+            u, v, froude, self._blocking,
+            self.options.lt.stability_window_size,
+            bo.blocking_contribution, bo.block_fr_max, bo.block_fr_min)
+
     def compute_winds(self, u, v, rotate: bool = False):
         """Run the configured wind solver on (u, v); returns balanced
         (u, v, w) (update_winds, wind.f90:289-369)."""
@@ -151,11 +176,12 @@ class ICARModel:
         if self.options.physics.windtype in (C.WIND_LINEAR,
                                              C.WIND_LINEAR_ITERATIVE):
             lp = self._apply_linear_perturbation
+        bl = self._apply_blocking if self.options.block.block_flow else None
         return wind_ops.update_winds(
             u, v, self.geom, self.options.physics.windtype,
             self.options.run.wind_iterations,
             self.options.run.use_terrain_difference,
-            linear_perturbation=lp)
+            linear_perturbation=lp, blocking=bl)
 
     def set_initial_conditions(self, case: IdealCase, rotate: bool = True):
         """Install an ideal case as the initial state (get_initial_conditions

@@ -125,7 +125,7 @@ def iterative_winds(u, v, geom, n_iterations: int):
 
 def update_winds(u, v, geom, options_physics_windtype: int,
                  wind_iterations: int, use_terrain_difference: bool = False,
-                 linear_perturbation=None):
+                 linear_perturbation=None, blocking=None):
     """Wind solver dispatch (update_winds, wind.f90:289-369) minus the
     rotation step (applied by the caller once per forcing ingest).
 
@@ -137,6 +137,10 @@ def update_winds(u, v, geom, options_physics_windtype: int,
     if options_physics_windtype in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE):
         if linear_perturbation is not None:
             u, v = linear_perturbation(u, v)
+    if blocking is not None:
+        # flow-blocking perturbation (add_blocked_flow; the reference's
+        # commented hook sits at wind.f90:303-306)
+        u, v = blocking(u, v)
     if options_physics_windtype == C.WIND_CONSERVE_MASS:
         u, v = mass_conservative_acceleration(u, v, geom.zr_u, geom.zr_v)
     if options_physics_windtype in (C.WIND_ITERATIVE, C.WIND_LINEAR_ITERATIVE):
