@@ -166,9 +166,11 @@ class LsmOptions:
 @dataclass
 class RadOptions:
     update_interval_rrtmg: float = 1800.0
-    icloud: int = 1
+    icloud: int = 3                  # Thompson cal_cldfra3 (reference default)
     read_ghg: bool = False
     tzone: float = 0.0
+    use_simple_sw: bool = True       # RRTMG-LW + simple SW (rad_options)
+    rrtmg_support_dir: str = "rrtmg_support"
 
 
 @dataclass
@@ -319,7 +321,7 @@ class Options:
             "wind": (C.WIND_NONE, C.WIND_LINEAR, C.WIND_CONSERVE_MASS,
                      C.WIND_ITERATIVE, C.WIND_LINEAR_ITERATIVE),
             "pbl": (C.PBL_NONE, C.PBL_SIMPLE, C.PBL_YSU),
-            "rad": (C.RA_NONE, C.RA_BASIC, C.RA_SIMPLE),
+            "rad": (C.RA_NONE, C.RA_BASIC, C.RA_SIMPLE, C.RA_RRTMG),
             "lsm": (C.LSM_NONE, C.LSM_BASIC, C.LSM_NOAH, C.LSM_NOAHMP),
             "water": (C.WATER_NONE, C.WATER_SIMPLE, C.WATER_LAKE),
             "conv": (C.CU_NONE, C.CU_TIEDTKE, C.CU_NSAS, C.CU_BMJ),
@@ -335,6 +337,11 @@ class Options:
                     f"{name}={val} is a valid ICAR scheme but is not "
                     f"implemented in icar_tpu yet (implemented: "
                     f"{sorted(implemented[name])})")
+        if self.physics.radiation == C.RA_RRTMG \
+                and not self.rad.use_simple_sw:
+            errs.append("rad=3 with use_simple_sw=false needs RRTMG-SW, "
+                        "which is not implemented yet; set rad_parameters "
+                        "use_simple_sw=true (RRTMG-LW + simple shortwave)")
         if errs:
             raise ValueError("invalid options:\n  " + "\n  ".join(errs))
         return self

@@ -92,7 +92,13 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
     lon2d = jnp.asarray(geom.lon)
     z_atm = jnp.asarray(geom.z[0] - geom.terrain)
 
-    def physics_step(state, dt, t, aux, mp_elapsed, lsm_elapsed):
+    if phys.radiation == C.RA_RRTMG:
+        from ..physics import rrtmg_lw as rrtmg_mod
+        lw_tables = rrtmg_mod.get_lw_tables(options.rad.rrtmg_support_dir)
+        dz3d = jnp.asarray(geom.dz_interface)
+
+    def physics_step(state, dt, t, aux, mp_elapsed, lsm_elapsed,
+                     rad_elapsed):
         from ..physics import pbl_simple as pbl_mod
         from ..physics import ra_simple as ra_mod
         from ..physics import surface as sfc_mod
@@ -113,6 +119,82 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s["shortwave"] = sw
             s["longwave"] = lw
             s["cloud_fraction"] = cc
+
+        elif phys.radiation == C.RA_RRTMG:
+            from ..physics import rrtmg_lw as rrtmg_mod
+            s = dict(s)
+            doy = aux["day_of_year0"] + t / 86400.0
+            elev, day_frac = ra_mod.solar_elevation(
+                doy, aux["year_length"], lon2d, sin_lat, cos_lat)
+            # NOTE reference quirk preserved: cosz = SIN(solar_elevation)
+            # (ra_driver.f90:298) — elevation, not zenith, so the name is
+            # a misnomer but the value is correct for flux geometry
+            s["cosine_zenith_angle"] = jnp.sin(elev)
+
+            def do_radiation(s):
+                """Recompute LW tendency + SW down (throttled to
+                update_interval_rrtmg; ra_driver.f90:304-515)."""
+                s = dict(s)
+                qc = s.get("cloud_water", zeros3())
+                qi = s.get("cloud_ice", zeros3())
+                qsn = s.get("snow_mass", zeros3())
+                t3d = s["temperature"]
+                if options.rad.icloud == 3:
+                    # Thompson cloud fraction + subgrid condensate for
+                    # the radiation call only (ra_driver.f90:310-343)
+                    from ..physics import cloud_fraction as cf_mod
+                    cldfra, qc, qi = cf_mod.cal_cldfra3(
+                        s["water_vapor"], qc, qi, qsn, dz3d,
+                        s["pressure"], t3d, s["land_mask"],
+                        geom.dx / 1000.0)
+                    s["cloud_fraction"] = jnp.max(cldfra, axis=0)
+                elif options.rad.icloud > 0:
+                    # icloud=1/2: cloud fraction stays 0 — quirk of the
+                    # reference flow (cldfra=0 allocated, never filled;
+                    # ra_driver.f90:237 + :452-468)
+                    cldfra = zeros3()
+                else:
+                    cldfra = zeros3()
+                if options.rad.use_simple_sw:
+                    # simple SW only (F_runlw=.False.; ra_driver.f90:429);
+                    # qs argument is snow+ice+graupel (:434-436)
+                    _, sw, _, cc = ra_mod.ra_simple(
+                        s["potential_temperature"], s["exner"],
+                        s["water_vapor"], qc,
+                        qsn + qi + s.get("graupel_mass", zeros3()),
+                        s.get("rain_mass", zeros3()), s["pressure"],
+                        lon2d, sin_lat, cos_lat, doy, aux["year_length"],
+                        dt, runlw=False)
+                    s["shortwave"] = sw
+                    s["cloud_fraction"] = cc
+                    s["tend_th_swrad"] = zeros3()
+                key = jax.random.fold_in(jax.random.PRNGKey(88),
+                                         t.astype(jnp.int32))
+                th_tend, glw, olr, lwcf = rrtmg_mod.rrtmg_lw_driver(
+                    lw_tables, key, s["pressure"], s["pressure_interface"],
+                    t3d, s["temperature_interface"], s["skin_temperature"],
+                    s["water_vapor"], qc, qi, qsn, cldfra, s["re_cloud"],
+                    s["re_ice"], s["re_snow"], s["density"], dz3d,
+                    s["emissivity"], s["exner"], xland=s["land_mask"])
+                s["tend_th_lwrad"] = th_tend
+                s["longwave"] = glw
+                s["out_longwave_rad"] = olr
+                s["longwave_cloud_forcing"] = lwcf
+                return s
+
+            rad_int = float(options.rad.update_interval_rrtmg)
+            if rad_int > 0:
+                rad_elapsed = rad_elapsed + dt
+                run_now = rad_elapsed >= rad_int - 1e-6
+                s = jax.lax.cond(run_now, do_radiation, lambda op: op, s)
+                rad_elapsed = jnp.where(run_now, 0.0, rad_elapsed)
+            else:
+                s = do_radiation(s)
+            # heating applied every substep from the stored tendencies
+            # (ra_driver.f90:516)
+            s["potential_temperature"] = (
+                s["potential_temperature"]
+                + (s["tend_th_lwrad"] + s["tend_th_swrad"]) * dt)
 
         # --- land / water surface (lsm, time_step.f90:491)
         # flux/soil computation is throttled by lsm update_interval
@@ -754,7 +836,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 # substep's convective trigger (tend%qv_adv)
                 i_qv = adv_names.index("water_vapor")
                 s["tend_qv_adv"] = (out[i_qv] - stacked[i_qv]) / dt
-        return s, mp_elapsed, lsm_elapsed
+        return s, mp_elapsed, lsm_elapsed, rad_elapsed
 
     def _slice_natural(d):
         out = {}
@@ -774,7 +856,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             return t < end_time - 1e-3
 
         def body(carry):
-            state, t, n, mp_el, lsm_el = carry
+            state, t, n, mp_el, lsm_el, rad_el = carry
             dt = compute_dt(state["u"], state["v"], state["w"], dz_levels,
                             geom.dx, options.run.cfl_reduction_factor,
                             options.run.cfl_strictness)
@@ -787,8 +869,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                                       with_w_real=(
                                           phys.microphysics == C.MP_WSM3
                                           or phys.convection != C.CU_NONE))
-            state, mp_el, lsm_el = physics_step(state, dt, t, aux,
-                                                mp_el, lsm_el)
+            state, mp_el, lsm_el, rad_el = physics_step(
+                state, dt, t, aux, mp_el, lsm_el, rad_el)
             if with_forcing:
                 state = apply_forcing(state, dqdt, dt, bmask)
             # clamp over-shot negatives in the last couple of substeps
@@ -797,16 +879,17 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             clamped = enforce_limits(state)
             state = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(near_end, b, a), state, clamped)
-            return state, t + dt, n + 1, mp_el, lsm_el
+            return state, t + dt, n + 1, mp_el, lsm_el, rad_el
 
         # counters start at their intervals so the first substep runs the
         # throttled physics immediately (last_model_time init in the
         # reference drivers)
-        state, t, n, _, _ = jax.lax.while_loop(
+        state, t, n, _, _, _ = jax.lax.while_loop(
             cond, body,
             (state, t0, jnp.int32(0),
              jnp.float32(options.mp.update_interval),
-             jnp.float32(options.lsm.update_interval)))
+             jnp.float32(options.lsm.update_interval),
+             jnp.float32(options.rad.update_interval_rrtmg)))
         # output-only diagnostics (IVT/IWV, 10m winds, w_real) once per
         # interval rather than per substep
         state = diagnostic_update(state, geom, full=True)

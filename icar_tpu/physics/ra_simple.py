@@ -66,8 +66,13 @@ def longwave_down(t_air, cloud_cover):
 
 
 def ra_simple(theta, exner, qv, qc, qs, qr, p, lon, sin_lat, cos_lat,
-              day_of_year, year_length, dt):
+              day_of_year, year_length, dt, runlw=True):
     """Full scheme (ra_simple, ra_simple.f90:192-271).
+
+    ``runlw=False`` reproduces F_runlw=.False. (ra_simple.f90:260-266):
+    only swdown and cloud cover are produced — no lwdown, no radiative
+    cooling — which is how the RRTMG driver borrows the simple shortwave
+    (ra_driver.f90:429-449, use_simple_sw).
 
     Returns (theta, swdown, lwdown, cloud_cover)."""
     t = theta * exner
@@ -81,6 +86,8 @@ def ra_simple(theta, exner, qv, qc, qs, qr, p, lon, sin_lat, cos_lat,
                                      sin_lat, cos_lat)
     cc = cloudfrac(rh, hydrometeors)
     sw = shortwave_down(day_frac, cc, elev)
+    if not runlw:
+        return theta, sw, None, cc
     lw = longwave_down(t_air, cc)
 
     # ~1.5 K/day radiative cooling (ra_simple.f90:233)

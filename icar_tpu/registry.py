@@ -207,6 +207,13 @@ _SPECS = [
     _v("snow_layer_depth", dims="snowsoil", units="m"),
     _v("snow_layer_ice", dims="snowlayer", units="mm"),
     _v("snow_layer_liquid_water", dims="snowlayer", units="mm"),
+    # RRTMG radiation (rad=3): stored tendencies applied every substep
+    # between radiation updates (ra_driver.f90:505) + diagnostics
+    _v("tend_th_lwrad", units="K s-1"),
+    _v("tend_th_swrad", units="K s-1"),
+    _v("out_longwave_rad", dims="2d", units="W m-2"),
+    _v("longwave_cloud_forcing", dims="2d", units="W m-2"),
+    _v("cosine_zenith_angle", dims="2d", units="1"),
 ]
 
 REGISTRY = {s.name: s for s in _SPECS}
@@ -358,6 +365,17 @@ def collect_requests(options) -> VarRequest:
         req.alloc_vars(["shortwave", "longwave", "cloud_fraction",
                         "potential_temperature", "exner", "water_vapor",
                         "cloud_water", "rain_mass", "snow_mass"])
+    if phys.radiation == C.RA_RRTMG:
+        # rrtmg var requests (ra_driver.f90:104-166)
+        req.alloc_vars(["tend_th_lwrad", "tend_th_swrad", "temperature",
+                        "temperature_interface", "pressure",
+                        "pressure_interface", "density",
+                        "skin_temperature", "emissivity", "albedo",
+                        "cloud_ice", "re_cloud", "re_ice", "re_snow",
+                        "out_longwave_rad", "longwave_cloud_forcing",
+                        "cosine_zenith_angle", "land_mask",
+                        "snow_mass"])
+        req.restart_vars(["tend_th_lwrad", "tend_th_swrad"])
     if phys.landsurface != C.LSM_NONE:
         req.alloc_vars(["skin_temperature", "sensible_heat", "latent_heat",
                         "temperature_2m", "humidity_2m", "ustar",
