@@ -169,7 +169,8 @@ class RadOptions:
     icloud: int = 3                  # Thompson cal_cldfra3 (reference default)
     read_ghg: bool = False
     tzone: float = 0.0
-    use_simple_sw: bool = True       # RRTMG-LW + simple SW (rad_options)
+    use_simple_sw: bool = False      # full RRTMG-SW (reference default);
+                                     # true = RRTMG-LW + simple shortwave
     rrtmg_support_dir: str = "rrtmg_support"
 
 
@@ -337,11 +338,6 @@ class Options:
                     f"{name}={val} is a valid ICAR scheme but is not "
                     f"implemented in icar_tpu yet (implemented: "
                     f"{sorted(implemented[name])})")
-        if self.physics.radiation == C.RA_RRTMG \
-                and not self.rad.use_simple_sw:
-            errs.append("rad=3 with use_simple_sw=false needs RRTMG-SW, "
-                        "which is not implemented yet; set rad_parameters "
-                        "use_simple_sw=true (RRTMG-LW + simple shortwave)")
         if errs:
             raise ValueError("invalid options:\n  " + "\n  ".join(errs))
         return self

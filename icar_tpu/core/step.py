@@ -95,6 +95,12 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
     if phys.radiation == C.RA_RRTMG:
         from ..physics import rrtmg_lw as rrtmg_mod
         lw_tables = rrtmg_mod.get_lw_tables(options.rad.rrtmg_support_dir)
+        if not options.rad.use_simple_sw:
+            from ..physics import rrtmg_sw as rrtmg_sw_mod
+            sw_tables = rrtmg_sw_mod.get_sw_tables(
+                options.rad.rrtmg_support_dir)
+        from ..physics.ghg import ghg_for_options
+        ghg = ghg_for_options(options)
         dz3d = jnp.asarray(geom.dz_interface)
 
     def physics_step(state, dt, t, aux, mp_elapsed, lsm_elapsed,
@@ -155,6 +161,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     cldfra = zeros3()
                 else:
                     cldfra = zeros3()
+                key = jax.random.fold_in(jax.random.PRNGKey(88),
+                                         t.astype(jnp.int32))
                 if options.rad.use_simple_sw:
                     # simple SW only (F_runlw=.False.; ra_driver.f90:429);
                     # qs argument is snow+ice+graupel (:434-436)
@@ -168,14 +176,30 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     s["shortwave"] = sw
                     s["cloud_fraction"] = cc
                     s["tend_th_swrad"] = zeros3()
-                key = jax.random.fold_in(jax.random.PRNGKey(88),
-                                         t.astype(jnp.int32))
+                else:
+                    # full RRTMG shortwave (RRTMG_SWRAD,
+                    # ra_driver.f90:345-428)
+                    from ..physics import rrtmg_sw as rrtmg_sw_mod
+                    sw_tend, swdown, _gsw, swcf = \
+                        rrtmg_sw_mod.rrtmg_sw_driver(
+                            sw_tables, jax.random.fold_in(key, 1),
+                            s["pressure"], s["pressure_interface"],
+                            t3d, s["temperature_interface"],
+                            s["cosine_zenith_angle"], s["albedo"],
+                            s["water_vapor"], qc, qi, qsn, cldfra,
+                            s["re_cloud"], s["re_ice"], s["re_snow"],
+                            s["density"], dz3d, s["exner"],
+                            xland=s["land_mask"], ghg=ghg)
+                    s["tend_th_swrad"] = sw_tend
+                    s["shortwave"] = swdown
+                    s["shortwave_cloud_forcing"] = swcf
                 th_tend, glw, olr, lwcf = rrtmg_mod.rrtmg_lw_driver(
                     lw_tables, key, s["pressure"], s["pressure_interface"],
                     t3d, s["temperature_interface"], s["skin_temperature"],
                     s["water_vapor"], qc, qi, qsn, cldfra, s["re_cloud"],
                     s["re_ice"], s["re_snow"], s["density"], dz3d,
-                    s["emissivity"], s["exner"], xland=s["land_mask"])
+                    s["emissivity"], s["exner"], xland=s["land_mask"],
+                    ghg=ghg)
                 s["tend_th_lwrad"] = th_tend
                 s["longwave"] = glw
                 s["out_longwave_rad"] = olr

@@ -258,9 +258,12 @@ def ideal_ridge_model(nx=300, ny=20, nz=20, dx=1000.0, hill_height=1000.0,
                       windtype=C.WIND_NONE, flat_z_height=-5,
                       dz_levels=None, rad=C.RA_NONE, pbl=C.PBL_NONE,
                       lsm=C.LSM_NONE, water=C.WATER_NONE,
-                      adv=C.ADV_UPWIND, conv=C.CU_NONE) -> ICARModel:
+                      adv=C.ADV_UPWIND, conv=C.CU_NONE,
+                      options_cb=None) -> ICARModel:
     """Convenience constructor for the standard ideal-ridge benchmark case
-    (tests/gen_ideal_test.py semantics)."""
+    (tests/gen_ideal_test.py semantics).  ``options_cb(options)`` can
+    adjust scheme sub-options before the model (and its jitted step
+    function) is built."""
     from ..forcing.ideal import ideal_latlon, make_ideal_case, schaer_topography
 
     o = Options()
@@ -278,6 +281,8 @@ def ideal_ridge_model(nx=300, ny=20, nz=20, dx=1000.0, hill_height=1000.0,
     o.physics.landsurface = lsm
     o.physics.watersurface = water
     o.physics.convection = conv
+    if options_cb is not None:
+        options_cb(o)
 
     terrain = schaer_topography(nx, ny, hill_height, dx)
     lat, lon = ideal_latlon(nx, ny, dx)

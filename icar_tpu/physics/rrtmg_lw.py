@@ -72,6 +72,11 @@ CO2VMR = 379e-6
 N2OVMR = 319e-9
 CH4VMR = 1774e-9
 O2VMR = 0.209488
+# CFC defaults (ra_rrtmg_lw.f90:11770-11780)
+CFC11VMR = 0.251e-9
+CFC12VMR = 0.538e-9
+CFC22VMR = 0.169e-9
+CCL4VMR = 0.093e-9
 
 
 def _tfn(od):
@@ -699,7 +704,10 @@ def taumol(tables, c, wx):
     parts_tau.append(jnp.where(tropo, tau_l, tau_u))
     parts_frac.append(jnp.where(tropo, fr_l, fr_u))
 
-    taug = jnp.concatenate(parts_tau, axis=-1)
+    # clamp: T-extrapolation outside the k-table range can yield negative
+    # gas optical depth (transmittance > 1); the reference does not guard
+    # this.  Deliberate robustness divergence (see rrtmg_sw.taumol_sw).
+    taug = jnp.maximum(jnp.concatenate(parts_tau, axis=-1), 0.0)
     fracs = jnp.concatenate(parts_frac, axis=-1)
     return taug, fracs
 
@@ -935,7 +943,9 @@ def _o3_profile(pavel_hpa):
 
 def rrtmg_lw_rad(tables, play, plev, tlay, tlev, tsfc, h2ovmr, o3vmr,
                  cldfrac, ciwp, clwp, cswp, rei, rel, res, emis, key,
-                 icld=1, co2vmr=CO2VMR, n2ovmr=N2OVMR, ch4vmr=CH4VMR):
+                 icld=1, co2vmr=CO2VMR, n2ovmr=N2OVMR, ch4vmr=CH4VMR,
+                 cfc11vmr=CFC11VMR, cfc12vmr=CFC12VMR, cfc22vmr=CFC22VMR,
+                 ccl4vmr=CCL4VMR):
     """Full LW calculation on (nlay, N) columns.
 
     play/tlay: (nlay, N) layer pressure [hPa] / temperature [K];
@@ -956,7 +966,9 @@ def rrtmg_lw_rad(tables, play, plev, tlay, tlev, tsfc, h2ovmr, o3vmr,
         ch4vmr * coldry, O2VMR * coldry])
     wbroad = coldry * (1.0 - (h2ovmr + co2vmr + o3vmr + n2ovmr + ch4vmr
                               + O2VMR))
-    wx = [jnp.zeros_like(coldry)] * 4        # cross-sections (no CFCs)
+    # CFC/CCl4 cross-section amounts (inatm, :11331-11381)
+    wx = [ccl4vmr * coldry * 1e-20, cfc11vmr * coldry * 1e-20,
+          cfc12vmr * coldry * 1e-20, cfc22vmr * coldry * 1e-20]
 
     # precipitable water (cm) for the diffusivity angle
     amttl = jnp.sum(wkl[0], axis=0)
@@ -982,7 +994,7 @@ def rrtmg_lw_rad(tables, play, plev, tlay, tlev, tsfc, h2ovmr, o3vmr,
 def rrtmg_lw_driver(tables, key, p3d, p8w, t3d, t8w, tsk, qv3d, qc3d,
                     qi3d, qs3d, cldfra3d, re_cloud, re_ice, re_snow,
                     rho3d, dz8w, emiss, exner, xland=None,
-                    snow_optics=False):
+                    snow_optics=False, ghg=None):
     """ICAR-facing wrapper (RRTMG_LWRAD, ra_rrtmg_lw.f90:10600-12800):
     (z, y, x) fields -> column arrays, unit conversions, cloud water
     paths, effective-radius floors -> rrtmg_lw_rad -> theta tendency.
@@ -1023,9 +1035,12 @@ def rrtmg_lw_driver(tables, key, p3d, p8w, t3d, t8w, tsk, qv3d, qc3d,
     rei = jnp.maximum(5.0, flat(re_ice) * 1e6)
     res = jnp.maximum(10.0, flat(re_snow) * 1e6)
 
+    gkw = {} if ghg is None else dict(
+        co2vmr=ghg.co2, n2ovmr=ghg.n2o, ch4vmr=ghg.ch4,
+        cfc11vmr=ghg.cfc11, cfc12vmr=ghg.cfc12)
     out = rrtmg_lw_rad(tables, play, plev, tlay, tlev, tsfc, h2ovmr,
                        o3vmr, cf, ciwp, clwp, cswp, rei, rel, res,
-                       emiss.reshape(N), key)
+                       emiss.reshape(N), key, **gkw)
     # tendency on potential temperature (rthratenlw = htr/86400/pii)
     th_tend = (out.htr / 86400.0).reshape(nz, ny, nx) / exner
     glw = out.glw.reshape(ny, nx)

@@ -213,6 +213,7 @@ _SPECS = [
     _v("tend_th_swrad", units="K s-1"),
     _v("out_longwave_rad", dims="2d", units="W m-2"),
     _v("longwave_cloud_forcing", dims="2d", units="W m-2"),
+    _v("shortwave_cloud_forcing", dims="2d", units="W m-2"),
     _v("cosine_zenith_angle", dims="2d", units="1"),
 ]
 
@@ -373,6 +374,7 @@ def collect_requests(options) -> VarRequest:
                         "skin_temperature", "emissivity", "albedo",
                         "cloud_ice", "re_cloud", "re_ice", "re_snow",
                         "out_longwave_rad", "longwave_cloud_forcing",
+                        "shortwave_cloud_forcing",
                         "cosine_zenith_angle", "land_mask",
                         "snow_mass"])
         req.restart_vars(["tend_th_lwrad", "tend_th_swrad"])

@@ -251,8 +251,11 @@ class TestModelIntegration:
 
         lw.set_lw_tables(synthetic_lw_tables())
         try:
+            def use_simple_sw(o):
+                o.rad.use_simple_sw = True
             m = ideal_ridge_model(nx=24, ny=8, nz=10, hill_height=300.0,
-                                  rh=0.8, rad=C.RA_RRTMG)
+                                  rh=0.8, rad=C.RA_RRTMG,
+                                  options_cb=use_simple_sw)
             st = dict(m.state)
             st["skin_temperature"] = jnp.asarray(
                 m.state["temperature"][0], jnp.float32)
