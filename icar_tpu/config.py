@@ -222,6 +222,11 @@ class ForcingOptions:
     qv_is_relative_humidity: bool = False
     qv_is_spec_humidity: bool = False
     smooth_wind_distance: float = -1.0  # <0: default = dx of forcing
+    # use_agl_height/agl_cap are accepted for namelist compatibility but
+    # inert, which is exact parity: the reference's AGL scaling factor
+    # ((AGL_nz-i)/AGL_nz, domain_obj.f90:2292-2295) is Fortran INTEGER
+    # division and evaluates to 0 for every level i in 1..AGL_nz, so the
+    # feature is a no-op in ICAR 2.x.
     use_agl_height: bool = False
     agl_cap: float = 300.0
     limit_rain: bool = False
@@ -338,6 +343,56 @@ class Options:
                     f"{name}={val} is a valid ICAR scheme but is not "
                     f"implemented in icar_tpu yet (implemented: "
                     f"{sorted(implemented[name])})")
+        # graded consistency rules (options_check, options_obj.f90:318-470):
+        # warning_level controls whether a rule warns, auto-corrects, or
+        # stops the run (warning-level semantics, opt_types.f90:317-325).
+        import sys
+        wl = self.run.warning_level
+        wind = self.physics.windtype
+
+        def warn(msg):
+            print(f"WARNING: {msg}", file=sys.stderr)
+
+        if wind == C.WIND_ITERATIVE and not self.domain.fixed_dz_advection:
+            if wl == 10:
+                errs.append("wind=3 requires fixed_dz_advection=.True. "
+                            "(warning_level=10)")
+            elif wl > 3:
+                warn("wind=3 is best used with fixed_dz_advection=.True.; "
+                     "setting it")
+                self.domain.fixed_dz_advection = True
+        if wind in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE) \
+                and self.domain.fixed_dz_advection:
+            if wl == 10:
+                errs.append("wind=1/5 requires fixed_dz_advection=.False. "
+                            "(warning_level=10)")
+            elif wl > 3:
+                warn("wind=1 or 5 is best used with "
+                     "fixed_dz_advection=.False.; setting it")
+                self.domain.fixed_dz_advection = False
+        if wind == C.WIND_NONE and self.domain.fixed_dz_advection:
+            warn("setting fixed_dz_advection=False for wind=0")
+            self.domain.fixed_dz_advection = False
+        if wind == C.WIND_CONSERVE_MASS and not self.domain.fixed_dz_advection:
+            warn("setting fixed_dz_advection=True for wind=2")
+            self.domain.fixed_dz_advection = True
+        if self.physics.landsurface > 1 \
+                and self.physics.boundarylayer == C.PBL_NONE:
+            if wl >= 7:
+                errs.append("LSM without a PBL scheme may overheat the "
+                            "surface (set warning_level<7 to continue)")
+            elif wl > 2:
+                warn("running an LSM without a PBL scheme may overheat "
+                     "the surface and crash the model")
+        if self.physics.landsurface == 1 \
+                and self.physics.boundarylayer == C.PBL_NONE:
+            if wl >= 5:
+                errs.append("prescribed LSM fluxes without a PBL may "
+                            "overheat the surface (set warning_level<5 "
+                            "to continue)")
+            elif wl > 0:
+                warn("prescribed LSM fluxes without a PBL may overheat "
+                     "the surface and crash the model")
         if errs:
             raise ValueError("invalid options:\n  " + "\n  ".join(errs))
         return self
@@ -353,6 +408,8 @@ class Options:
 
         mv = nml.get("model_version", {})
         o.version = str(mv.get("version", o.version))
+        from .utils.model_tracking import check_version
+        check_version(o.version)
         o.comment = str(mv.get("comment", ""))
 
         ph = nml.get("physics", {})

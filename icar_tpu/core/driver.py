@@ -295,6 +295,7 @@ class ICARDriver:
         step_idx = int(t // input_dt) + 1
 
         debug = self.options.run.debug
+        self._next_progress_pct = 5.0
         while t < total_seconds - 1e-3:
             # ingest the next forcing step (cycling the last one if short)
             self.timers["input"].start()
@@ -320,6 +321,13 @@ class ICARDriver:
                     from ..utils.diagnostics_debug import domain_check
                     self.model.state, problems = domain_check(
                         self.model.state, msg=f"t={t:.0f}s", fix=True)
+                pct = 100.0 * t / total_seconds
+                if pct >= self._next_progress_pct:
+                    # 5% progress ticker (print_progress,
+                    # time_step.f90:342-364)
+                    print(f"  {pct:5.1f}% complete (t={t:.0f}s)",
+                          flush=True)
+                    self._next_progress_pct = (pct // 5.0 + 1) * 5.0
                 if abs(t - next_output) < 1e-3:
                     self.timers["output"].start()
                     self.writer.write_step(self.model, t)

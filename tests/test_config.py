@@ -134,3 +134,19 @@ def test_reference_complete_namelist_parses():
     assert "ta2m" in o.output.names
     # &files_list
     assert o.forcing.init_conditions_file
+
+
+def test_version_check_rejects_old_namelist_version(tmp_path):
+    """version_check stops on mismatched namelist versions and reports the
+    change history (options_obj.f90:280-310, model_tracking.f90:73-107)."""
+    import pytest
+    from icar_tpu.utils.model_tracking import changes_since, check_version
+
+    check_version("2.1")        # reference release: accepted
+    check_version("2.1-tpu")    # this build: accepted
+    with pytest.raises(ValueError, match="Namelist version: 0.9.3"):
+        check_version("0.9.3")
+    hist = changes_since("0.9.3")
+    assert "0.9.4" in hist and "bias correction" in hist
+    assert "0.9.2" not in hist  # only changes SINCE the given version
+    assert "unable to find" in changes_since("bogus")
