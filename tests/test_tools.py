@@ -80,3 +80,28 @@ def test_setup_next_run_chains_restart(tmp_path):
     from icar_tpu.config import Options
     o = Options.from_namelist(str(nml))
     assert o.run.restart is True
+
+
+def test_aggregate_output_merges_steps(tmp_path):
+    """classic-async per-step files -> one time-series file
+    (analog of helpers/aggregate_parallel_files.py)."""
+    from icar_tpu.io.async_writer import AsyncNCWriter
+    from icar_tpu.io.netcdf import NCFile
+
+    w = AsyncNCWriter()
+    for t in (0.0, 600.0, 1200.0):
+        w.write(str(tmp_path / f"out_{int(t):08d}.nc"),
+                {"precipitation": (("y", "x"),
+                                   np.full((4, 5), t, np.float32))},
+                {"model_time": str(t), "dx": "1000.0"})
+    assert w.wait() == 0
+    w.close()
+
+    out = str(tmp_path / "combined.nc")
+    r = _run("aggregate_output.py", str(tmp_path / "out_*.nc"), "-o", out)
+    assert r.returncode == 0, r.stderr
+    with NCFile(out) as f:
+        pr = f.read("precipitation")
+        assert pr.shape == (3, 4, 5)
+        np.testing.assert_allclose(pr[:, 0, 0], [0.0, 600.0, 1200.0])
+        np.testing.assert_allclose(f.read("model_time"), [0, 600, 1200])
