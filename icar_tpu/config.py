@@ -441,6 +441,8 @@ class Options:
             o.domain.flat_z_height = float(zi["flat_z_height"])
         if "sleve" in zi:
             o.domain.sleve = bool(zi["sleve"])
+        if "fixed_dz_advection" in zi:
+            o.domain.fixed_dz_advection = bool(zi["fixed_dz_advection"])
         for k_nml, k_attr in [("terrain_smooth_windowsize", "terrain_smooth_windowsize"),
                               ("terrain_smooth_cycles", "terrain_smooth_cycles"),
                               ("decay_rate_l_topo", "decay_rate_l_topo"),
@@ -459,6 +461,8 @@ class Options:
             ("use_terrain_difference", "use_terrain_difference", bool),
             ("debug", "debug", bool), ("interactive", "interactive", bool),
             ("restart", "restart", bool),
+            ("warning_level", "warning_level", int),
+            ("batched_exchange", "batched_exchange", bool),
         ]:
             if key in pm:
                 setattr(o.run, attr, conv(pm[key]))

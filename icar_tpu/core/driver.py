@@ -359,18 +359,33 @@ def _ensure_backend():
 
 
 def main(argv=None):
-    """CLI entry: ``python -m icar_tpu options.nml``
-    (mirrors ./icar icar_options.nml)."""
+    """CLI entry: ``python -m icar_tpu options.nml [--profile DIR]``
+    (mirrors ./icar icar_options.nml). ``--profile DIR`` wraps the run
+    in a jax profiler trace (view with TensorBoard / xprof) — the TPU
+    replacement for the reference's MODE=profile build
+    (src/makefile:14-16)."""
+    import contextlib
     import sys
 
-    args = argv if argv is not None else sys.argv[1:]
+    args = list(argv if argv is not None else sys.argv[1:])
+    profile_dir = None
+    if "--profile" in args:
+        i = args.index("--profile")
+        profile_dir = args[i + 1] if i + 1 < len(args) else "/tmp/icar_trace"
+        del args[i:i + 2]
     if not args:
-        print("usage: python -m icar_tpu <options_namelist>")
+        print("usage: python -m icar_tpu <options_namelist> [--profile DIR]")
         return 1
     _ensure_backend()
     options = Options.from_namelist(args[0])
     options.validate()
     driver = ICARDriver(options)
-    driver.run()
+    ctx = contextlib.nullcontext()
+    if profile_dir:
+        import jax
+        ctx = jax.profiler.trace(profile_dir, create_perfetto_trace=True)
+        print(f"profiling to {profile_dir}")
+    with ctx:
+        driver.run()
     print(f"icar_tpu run complete: {driver.writer.path}")
     return 0
