@@ -524,15 +524,42 @@ class Options:
         if "engine" in ol:
             o.output.engine = str(ol["engine"])
 
-        lt = nml.get("lt_parameters", {})
+        # Per-physics namelist groups may be redirected to separate files
+        # via <prefix>_options_filename in &parameters (defaulting to the
+        # main options file; options_obj.f90:64-71,1057-1080). The
+        # reference additionally gates each group behind a use_<prefix>_
+        # options flag; here a group present in the resolved file is
+        # always honored (a superset: setting the flag without the group
+        # is a no-op in both).
+        import os
+
+        _group_cache: dict = {}
+
+        def _group(name: str) -> dict:
+            prefix = name.split("_")[0]
+            sub = pm.get(f"{prefix}_options_filename")
+            if not sub or os.path.abspath(str(sub)) == os.path.abspath(path):
+                return nml.get(name, {})
+            sub = str(sub)
+            if not os.path.exists(sub):
+                # resolve relative to the main options file, as users
+                # typically run from elsewhere
+                cand = os.path.join(os.path.dirname(os.path.abspath(path)), sub)
+                if os.path.exists(cand):
+                    sub = cand
+            if sub not in _group_cache:
+                _group_cache[sub] = read_namelist(sub)
+            return _group_cache[sub].get(name, {})
+
+        lt = _group("lt_parameters")
         for f in dataclasses.fields(LtOptions):
             if f.name in lt:
                 setattr(o.lt, f.name, type(getattr(o.lt, f.name))(lt[f.name]))
-        ad = nml.get("adv_parameters", {})
+        ad = _group("adv_parameters")
         for f in dataclasses.fields(AdvOptions):
             if f.name in ad:
                 setattr(o.adv, f.name, type(getattr(o.adv, f.name))(ad[f.name]))
-        bi = nml.get("bias_parameters", {})
+        bi = _group("bias_parameters")
         if "bias_correction_filename" in bi:
             o.bias.filename = str(bi["bias_correction_filename"])
             o.bias.use_bias_correction = True
@@ -540,7 +567,7 @@ class Options:
             o.bias.rain_fraction_var = str(bi["rain_fraction_var"])
         if "use_bias_correction" in pm:
             o.bias.use_bias_correction = bool(pm["use_bias_correction"])
-        mp = nml.get("mp_parameters", {})
+        mp = _group("mp_parameters")
         lowered = {k.lower(): v for k, v in mp.items()}
         for f in dataclasses.fields(MpOptions):
             if f.name.lower() in lowered:
@@ -554,7 +581,7 @@ class Options:
                                  ("rad_parameters", o.rad, RadOptions),
                                  ("block_parameters", o.block,
                                   BlockOptions)):
-            grp = {k.lower(): v for k, v in nml.get(group, {}).items()}
+            grp = {k.lower(): v for k, v in _group(group).items()}
             for f in dataclasses.fields(cls_):
                 if f.name.lower() in grp:
                     cur = getattr(obj, f.name)

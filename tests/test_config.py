@@ -150,3 +150,50 @@ def test_version_check_rejects_old_namelist_version(tmp_path):
     assert "0.9.4" in hist and "bias correction" in hist
     assert "0.9.2" not in hist  # only changes SINCE the given version
     assert "unable to find" in changes_since("bogus")
+
+
+def test_per_physics_options_subfiles(tmp_path):
+    """Per-physics namelist groups can live in separate files pointed to by
+    <prefix>_options_filename in &parameters (options_obj.f90:64-71), with
+    paths resolved relative to the main options file."""
+    (tmp_path / "mp.nml").write_text("""
+&mp_parameters
+  Nt_c = 50.e6
+  update_interval = 600
+/
+""")
+    (tmp_path / "rad.nml").write_text("""
+&rad_parameters
+  update_interval_rrtmg = 1200
+/
+""")
+    main = tmp_path / "options.nml"
+    main.write_text("""
+&physics
+  mp = 1, rad = 2
+/
+&parameters
+  mp_options_filename = "mp.nml"
+  rad_options_filename = "rad.nml"
+/
+&mp_parameters
+  Nt_c = 999.e6   ! ignored: the group is redirected to mp.nml
+/
+""")
+    o = Options.from_namelist(str(main))
+    assert o.mp.Nt_c == pytest.approx(50e6)
+    assert o.mp.update_interval == 600
+    assert o.rad.update_interval_rrtmg == 1200
+
+    # pointing the filename at the main options file keeps in-file groups
+    main2 = tmp_path / "options2.nml"
+    main2.write_text(f"""
+&parameters
+  mp_options_filename = "{main2}"
+/
+&mp_parameters
+  Nt_c = 77.e6
+/
+""")
+    o2 = Options.from_namelist(str(main2))
+    assert o2.mp.Nt_c == pytest.approx(77e6)
