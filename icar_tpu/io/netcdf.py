@@ -53,6 +53,18 @@ class NCFile:
         for d, n in zip(dims, data.shape):
             if d not in self._dims:
                 self.create_dim(d, n, unlimited=(d == "time"))
+        if len(dims) == 1 and name == dims[0]:
+            # coordinate variable: store values in the dimension-scale
+            # dataset itself (netCDF convention) instead of a new dataset
+            ds = self.f[name]
+            if ds.shape[0] != data.shape[0]:
+                ds.resize((data.shape[0],))
+            ds[...] = data
+            ds.attrs.pop("axis_placeholder", None)
+            if attrs:
+                for k, v in attrs.items():
+                    ds.attrs[k] = v
+            return ds
         maxshape = tuple(None if d == "time" else self._dims[d] for d in dims)
         ds = self.f.create_dataset(name, data=data, maxshape=maxshape,
                                    dtype=dtype or data.dtype,
@@ -84,8 +96,10 @@ class NCFile:
     def variables(self) -> List[str]:
         out = []
         for name, ds in self.f.items():
-            if isinstance(ds, h5py.Dataset) and ds.attrs.get("CLASS") != b"DIMENSION_SCALE":
-                out.append(name)
+            if isinstance(ds, h5py.Dataset) and (
+                    ds.attrs.get("CLASS") != b"DIMENSION_SCALE"
+                    or "axis_placeholder" not in ds.attrs):
+                out.append(name)   # plain var, or coordinate variable
         return out
 
     def has_var(self, name: str) -> bool:

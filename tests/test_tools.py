@@ -6,8 +6,12 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from icar_tpu.io.netcdf import NCFile, write_vars  # noqa: E402
 
 
 def _run(script, *args):
@@ -105,3 +109,117 @@ def test_aggregate_output_merges_steps(tmp_path):
         assert pr.shape == (3, 4, 5)
         np.testing.assert_allclose(pr[:, 0, 0], [0.0, 600.0, 1200.0])
         np.testing.assert_allclose(f.read("model_time"), [0, 600, 1200])
+
+
+def _write_synthetic_wrfout(path, classic=False, nt=2, nz=5, ny=8, nx=10):
+    """A minimal wrfout-shaped file (helpers/wrf/wrf_vars.py variable set)."""
+    rng = np.random.default_rng(3)
+    base_p = 1e5 * np.exp(-np.arange(nz) / 8.0)[None, :, None, None]
+    data = {
+        "P": (("time", "z", "y", "x"),
+              rng.normal(0, 50, (nt, nz, ny, nx)).astype(np.float32)),
+        "PB": (("time", "z", "y", "x"),
+               np.broadcast_to(base_p, (nt, nz, ny, nx)).astype(np.float32)),
+        "PH": (("time", "zi", "y", "x"),
+               rng.normal(0, 9.0, (nt, nz + 1, ny, nx)).astype(np.float32)),
+        "PHB": (("time", "zi", "y", "x"), np.broadcast_to(
+            9.81 * 500.0 * np.arange(nz + 1, dtype=np.float32)
+            [None, :, None, None], (nt, nz + 1, ny, nx)).copy()),
+        "T": (("time", "z", "y", "x"),
+              rng.normal(0, 2, (nt, nz, ny, nx)).astype(np.float32)),
+        "QVAPOR": (("time", "z", "y", "x"),
+                   np.full((nt, nz, ny, nx), 0.004, np.float32)),
+        "QCLOUD": (("time", "z", "y", "x"),
+                   np.full((nt, nz, ny, nx), 1e-4, np.float32)),
+        "QRAIN": (("time", "z", "y", "x"),
+                  np.full((nt, nz, ny, nx), 2e-4, np.float32)),
+        "U": (("time", "z", "y", "xs"),
+              np.full((nt, nz, ny, nx + 1), 10.0, np.float32)),
+        "V": (("time", "z", "ys", "x"),
+              np.full((nt, nz, ny + 1, nx), -3.0, np.float32)),
+        "TSK": (("time", "y", "x"),
+                np.full((nt, ny, nx), 288.0, np.float32)),
+        "SWDOWN": (("time", "y", "x"),
+                   np.full((nt, ny, nx), 400.0, np.float32)),
+        "GLW": (("time", "y", "x"),
+                np.full((nt, ny, nx), 300.0, np.float32)),
+        "HGT": (("time", "y", "x"),
+                np.zeros((nt, ny, nx), np.float32)),
+        "XLAND": (("time", "y", "x"), np.broadcast_to(
+            (1.0 + (np.arange(nx) % 2))[None, None, :].astype(np.float32),
+            (nt, ny, nx)).copy()),
+        "XLAT": (("time", "y", "x"), np.broadcast_to(
+            np.linspace(40, 41, ny, dtype=np.float32)[None, :, None],
+            (nt, ny, nx)).copy()),
+        "XLONG": (("time", "y", "x"), np.broadcast_to(
+            np.linspace(-106, -105, nx, dtype=np.float32)[None, None, :],
+            (nt, ny, nx)).copy()),
+        "Times": (("time", "datestrlen"), np.array(
+            [list(f"2010-06-0{i + 1}_00:00:00") for i in range(nt)], "S1")),
+    }
+    if classic:
+        from scipy.io import netcdf_file
+        f = netcdf_file(path, "w")
+        dimsizes = {"time": nt, "z": nz, "zi": nz + 1, "y": ny, "x": nx,
+                    "xs": nx + 1, "ys": ny + 1, "datestrlen": 19}
+        for d, n in dimsizes.items():
+            f.createDimension(d, n)
+        for name, (dims, arr) in data.items():
+            v = f.createVariable(name, arr.dtype if arr.dtype.kind != "S"
+                                 else "S1", dims)
+            v[:] = arr
+        f.close()
+    else:
+        write_vars(path, {k: v for k, v in data.items() if k != "Times"})
+        # h5py path: append Times as raw char dataset
+        import h5py
+        with h5py.File(path, "a") as f:
+            f.create_dataset("Times", data=data["Times"][1])
+
+
+@pytest.mark.parametrize("classic", [False, True])
+def test_wrf2icar_convert_and_ingest(tmp_path, classic):
+    """wrf2icar produces a forcing file icar_tpu can ingest directly
+    (helpers/wrf/wrf2icar.py + wrf_vars.py equivalents)."""
+    import importlib
+    wrf2icar = importlib.import_module("wrf2icar")
+
+    src = str(tmp_path / ("wrf_classic.nc" if classic else "wrf_h5.nc"))
+    _write_synthetic_wrfout(src, classic=classic)
+    out = str(tmp_path / "forcing.nc")
+    wrf2icar.convert([src], out, verbose=False)
+
+    with NCFile(out) as f:
+        p = f.read("pressure")
+        assert p.shape == (2, 5, 8, 10)
+        z = f.read("z")
+        # (PH+PHB)/g destaggered: mass levels at 250,750,... +- noise
+        assert abs(z[0, 0].mean() - 250.0) < 5.0
+        np.testing.assert_allclose(f.read("u"), 10.0, rtol=1e-6)
+        np.testing.assert_allclose(f.read("v"), -3.0, rtol=1e-6)
+        th = f.read("theta")
+        assert abs(th.mean() - 300.0) < 3.0
+        qc = f.read("qc")
+        np.testing.assert_allclose(qc, 3e-4, rtol=1e-5)
+        lm = f.read("landmask")
+        assert set(np.unique(lm)) == {0.0, 1.0}
+        t = f.read("time")
+        np.testing.assert_allclose(t, [0.0, 24.0])
+        assert f.read_attr("time", "units").startswith(
+            "hours since 2010-06-01")
+
+    # the converted file feeds straight into the forcing reader
+    from icar_tpu.config import Options
+    from icar_tpu.forcing.boundary import ForcingData
+    o = Options()
+    o.forcing.boundary_files = [out]
+    for slot, name in (("p", "pressure"), ("t", "theta"), ("qv", "qv"),
+                       ("u", "u"), ("v", "v"), ("z", "z"), ("lat", "lat"),
+                       ("lon", "lon"), ("hgt", "hgt"), ("sst", "tsk"),
+                       ("swdown", "swdown"), ("lwdown", "glw")):
+        o.forcing.var_names[slot] = name
+    fd = ForcingData(o)
+    step = fd.read_step(0)
+    assert step["p"].shape == (5, 8, 10)
+    np.testing.assert_allclose(step["u"], 10.0, rtol=1e-6)
+    assert np.all(step["z"] > 0)
