@@ -156,3 +156,4 @@ def compute_dt(u, v, w, dz_levels, dx, cfl_reduction, cfl_strictness: int = 3):
             maxwind = maxwind * sqrt3
 
     return cfl_reduction / maxwind
+

@@ -888,6 +888,9 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             dt = jnp.minimum(dt, end_time - t)
 
             # YSU consumes the 10m-wind/ustar diagnostics every substep
+            # (a fused Pallas "prologue" for diagnostics+CFL was measured
+            # 8% SLOWER than XLA's own fusions here — XLA already handles
+            # this elementwise+reduction mix well, so it stays jnp)
             state = diagnostic_update(state, geom,
                                       full=(phys.boundarylayer == C.PBL_YSU),
                                       with_w_real=(

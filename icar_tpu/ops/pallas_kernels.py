@@ -229,3 +229,126 @@ def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 8):
         out_shape=jax.ShapeDtypeStruct((S, nz, ny_pad, nx), stacked_q.dtype),
     )(jnp.asarray([ny], jnp.int32), qc, qd, qu, vb, va, up, wp, dzp, jacop)
     return out[:, :, :ny, :]
+
+
+# ---------------------------------------------------------------------------
+# fused CFL-substepped sedimentation (SB04)
+# ---------------------------------------------------------------------------
+#
+# mp_simple's explicit sedimentation (physics/mp_simple._sediment_species,
+# mp_simple.f90:507-564) runs ceil(dt*v_fall/dz) upstream fall steps per
+# model substep — at dt~50s and dz_0=50m that is 10-14 inner iterations,
+# each a full HBM sweep over 6 fields in the jnp path (the profiled top
+# cost of the whole model step). Sedimentation is purely columnar, so the
+# kernel tiles the flattened horizontal dim, keeps each column batch in
+# VMEM for the entire inner loop, and exits immediately for tiles with no
+# precipitate (the loop is an exact identity when q == 0 everywhere).
+
+LH_LIQUID = 3.34e5
+SMALL = 1e-30
+RAIN_FALL_RATE = 10.0
+SNOW_FALL_RATE = 1.5
+
+
+def _phase_change(temperature, q1, qmax, q2, lheat, change_rate):
+    # physics/mp_simple.phase_change (mp_simple.f90:333-362), same op order
+    delta = (qmax - q2) * change_rate
+    delta = jnp.minimum(delta, q1)
+    delta = jnp.minimum(delta, (qmax - q2) * 0.99)
+    delta = jnp.maximum(delta, 0.0)
+    q1n = jnp.maximum(q1 - delta, 0.0)
+    q2n = q2 + delta
+    tn = temperature + delta * (lheat / HEAT_CAPACITY)
+    return tn, q1n, q2n
+
+
+def _sediment_kernel(scal_ref, q_ref, qv_ref, t_ref, p_ref, rho_ref, dz_ref,
+                     q_out, qv_out, t_out, precip_out, *, snow: bool):
+    dt = scal_ref[0]
+    evap_base = scal_ref[1]
+    fall_rate = SNOW_FALL_RATE if snow else RAIN_FALL_RATE
+    q0 = q_ref[:]
+    qv0 = qv_ref[:]
+    t0 = t_ref[:]
+    p = p_ref[:]
+    rho = rho_ref[:]
+    dz = dz_ref[:]
+
+    # per-column CFL count & per-substep fall distance (mp_simple.f90:511)
+    cfl = jnp.ceil(jnp.max(dt / dz * fall_rate, axis=0, keepdims=True))
+    fall_dist = dt * fall_rate / cfl              # (1, TX) [m]
+    evap_rate = evap_base / (2.0 * cfl)
+    n_tile = jnp.max(cfl).astype(jnp.int32)
+    # identity when the tile holds no precipitate: every flux is *0 and
+    # every phase-change mask requires q > SMALL
+    n_tile = jnp.where(jnp.max(q0) > 0.0, n_tile, jnp.int32(0))
+
+    def l_heat(t):
+        le = -(LH_VAPOR + (373.15 - t) * DLHVDT)
+        return (le - LH_LIQUID) if snow else le
+
+    def substep(carry):
+        s, q, qv, t, precip = carry
+        active = s < cfl                          # (1, TX)
+        # one upstream fall step (_sediment_substep, mp_simple.f90:437-459)
+        sed = fall_dist * q[:1] * rho[:1]         # surface outflow (1, TX)
+        flux = fall_dist * q[1:] * rho[1:]        # into layer k from k+1
+        zeros = jnp.zeros_like(q[:1])
+        gain = jnp.concatenate([flux, zeros], axis=0)
+        loss = jnp.concatenate([zeros, flux], axis=0)
+        base = q + (gain - loss) / (rho * dz)
+        row0 = base[:1] + (-sed / (dz[:1] * rho[:1]))
+        q_new = jnp.concatenate([row0, base[1:]], axis=0)
+        q = jnp.where(active, q_new, q)
+        precip = precip + jnp.where(active, sed, 0.0)
+        # evaporate/sublimate fallen precip in subsaturated layers
+        qvsat = _sat_mr(t, p)
+        l_evap = l_heat(t)
+        m = active & (qv < qvsat) & (q > SMALL)
+        t_e, q_e, qv_e = _phase_change(t, q, qvsat, qv, l_evap, evap_rate)
+        t = jnp.where(m, t_e, t)
+        q = jnp.where(m, q_e, q)
+        qv = jnp.where(m, qv_e, qv)
+        return s + 1, q, qv, t, precip
+
+    precip0 = jnp.zeros_like(q0[:1])
+    _, q, qv, t, precip = jax.lax.while_loop(
+        lambda c: c[0] < n_tile, substep,
+        (jnp.int32(0), q0, qv0, t0, precip0))
+    q_out[:] = q
+    qv_out[:] = qv
+    t_out[:] = t
+    precip_out[:] = precip
+
+
+def sediment_species_tpu(q, qv, temperature, pressure, rho, dz, dt,
+                         evap_rate_base, snow: bool):
+    """Fused sedimentation for one species: (nz, ny, nx) fields ->
+    (q, qv, t, surface_precip). Bit-exact vs the jnp path in
+    physics/mp_simple._sediment_species (columns are independent and the
+    kernel preserves the per-column op order and masking)."""
+    nz, ny, nx = q.shape
+    M = ny * nx
+    TX = 512
+    Mp = pl.cdiv(M, TX) * TX
+
+    def flat(a, pad_val):
+        a = a.reshape(nz, M)
+        return jnp.pad(a, ((0, 0), (0, Mp - M)), constant_values=pad_val)
+
+    scal = jnp.stack([jnp.float32(dt), jnp.float32(evap_rate_base)])
+    spec = pl.BlockSpec((nz, TX), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((1, TX), lambda i: (0, i), memory_space=pltpu.VMEM)
+    kern = functools.partial(_sediment_kernel, snow=snow)
+    qf, qvf, tf, pr = pl.pallas_call(
+        kern,
+        grid=(Mp // TX,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6,
+        out_specs=[spec, spec, spec, spec1],
+        out_shape=[jax.ShapeDtypeStruct((nz, Mp), q.dtype)] * 3
+        + [jax.ShapeDtypeStruct((1, Mp), q.dtype)],
+    )(scal, flat(q, 0.0), flat(qv, 0.0), flat(temperature, 300.0),
+      flat(pressure, 1e5), flat(rho, 1.0), flat(dz, 1e9))
+    shape3 = (nz, ny, nx)
+    return (qf[:, :M].reshape(shape3), qvf[:, :M].reshape(shape3),
+            tf[:, :M].reshape(shape3), pr[0, :M].reshape(ny, nx))

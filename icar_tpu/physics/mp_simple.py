@@ -205,12 +205,18 @@ def _sediment_substep(q, fall_dist, rho, dz):
 
 
 def _sediment_species(q, qv, temperature, pressure, rho, dz, dt,
-                      fall_rate, evap_rate_base, l_heat):
+                      fall_rate, evap_rate_base, l_heat, use_pallas=False):
     """CFL-substepped sedimentation + inter-substep evaporation for one
     species (mp_simple.f90:507-564). Per-column substep counts follow the
     reference's per-column CFL; columns finish early via masking.
 
     Returns (q, qv, temperature, accumulated_surface_precip)."""
+    if use_pallas and q.ndim == 3:
+        from ..ops import pallas_kernels as pk
+        if pk.saturation_adjust_available():
+            return pk.sediment_species_tpu(
+                q, qv, temperature, pressure, rho, dz, dt, evap_rate_base,
+                snow=(fall_rate == SNOW_FALL_RATE))
     # per-column cfl count: ceil(max_k dt*v/dz)  (mp_simple.f90:511)
     cfl = jnp.ceil(jnp.max(dt / dz * fall_rate, axis=0))          # (ny, nx)
     n_max = jnp.max(cfl).astype(jnp.int32)
@@ -262,17 +268,30 @@ def mp_simple(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
     def l_subl_fn(t):
         return -LH_LIQUID + l_evap_fn(t)
 
+    # the Pallas kernel early-exits per 512-column tile, which subsumes the
+    # reference's global "any rain?" gate (and avoids two full-field max
+    # reductions per substep just to compute the lax.cond predicates); the
+    # jnp path keeps the global gate
+    pallas_active = False
+    if use_pallas and qr.ndim == 3:
+        from ..ops import pallas_kernels as pk
+        pallas_active = pk.saturation_adjust_available()
+
     # rain sedimentation (only when rain exists anywhere, mp_simple.f90:507)
     def do_rain(args):
         qr, qv, t, rain = args
         qr, qv, t, sed = _sediment_species(
             qr, qv, t, pressure, rho, dz, dt, RAIN_FALL_RATE,
-            cloud2rain, l_evap_fn)
+            cloud2rain, l_evap_fn, use_pallas)
         return qr, qv, t, rain + sed
     def no_rain(args):
         return args
-    qr, qv, temperature, rain = jax.lax.cond(
-        jnp.max(qr) > SMALL, do_rain, no_rain, (qr, qv, temperature, rain))
+    if pallas_active:
+        qr, qv, temperature, rain = do_rain((qr, qv, temperature, rain))
+    else:
+        qr, qv, temperature, rain = jax.lax.cond(
+            jnp.max(qr) > SMALL, do_rain, no_rain,
+            (qr, qv, temperature, rain))
 
     # snow sedimentation; snowfall adds to both snow and total rain
     # (mp_simple.f90:542-549)
@@ -280,13 +299,17 @@ def mp_simple(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
         qs, qv, t, rain, snow = args
         qs, qv, t, sed = _sediment_species(
             qs, qv, t, pressure, rho, dz, dt, SNOW_FALL_RATE,
-            cloud2snow, l_subl_fn)
+            cloud2snow, l_subl_fn, use_pallas)
         return qs, qv, t, rain + sed, snow + sed
     def no_snow(args):
         return args
-    qs, qv, temperature, rain, snow = jax.lax.cond(
-        jnp.max(qs) > SMALL, do_snow, no_snow,
-        (qs, qv, temperature, rain, snow))
+    if pallas_active:
+        qs, qv, temperature, rain, snow = do_snow(
+            (qs, qv, temperature, rain, snow))
+    else:
+        qs, qv, temperature, rain, snow = jax.lax.cond(
+            jnp.max(qs) > SMALL, do_snow, no_snow,
+            (qs, qv, temperature, rain, snow))
 
     theta = temperature / exner
     return theta, qv, qc, qr, qs, rain, snow
