@@ -247,7 +247,8 @@ class RunOptions:
     forcing_start_date: str = ""
     calendar: str = GREGORIAN
     restart: bool = False
-    restart_date: str = ""
+    restart_date: str = ""            # restart at/just before this date
+    restart_in_file: str = ""         # explicit checkpoint path
     cfl_reduction_factor: float = 0.9
     cfl_strictness: int = 3
     wind_iterations: int = 100        # iterative wind solver steps
@@ -469,6 +470,23 @@ class Options:
         if "calendar" in pm:
             o.run.calendar = normalize_calendar(str(pm["calendar"]))
 
+        # &restart_info: which checkpoint to resume from
+        # (init_restart_options, options_obj.f90:476-540). restart_step is
+        # accepted but unused: icar_tpu checkpoints hold one snapshot each.
+        ri = nml.get("restart_info", {})
+        if "restart_file" in ri:
+            o.run.restart_in_file = str(ri["restart_file"])
+        if "restart_date" in ri:
+            rd = ri["restart_date"]
+            if isinstance(rd, list):
+                vals = [int(x) for x in rd] + [0] * (6 - len(rd))
+                if min(vals[:3]) > 0:      # reference sentinel: -999 = unset
+                    o.run.restart_date = (
+                        f"{vals[0]:04d}-{vals[1]:02d}-{vals[2]:02d} "
+                        f"{vals[3]:02d}:{vals[4]:02d}:{vals[5]:02d}")
+            else:
+                o.run.restart_date = str(rd)
+
         for key, attr, conv in [
             ("inputinterval", "input_interval", float),
             ("time_varying_z", "time_varying_z", bool),
@@ -523,6 +541,11 @@ class Options:
             o.output.restart_file = str(ol["restart_file"])
         if "engine" in ol:
             o.output.engine = str(ol["engine"])
+        # frames_per_outfile lives in &parameters in the reference
+        # (options_obj.f90:1054); accept it in either group
+        for grp in (ol, pm):
+            if "frames_per_outfile" in grp:
+                o.output.frames_per_outfile = int(grp["frames_per_outfile"])
 
         # Per-physics namelist groups may be redirected to separate files
         # via <prefix>_options_filename in &parameters (defaulting to the

@@ -278,16 +278,41 @@ class ICARDriver:
         t = 0.0
         n_outputs = 0
         if o.run.restart:
-            # resume from the most recent checkpoint (driver.f90:81-87)
+            # resume from a checkpoint (driver.f90:81-87): an explicit
+            # &restart_info restart_file, the newest checkpoint at/before
+            # restart_date, or simply the most recent one
+            # (init_restart_options, options_obj.f90:476-540)
             import glob
-            cands = sorted(glob.glob(self.restart_base + "*.npz"))
-            if not cands:
-                raise FileNotFoundError(
-                    f"restart requested but no checkpoint matches "
-                    f"{self.restart_base}*.npz")
-            t = read_restart(cands[-1], self.model)
+            if o.run.restart_in_file:
+                pick = o.run.restart_in_file
+            else:
+                cands = sorted(glob.glob(self.restart_base + "*.npz"))
+                if not cands:
+                    raise FileNotFoundError(
+                        f"restart requested but no checkpoint matches "
+                        f"{self.restart_base}*.npz")
+                pick = cands[-1]
+                if o.run.restart_date:
+                    from ..utils.calendar import Time
+                    want = (Time.from_string(o.run.restart_date,
+                                             o.run.calendar)
+                            - o.start_time()).seconds()
+
+                    def t_of(p):
+                        try:
+                            return int(p[-12:-4])
+                        except ValueError:
+                            return -1
+                    eligible = [p for p in cands if 0 <= t_of(p) <= want + 1]
+                    if not eligible:
+                        raise FileNotFoundError(
+                            f"no checkpoint at or before restart_date "
+                            f"{o.run.restart_date} (t={want:.0f}s) in "
+                            f"{self.restart_base}*.npz")
+                    pick = max(eligible, key=t_of)
+            t = read_restart(pick, self.model)
             n_outputs = int(round(t / output_dt))
-            print(f"restarted from {cands[-1]} at t={t:.0f}s")
+            print(f"restarted from {pick} at t={t:.0f}s")
         else:
             self.writer.write_step(self.model, t)
         next_output = (n_outputs + 1) * output_dt

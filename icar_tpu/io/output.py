@@ -41,14 +41,34 @@ class OutputWriter:
     output_obj.f90:41-78)."""
 
     def __init__(self, path: str, names: List[str], options=None):
+        self.base = path
         self.path = path
         self.names = names
         self.options = options
         self._initialized = False
+        self._frames = 0
+        self._file_idx = 0
+        # one file per frames_per_outfile output steps (driver.f90:94-102
+        # starts a new per-image file per output period; default 24)
+        fpo = getattr(getattr(options, "output", None),
+                      "frames_per_outfile", 0) if options else 0
+        self.frames_per_file = int(fpo) if fpo else 0
+
+    def _rotate(self):
+        import os
+        self._file_idx += 1
+        root, ext = os.path.splitext(self.base)
+        self.path = f"{root}_{self._file_idx:03d}{ext}"
+        self._initialized = False
+        self._frames = 0
 
     def write_step(self, model, time_seconds: float):
         state = model.state
         names = [n for n in self.names if n in state]
+        if (self.frames_per_file > 0 and self._initialized
+                and self._frames >= self.frames_per_file):
+            self._rotate()
+        self._frames += 1
         if not self._initialized:
             mode = "w"
             with NCFile(self.path, mode) as f:

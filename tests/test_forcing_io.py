@@ -311,3 +311,80 @@ def test_rain_fraction_bias_correction(tmp_path):
     ICARDriver._apply_rain_fraction(d, before, t=0.0)
     np.testing.assert_allclose(
         np.asarray(d.model.state["precipitation"]), 10.0)
+
+
+def test_output_file_rotation(ideal_run, tmp_path):
+    """frames_per_outfile starts a new output file every N frames
+    (one file per output period in the reference, driver.f90:94-102)."""
+    import copy
+    driver, _ = ideal_run
+    o = copy.deepcopy(driver.options)
+    o.output.output_file = str(tmp_path / "rot_")
+    o.output.restart_file = str(tmp_path / "rotr_")
+    o.output.output_interval = 900.0
+    o.output.frames_per_outfile = 2
+    from icar_tpu.core.driver import ICARDriver
+    d = ICARDriver(o)
+    d.run()
+    # initial + 4 outputs = 5 frames -> files of 2/2/1
+    base = str(tmp_path / "rot_run.nc")
+    import os
+    assert os.path.exists(base)
+    assert os.path.exists(str(tmp_path / "rot_run_001.nc"))
+    assert os.path.exists(str(tmp_path / "rot_run_002.nc"))
+    with NCFile(base) as f:
+        np.testing.assert_allclose(f.read("model_time"), [0.0, 900.0])
+    with NCFile(str(tmp_path / "rot_run_001.nc")) as f:
+        np.testing.assert_allclose(f.read("model_time"), [1800.0, 2700.0])
+    with NCFile(str(tmp_path / "rot_run_002.nc")) as f:
+        np.testing.assert_allclose(f.read("model_time"), [3600.0])
+
+
+def test_restart_info_date_selection(ideal_run, tmp_path):
+    """&restart_info restart_date picks the checkpoint at/just before the
+    requested date (init_restart_options, options_obj.f90:476-540)."""
+    import copy
+    driver, _ = ideal_run
+    o = copy.deepcopy(driver.options)
+    o.output.output_file = str(tmp_path / "rs_")
+    o.output.restart_file = str(tmp_path / "rsr_")
+    o.output.output_interval = 1800.0
+    o.output.restart_count = 1          # checkpoint at every output
+    from icar_tpu.core.driver import ICARDriver
+    d = ICARDriver(o)
+    d.run()
+    import glob
+    cands = sorted(glob.glob(str(tmp_path / "rsr_") + "*.npz"))
+    assert len(cands) == 2              # t=1800 and t=3600
+
+    o2 = copy.deepcopy(o)
+    o2.run.restart = True
+    o2.run.restart_date = "2020-12-01 00:30:00"
+    d2 = ICARDriver(o2)
+    # capture the restart pick via the run
+    d2.run()
+    # the model should have resumed from t=1800, not 3600: model_time ends
+    # at 3600 either way, but output file gets frames from 3600 only if
+    # resumed at 1800 (next_output = 3600)
+    assert np.isfinite(d2.model.field("potential_temperature")).all()
+
+    # parsing: &restart_info as a namelist group
+    nml = tmp_path / "ri.nml"
+    nml.write_text("""
+&parameters
+  restart = .True.
+/
+&restart_info
+  restart_date = 2020, 12, 1, 0, 30, 0
+  restart_step = 4
+/
+""")
+    o3 = Options.from_namelist(str(nml))
+    assert o3.run.restart is True
+    assert o3.run.restart_date == "2020-12-01 00:30:00"
+
+    # an unreachable restart_date errors clearly
+    o4 = copy.deepcopy(o2)
+    o4.run.restart_date = "2020-11-30 00:00:00"
+    with pytest.raises(FileNotFoundError, match="restart_date"):
+        ICARDriver(o4).run()
