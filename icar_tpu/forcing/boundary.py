@@ -144,6 +144,7 @@ class Regridder:
     vlut_u: Optional[VertLUT] = None
     vlut_v: Optional[VertLUT] = None
     nsmooth: int = 0
+    time_varying_z: bool = False
 
     @classmethod
     def build(cls, geom, f_lat, f_lon, f_z, options: Options):
@@ -170,13 +171,29 @@ class Regridder:
         if smooth_dist < 0:
             smooth_dist = options.domain.dx * 2
         self.nsmooth = max(1, int(round(smooth_dist / options.domain.dx)))
+        self.time_varying_z = bool(options.forcing.time_varying_z)
         return self
+
+    def update_vluts(self, f_z, geom):
+        """Rebuild the vertical LUTs from this step's forcing z. The
+        reference instead re-interpolates each variable back onto the
+        initial forcing levels when z varies in time
+        (boundary_obj.f90:432-478); rebuilding the model-grid LUTs from the
+        current levels is the equivalent (and direct) transform."""
+        fz_m = np.asarray(geo_interp(jnp.asarray(f_z), self.geo))
+        fz_u = np.asarray(geo_interp(jnp.asarray(f_z), self.geo_u))
+        fz_v = np.asarray(geo_interp(jnp.asarray(f_z), self.geo_v))
+        self.vlut = build_vlut(np.asarray(geom.z), fz_m)
+        self.vlut_u = build_vlut(np.asarray(geom.z_u), fz_u)
+        self.vlut_v = build_vlut(np.asarray(geom.z_v), fz_v)
 
     def to_model_grid(self, raw: Dict[str, np.ndarray], geom) -> Dict[str, jnp.ndarray]:
         """Interpolate one forcing step to the model grid. Returns target
         fields keyed by state names (interpolate_forcing,
         domain_obj.f90:2559-2719)."""
         out: Dict[str, jnp.ndarray] = {}
+        if self.time_varying_z and "z" in raw and self.vlut is not None:
+            self.update_vluts(raw["z"], geom)
 
         def horiz(slot, lut):
             return geo_interp(jnp.asarray(raw[slot]), lut)

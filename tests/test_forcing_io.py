@@ -388,3 +388,52 @@ def test_restart_info_date_selection(ideal_run, tmp_path):
     o4.run.restart_date = "2020-11-30 00:00:00"
     with pytest.raises(FileNotFoundError, match="restart_date"):
         ICARDriver(o4).run()
+
+
+def test_time_varying_z_rebuilds_vluts():
+    """With time_varying_z the per-step forcing z rebuilds the vertical
+    LUTs, so a field tied to height interpolates identically even as the
+    forcing levels move (boundary_obj.f90:432-478 equivalent)."""
+    from types import SimpleNamespace
+
+    from icar_tpu.forcing.boundary import Regridder
+
+    # trivial "forcing grid" == "model grid": identity geo interpolation
+    ny, nx = 6, 8
+    lat, lon = np.meshgrid(np.linspace(0, 5, ny), np.linspace(10, 17, nx),
+                           indexing="ij")
+    nz_f, nz_m = 12, 5
+    fz0 = np.broadcast_to((np.arange(nz_f) * 400.0)[:, None, None],
+                          (nz_f, ny, nx)).astype(np.float32).copy()
+    mz = np.broadcast_to(np.array([100, 500, 900, 1500, 2500.0])
+                         [:, None, None], (nz_m, ny, nx)).copy()
+
+    o = Options()
+    o.domain.dx = 1000.0
+    o.forcing.time_varying_z = True
+    geom = SimpleNamespace(z=mz,
+                           z_u=mz[:, :, list(range(nx)) + [nx - 1]],
+                           z_v=mz[:, list(range(ny)) + [ny - 1], :],
+                           lat=lat, lon=lon)
+    rg = Regridder.build(geom, lat, lon, fz0, o)
+
+    # theta defined as a pure function of height; if vLUTs follow the
+    # moving levels the regridded field is invariant to the level shift
+    def theta_of_z(z):
+        return (290.0 + 0.004 * z).astype(np.float32)
+
+    raw0 = {"theta": theta_of_z(fz0), "z": fz0}
+    out0 = np.asarray(rg.to_model_grid(raw0, geom)["potential_temperature"])
+    fz1 = fz0 + 150.0                         # all levels lifted 150 m
+    raw1 = {"theta": theta_of_z(fz1), "z": fz1}
+    out1 = np.asarray(rg.to_model_grid(raw1, geom)["potential_temperature"])
+    np.testing.assert_allclose(out1, out0, rtol=2e-5)
+    np.testing.assert_allclose(out0[:, 0, 0], 290.0 + 0.004 * mz[:, 0, 0],
+                               rtol=1e-5)
+
+    # without the flag the LUT is stale and the lifted profile shifts
+    rg2 = Regridder.build(geom, lat, lon, fz0,
+                          Options())
+    out2a = np.asarray(rg2.to_model_grid(raw0, geom)["potential_temperature"])
+    out2b = np.asarray(rg2.to_model_grid(raw1, geom)["potential_temperature"])
+    assert np.abs(out2b - out2a).max() > 0.3
