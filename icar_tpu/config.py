@@ -222,6 +222,7 @@ class ForcingOptions:
     qv_is_relative_humidity: bool = False
     qv_is_spec_humidity: bool = False
     smooth_wind_distance: float = -1.0  # <0: default = dx of forcing
+    longitude_system: int = 0           # 0 maintain / 1..2 convert / 3 guess
     # use_agl_height/agl_cap are accepted for namelist compatibility but
     # inert, which is exact parity: the reference's AGL scaling factor
     # ((AGL_nz-i)/AGL_nz, domain_obj.f90:2292-2295) is Fortran INTEGER
@@ -499,6 +500,7 @@ class Options:
             ("smooth_wind_distance", "smooth_wind_distance", float),
             ("use_agl_height", "use_agl_height", bool),
             ("agl_cap", "agl_cap", float),
+            ("longitude_system", "longitude_system", int),
         ]:
             if key in pm:
                 setattr(o.forcing, attr, conv(pm[key]))

@@ -149,12 +149,19 @@ class Regridder:
     @classmethod
     def build(cls, geom, f_lat, f_lon, f_z, options: Options):
         from ..grid import offset_x, offset_y
+        from .interpolation import standardize_longitudes
 
+        # bring forcing and model longitudes into one coordinate system
+        # (standardize_coordinates, geo_reader.f90:1205-1267)
+        lsys = options.forcing.longitude_system
+        f_lon = standardize_longitudes(f_lon, lsys)
+        m_lon = standardize_longitudes(np.asarray(geom.lon, np.float64),
+                                       lsys)
         lat_u = offset_x(np.asarray(geom.lat, np.float64))
-        lon_u = offset_x(np.asarray(geom.lon, np.float64))
+        lon_u = offset_x(m_lon)
         lat_v = offset_y(np.asarray(geom.lat, np.float64))
-        lon_v = offset_y(np.asarray(geom.lon, np.float64))
-        geo = build_geo_lut(f_lat, f_lon, np.asarray(geom.lat), np.asarray(geom.lon))
+        lon_v = offset_y(m_lon)
+        geo = build_geo_lut(f_lat, f_lon, np.asarray(geom.lat), m_lon)
         geo_u = build_geo_lut(f_lat, f_lon, lat_u, lon_u)
         geo_v = build_geo_lut(f_lat, f_lon, lat_v, lon_v)
 

@@ -177,3 +177,34 @@ def smooth_horizontal(a, n: int):
         return a
     from ..ops.linear_winds import _box_smooth_2d
     return _box_smooth_2d(a, n)
+
+
+# longitude coordinate systems (icar_constants.f90:328-331)
+LON_MAINTAIN = 0
+LON_PRIME_CENTERED = 1        # 0..360
+LON_DATELINE_CENTERED = 2     # -180..180
+LON_GUESS = 3
+
+
+def standardize_longitudes(lon, system: int):
+    """Convert a longitude array to the requested coordinate system
+    (standardize_coordinates, geo_reader.f90:1242-1263). NOTE the
+    reference's constant names are swapped relative to their behavior:
+    kDATELINE_CENTERED maps into 0..360 and kPRIME_CENTERED into
+    -180..180; the behavior (not the naming) is reproduced."""
+    lon = np.asarray(lon, np.float64).copy()
+    if system == LON_MAINTAIN:
+        return lon
+    if system == LON_DATELINE_CENTERED:
+        lon[lon < 0] += 360.0
+    elif system == LON_PRIME_CENTERED:
+        lon[lon > 180] -= 360.0
+    elif system == LON_GUESS:
+        lon[lon > 180] -= 360.0
+        if lon.min() < -150 or lon.max() > 150:
+            lon[lon < 0] += 360.0
+    else:
+        raise ValueError(
+            f"unknown longitude_system {system}; use 0 (maintain), "
+            "1 (0..360), 2 (-180..180) or 3 (guess)")
+    return lon

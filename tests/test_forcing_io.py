@@ -437,3 +437,41 @@ def test_time_varying_z_rebuilds_vluts():
     out2a = np.asarray(rg2.to_model_grid(raw0, geom)["potential_temperature"])
     out2b = np.asarray(rg2.to_model_grid(raw1, geom)["potential_temperature"])
     assert np.abs(out2b - out2a).max() > 0.3
+
+
+def test_longitude_system_standardization():
+    """longitude_system reconciles 0..360 forcing with -180..180 model
+    grids (standardize_coordinates, geo_reader.f90:1242-1263)."""
+    from types import SimpleNamespace
+
+    from icar_tpu.forcing.boundary import Regridder
+    from icar_tpu.forcing.interpolation import (LON_GUESS,
+                                                standardize_longitudes)
+
+    # forcing on 250..260 E (0..360 convention), model on -108..-102
+    ny_f, nx_f = 8, 12
+    f_lat, f_lon = np.meshgrid(np.linspace(35, 45, ny_f),
+                               np.linspace(250, 260, nx_f), indexing="ij")
+    ny, nx = 5, 7
+    m_lat, m_lon = np.meshgrid(np.linspace(38, 42, ny),
+                               np.linspace(-108, -102, nx), indexing="ij")
+
+    o = Options()
+    o.domain.dx = 1000.0
+    o.forcing.longitude_system = LON_GUESS
+    geom = SimpleNamespace(lat=m_lat, lon=m_lon,
+                           z=None, z_u=None, z_v=None)
+    rg = Regridder.build(geom, f_lat, f_lon, None, o)
+    # a linear-in-lon field must interpolate exactly (not be clamped to an
+    # edge, which is what happens without standardization)
+    field = (2.0 * f_lon).astype(np.float32)
+    out = np.asarray(geo_interp(jnp.asarray(field), rg.geo))
+    np.testing.assert_allclose(out, 2.0 * (m_lon + 360.0), rtol=1e-6)
+
+    # conversion helpers
+    lon = np.array([-170.0, 10.0, 190.0])
+    np.testing.assert_allclose(standardize_longitudes(lon, 1),
+                               [-170.0, 10.0, -170.0])
+    np.testing.assert_allclose(standardize_longitudes(lon, 2),
+                               [190.0, 10.0, 190.0])
+    np.testing.assert_allclose(standardize_longitudes(lon, 0), lon)
