@@ -223,3 +223,77 @@ def test_wrf2icar_convert_and_ingest(tmp_path, classic):
     assert step["p"].shape == (5, 8, 10)
     np.testing.assert_allclose(step["u"], 10.0, rtol=1e-6)
     assert np.all(step["z"] > 0)
+
+
+def test_reanalysis2icar_pressure_levels(tmp_path):
+    """ERA5-style pressure-level file -> forcing (helpers/erai equivalent):
+    theta from real T, z from geopotential, qv from specific humidity,
+    descending lat/levels flipped ascending."""
+    import importlib
+    r2i = importlib.import_module("reanalysis2icar")
+
+    nt, nz, ny, nx = 2, 4, 6, 8
+    lat = np.linspace(45, 40, ny)            # descending, ERA5-style
+    lon = np.linspace(250, 257, nx)
+    lev = np.array([300.0, 500, 700, 850])   # hPa, top-down
+    rng = np.random.default_rng(5)
+    t_real = 250 + 40 * rng.random((nt, nz, ny, nx))
+    q_sh = np.full((nt, nz, ny, nx), 0.005)
+    gph = 9.81 * np.broadcast_to(
+        np.array([9000.0, 5500, 3000, 1500])[None, :, None, None],
+        (nt, nz, ny, nx))
+    u = np.full((nt, nz, ny, nx), 12.0)
+    v = np.full((nt, nz, ny, nx), -2.0)
+    src = str(tmp_path / "era.nc")
+    write_vars(src, {
+        "latitude": (("latitude",), lat.astype(np.float32)),
+        "longitude": (("longitude",), lon.astype(np.float32)),
+        "level": (("level",), lev.astype(np.float32)),
+        "t": (("time", "level", "latitude", "longitude"),
+              t_real.astype(np.float32)),
+        "q": (("time", "level", "latitude", "longitude"),
+              q_sh.astype(np.float32)),
+        "z": (("time", "level", "latitude", "longitude"),
+              gph.astype(np.float32)),
+        "u": (("time", "level", "latitude", "longitude"),
+              u.astype(np.float32)),
+        "v": (("time", "level", "latitude", "longitude"),
+              v.astype(np.float32))})
+    out = str(tmp_path / "forcing.nc")
+    names = {"u": "u", "v": "v", "t": "t", "q": "q", "z": "z",
+             "lev": "level", "lat": "latitude", "lon": "longitude"}
+    r2i.convert([src], out, names, verbose=False)
+
+    with NCFile(out) as f:
+        p = f.read("pressure")
+        assert p.shape == (nt, nz, ny, nx)
+        # ascending z: pressure decreasing with k, in Pa
+        assert p[0, 0, 0, 0] == 85000.0 and p[0, -1, 0, 0] == 30000.0
+        z = f.read("z")
+        np.testing.assert_allclose(z[0, :, 0, 0], [1500, 3000, 5500, 9000])
+        th = f.read("theta")
+        # theta = T * (p0/p)^(R/cp) of the bottom (850 hPa) level
+        want = t_real[0, 3, ::-1][0, 0] * (1e5 / 85000.0) ** (287.058 / 1012)
+        np.testing.assert_allclose(th[0, 0, 0, 0], want, rtol=1e-5)
+        qv = f.read("qv")
+        np.testing.assert_allclose(qv, 0.005 / 0.995, rtol=1e-5)
+        la = f.read("lat")
+        assert la[0, 0] == 40.0 and la[-1, 0] == 45.0   # flipped ascending
+
+
+def test_extract_daily_precip(tmp_path):
+    import importlib
+    edp = importlib.import_module("extract_daily_precip")
+
+    ny, nx = 3, 4
+    times = np.array([0.0, 43200, 86400, 129600, 172800])
+    acc = np.cumsum(np.ones((5, ny, nx)), axis=0) - 1   # +1 mm per frame
+    src = str(tmp_path / "out.nc")
+    write_vars(src, {
+        "model_time": (("time",), times.astype(np.float64)),
+        "precipitation": (("time", "y", "x"), acc.astype(np.float32))})
+    t, pr = edp.load_steps([src])
+    daily = edp.daily_totals(t, pr)
+    assert daily.shape == (2, ny, nx)
+    np.testing.assert_allclose(daily[0], 2.0)   # frames at 12h & 24h
+    np.testing.assert_allclose(daily[1], 2.0)   # frames at 36h & 48h
