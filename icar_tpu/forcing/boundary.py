@@ -60,13 +60,31 @@ class ForcingData:
             raise ValueError("no forcing files specified")
         self.var_names = fo.var_names
         self.input_interval = fo.input_interval
-        self.curfile = 0
-        self.curstep = 0
+        # steps per file, so read_step() can address a global step index
+        # across the whole file list (curfile/curstep cursor,
+        # boundary_obj.f90:371-430)
+        name = self.var_names["p"]
         self._steps_in_file: List[int] = []
+        for path in self.files:
+            with NCFile(path) as f:
+                self._steps_in_file.append(max(1, f.n_times(name)))
+        self._cum_steps = np.cumsum([0] + self._steps_in_file)
         with NCFile(self.files[0]) as f:
-            tvar = self.var_names.get("time", "time")
-            name = self.var_names["p"]
             self._first_shape = f.var_shape(name)
+        # skip forcing steps before the model start
+        # (find_timestep_in_file, time_io.f90)
+        self.first_step = 0
+        if options.run.forcing_start_date:
+            from ..utils.calendar import Time
+            ahead = (options.start_time()
+                     - Time.from_string(options.run.forcing_start_date,
+                                        options.run.calendar)).seconds()
+            self.first_step = max(0, int(round(ahead / self.input_interval)))
+            if self.first_step >= self._cum_steps[-1]:
+                raise ValueError(
+                    f"model start is {ahead:.0f}s after forcing_start_date "
+                    f"but the forcing files hold only "
+                    f"{int(self._cum_steps[-1])} step(s)")
         # forcing grid coordinates
         self.lat = self._read0("lat")
         self.lon = self._read0("lon")
@@ -78,7 +96,7 @@ class ForcingData:
         name = self.var_names.get(slot)
         if not name:
             return None
-        with NCFile(self.files[self.curfile]) as f:
+        with NCFile(self.files[0]) as f:
             if not f.has_var(name):
                 return None
             data = f.read(name)
@@ -87,21 +105,28 @@ class ForcingData:
         return np.asarray(data, np.float32)
 
     def n_steps(self) -> int:
-        with NCFile(self.files[self.curfile]) as f:
-            return f.n_times(self.var_names["p"])
+        """Total steps across the whole file list (after first_step)."""
+        return int(self._cum_steps[-1]) - self.first_step
+
+    def _locate(self, step: int):
+        """Global step index -> (file path, step within that file)."""
+        step = min(step + self.first_step, int(self._cum_steps[-1]) - 1)
+        fi = int(np.searchsorted(self._cum_steps, step, side="right")) - 1
+        return self.files[fi], step - int(self._cum_steps[fi])
 
     def read_step(self, step: int) -> Dict[str, np.ndarray]:
-        """Read all forcing variables at one time step and compute derived
-        fields (update_forcing + update_computed_vars,
+        """Read all forcing variables at one (global) time step and compute
+        derived fields (update_forcing + update_computed_vars,
         boundary_obj.f90:371-681). Returns (z, y, x) arrays."""
         fo = self.options.forcing
+        path, step = self._locate(step)
         out: Dict[str, np.ndarray] = {}
         for slot in ("u", "v", "p", "t", "theta", "qv", "z", "sst",
                      "swdown", "lwdown"):
             name = self.var_names.get(slot)
             if not name:
                 continue
-            with NCFile(self.files[self.curfile]) as f:
+            with NCFile(path) as f:
                 if not f.has_var(name):
                     continue
                 data = f.read(name)

@@ -475,3 +475,62 @@ def test_longitude_system_standardization():
     np.testing.assert_allclose(standardize_longitudes(lon, 2),
                                [190.0, 10.0, 190.0])
     np.testing.assert_allclose(standardize_longitudes(lon, 0), lon)
+
+
+def test_multifile_forcing_and_start_offset(tmp_path):
+    """The forcing cursor walks the whole boundary_files list (curfile /
+    curstep, boundary_obj.f90:371-430) and forcing_start_date skips steps
+    before the model start (find_timestep_in_file)."""
+    from icar_tpu.forcing.boundary import ForcingData
+
+    nz, ny, nx = 3, 4, 5
+
+    def mkfile(path, nt, u_val):
+        write_vars(path, {
+            "p": (("time", "level", "y", "x"),
+                  np.full((nt, nz, ny, nx), 9e4, np.float32)),
+            "theta": (("time", "level", "y", "x"),
+                      np.full((nt, nz, ny, nx), 300.0, np.float32)),
+            "u": (("time", "level", "y", "x"),
+                  np.stack([np.full((nz, ny, nx), u_val + i, np.float32)
+                            for i in range(nt)])),
+            "lat": (("y", "x"), np.broadcast_to(
+                np.linspace(40, 41, ny, dtype=np.float32)[:, None],
+                (ny, nx)).copy()),
+            "lon": (("y", "x"), np.broadcast_to(
+                np.linspace(-105, -104, nx, dtype=np.float32)[None],
+                (ny, nx)).copy())})
+
+    f1, f2 = str(tmp_path / "f1.nc"), str(tmp_path / "f2.nc")
+    mkfile(f1, 2, 10.0)     # steps 0,1 -> u = 10, 11
+    mkfile(f2, 3, 50.0)     # steps 2,3,4 -> u = 50, 51, 52
+
+    o = Options()
+    o.forcing.boundary_files = [f1, f2]
+    o.forcing.input_interval = 3600.0
+    fd = ForcingData(o)
+    assert fd.n_steps() == 5
+    assert fd.read_step(0)["u"][0, 0, 0] == 10.0
+    assert fd.read_step(1)["u"][0, 0, 0] == 11.0
+    assert fd.read_step(2)["u"][0, 0, 0] == 50.0   # crossed into file 2
+    assert fd.read_step(4)["u"][0, 0, 0] == 52.0
+    assert fd.read_step(99)["u"][0, 0, 0] == 52.0  # clamped to last
+
+    # model starts 2 h after the forcing series begins -> skip 2 steps
+    o2 = Options()
+    o2.forcing.boundary_files = [f1, f2]
+    o2.forcing.input_interval = 3600.0
+    o2.run.start_date = "2020-12-01 02:00:00"
+    o2.run.forcing_start_date = "2020-12-01 00:00:00"
+    fd2 = ForcingData(o2)
+    assert fd2.n_steps() == 3
+    assert fd2.read_step(0)["u"][0, 0, 0] == 50.0
+
+    # starting past the end of the series errors clearly
+    o3 = Options()
+    o3.forcing.boundary_files = [f1]
+    o3.forcing.input_interval = 3600.0
+    o3.run.start_date = "2020-12-02 00:00:00"
+    o3.run.forcing_start_date = "2020-12-01 00:00:00"
+    with pytest.raises(ValueError, match="forcing_start_date"):
+        ForcingData(o3)
