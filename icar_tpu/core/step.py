@@ -901,11 +901,11 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             if with_forcing:
                 state = apply_forcing(state, dqdt, dt, bmask)
             # clamp over-shot negatives in the last couple of substeps
-            # (time_step.f90:537-539)
+            # (time_step.f90:537-539); a lax.cond so the clamp pass over
+            # the whole state costs nothing until the interval end
             near_end = (end_time - t) < dt * 2
-            clamped = enforce_limits(state)
-            state = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(near_end, b, a), state, clamped)
+            state = jax.lax.cond(near_end, enforce_limits,
+                                 lambda s: s, state)
             return state, t + dt, n + 1, mp_el, lsm_el, rad_el
 
         # counters start at their intervals so the first substep runs the
