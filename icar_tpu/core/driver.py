@@ -120,6 +120,7 @@ class ICARDriver:
         target = self.regridder.to_model_grid(raw0, m.geom)
         s = dict(m.state)
         for name in ("potential_temperature", "water_vapor", "pressure",
+                     "cloud_water", "cloud_ice",
                      "sst", "shortwave", "longwave"):
             if name in target and name in s:
                 s[name] = target[name]

@@ -121,8 +121,8 @@ class ForcingData:
         fo = self.options.forcing
         path, step = self._locate(step)
         out: Dict[str, np.ndarray] = {}
-        for slot in ("u", "v", "p", "t", "theta", "qv", "z", "sst",
-                     "swdown", "lwdown"):
+        for slot in ("u", "v", "p", "t", "theta", "qv", "qc", "qi", "z",
+                     "sst", "swdown", "lwdown"):
             name = self.var_names.get(slot)
             if not name:
                 continue
@@ -247,6 +247,13 @@ class Regridder:
         if "qv" in raw:
             qv = horiz("qv", self.geo)
             out["water_vapor"] = vinterp(qv, self.vlut) if self.vlut else qv
+        # forcing cloud species (qcvar/qivar in &var_list; read as qc/qi in
+        # boundary_obj.f90 and forced on the lateral boundaries like any
+        # other advected scalar)
+        for slot, name in (("qc", "cloud_water"), ("qi", "cloud_ice")):
+            if slot in raw:
+                a = horiz(slot, self.geo)
+                out[name] = vinterp(a, self.vlut) if self.vlut else a
 
         # pressure: horizontal interp then hydrostatic adjustment to model z
         # (NEVER vertically interpolated; adjust_pressure,

@@ -38,7 +38,13 @@ class NCFile:
     # -- writing -----------------------------------------------------------
     def create_dim(self, name: str, size: int, unlimited: bool = False):
         if name in self.f:
-            return
+            ds = self.f[name]
+            if ds.attrs.get("CLASS") == b"DIMENSION_SCALE":
+                self._dims[name] = ds.shape[0]
+                return
+            raise ValueError(
+                f"dimension name {name!r} collides with an existing "
+                "variable in the file")
         maxshape = (None,) if unlimited else (size,)
         ds = self.f.create_dataset(name, shape=(size,), maxshape=maxshape,
                                    dtype="f8")

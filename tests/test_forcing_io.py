@@ -534,3 +534,33 @@ def test_multifile_forcing_and_start_offset(tmp_path):
     o3.run.forcing_start_date = "2020-12-01 00:00:00"
     with pytest.raises(ValueError, match="forcing_start_date"):
         ForcingData(o3)
+
+
+def test_forcing_cloud_species_ingest(ideal_run, tmp_path):
+    """qcvar in &var_list ingests forcing cloud water: it initializes
+    cloud_water and relaxes it at the lateral boundaries like any advected
+    scalar (boundary_obj.f90 qc read + apply_forcing)."""
+    import copy
+
+    driver, tmp = ideal_run
+    # add a qc variable to a copy of the forcing file
+    import shutil
+    src = driver.options.forcing.boundary_files[0]
+    forc = str(tmp_path / "forcing_qc.nc")
+    shutil.copy(src, forc)
+    with NCFile(forc, "a") as f:
+        p = f.read("p")
+        qc = np.full(p.shape, 2e-4, np.float32)
+        f.create_var("qc_forcing", ("time", "level", "y", "x"), qc)
+
+    o = copy.deepcopy(driver.options)
+    o.forcing.boundary_files = [forc]
+    o.forcing.var_names["qc"] = "qc_forcing"
+    o.output.output_file = str(tmp_path / "qc_")
+    o.output.restart_file = str(tmp_path / "qcr_")
+    from icar_tpu.core.driver import ICARDriver
+    d = ICARDriver(o)
+    qc0 = d.model.field("cloud_water")
+    assert qc0.max() > 1e-4          # initialized from forcing
+    d.run()
+    assert np.isfinite(d.model.field("cloud_water")).all()
