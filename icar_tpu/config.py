@@ -234,7 +234,8 @@ class ForcingOptions:
     # forcing variable names (var_list namelist)
     var_names: dict = field(default_factory=lambda: {
         "p": "p", "theta": "theta", "t": "t", "qv": "qv", "u": "u", "v": "v",
-        "qc": "", "qi": "",
+        "qc": "", "qi": "", "pb": "", "zb": "",
+        "sh": "", "lh": "", "pblh": "",
         "hgt": "hgt", "z": "z", "lat": "lat", "lon": "lon",
         "lat_hi": "lat_hi", "lon_hi": "lon_hi", "hgt_hi": "hgt_hi",
         "sst": "", "swdown": "", "lwdown": "", "sinalpha": "", "cosalpha": "",
@@ -521,6 +522,8 @@ class Options:
         name_map = {  # namelist key -> canonical forcing slot
             "pvar": "p", "tvar": "t", "qvvar": "qv", "uvar": "u", "vvar": "v",
             "qcvar": "qc", "qivar": "qi",
+            "pbvar": "pb", "zbvar": "zb",
+            "shvar": "sh", "lhvar": "lh", "pblhvar": "pblh",
             "hgtvar": "hgt", "zvar": "z", "latvar": "lat", "lonvar": "lon",
             "lat_hi": "lat_hi", "lon_hi": "lon_hi", "hgt_hi": "hgt_hi",
             "sst_var": "sst", "swdown_var": "swdown", "lwdown_var": "lwdown",

@@ -121,7 +121,8 @@ class ICARDriver:
         s = dict(m.state)
         for name in ("potential_temperature", "water_vapor", "pressure",
                      "cloud_water", "cloud_ice",
-                     "sst", "shortwave", "longwave"):
+                     "sst", "shortwave", "longwave",
+                     "sensible_heat", "latent_heat", "hpbl"):
             if name in target and name in s:
                 s[name] = target[name]
         from .diagnostics import diagnostic_update

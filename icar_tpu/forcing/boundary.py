@@ -121,8 +121,9 @@ class ForcingData:
         fo = self.options.forcing
         path, step = self._locate(step)
         out: Dict[str, np.ndarray] = {}
-        for slot in ("u", "v", "p", "t", "theta", "qv", "qc", "qi", "z",
-                     "sst", "swdown", "lwdown"):
+        for slot in ("u", "v", "p", "pb", "t", "theta", "qv", "qc", "qi",
+                     "z", "zb", "sst", "swdown", "lwdown", "sh", "lh",
+                     "pblh"):
             name = self.var_names.get(slot)
             if not name:
                 continue
@@ -133,11 +134,18 @@ class ForcingData:
             a = np.asarray(data, np.float32)
             if a.ndim == 4:          # (time, z, y, x)
                 a = a[step]
-            elif a.ndim == 3 and slot in ("sst", "swdown", "lwdown"):
+            elif a.ndim == 3 and slot in ("sst", "swdown", "lwdown",
+                                          "sh", "lh", "pblh"):
                 a = a[step]
             out[slot] = a
 
         # derived quantities
+        # WRF-style perturbation + base-state splitting (pbvar/zbvar):
+        # full field = perturbation + base (options_obj.f90:744-755)
+        if "pb" in out:
+            out["p"] = out["p"] + out.pop("pb")
+        if "zb" in out and "z" in out:
+            out["z"] = out["z"] + out.pop("zb")
         if "z" in out and fo.z_is_geopotential:
             out["z"] = out["z"] / C.GRAVITY
         if "qv" in out:
@@ -277,9 +285,11 @@ class Regridder:
             else:
                 out["pressure"] = p
 
-        # 2D fields
+        # 2D fields (sh/lh feed the prescribed-fluxes land surface, lsm=1)
         for slot, name in (("sst", "sst"), ("swdown", "shortwave"),
-                           ("lwdown", "longwave")):
+                           ("lwdown", "longwave"),
+                           ("sh", "sensible_heat"), ("lh", "latent_heat"),
+                           ("pblh", "hpbl")):
             if slot in raw:
                 out[name] = geo_interp(jnp.asarray(raw[slot]), self.geo)
         return out

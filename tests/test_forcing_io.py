@@ -564,3 +564,49 @@ def test_forcing_cloud_species_ingest(ideal_run, tmp_path):
     assert qc0.max() > 1e-4          # initialized from forcing
     d.run()
     assert np.isfinite(d.model.field("cloud_water")).all()
+
+
+def test_prescribed_flux_lsm_from_forcing(ideal_run, tmp_path):
+    """lsm=1: sensible/latent heat prescribed by the forcing (shvar/lhvar)
+    heat and moisten the lowest layers (lsm_driver.f90 kLSM_BASIC path)."""
+    import copy
+    import shutil
+
+    driver, _ = ideal_run
+    src = driver.options.forcing.boundary_files[0]
+    forc = str(tmp_path / "forcing_flux.nc")
+    shutil.copy(src, forc)
+    with NCFile(forc, "a") as f:
+        nt = f.n_times("p")
+        ny, nx = f.read("lat").shape
+        f.create_var("HFX", ("time", "y", "x"),
+                     np.full((nt, ny, nx), 250.0, np.float32))
+        f.create_var("LH", ("time", "y", "x"),
+                     np.full((nt, ny, nx), 150.0, np.float32))
+
+    o = copy.deepcopy(driver.options)
+    o.forcing.boundary_files = [forc]
+    o.forcing.var_names["sh"] = "HFX"
+    o.forcing.var_names["lh"] = "LH"
+    o.physics.landsurface = C.LSM_BASIC
+    o.physics.boundarylayer = C.PBL_SIMPLE
+    o.output.output_file = str(tmp_path / "fl_")
+    o.output.restart_file = str(tmp_path / "flr_")
+    from icar_tpu.core.driver import ICARDriver
+    d = ICARDriver(o)
+    np.testing.assert_allclose(d.model.field("sensible_heat"), 250.0,
+                               rtol=1e-5)
+
+    # a flux-free twin run: prescribed fluxes must warm the surface layer
+    o2 = copy.deepcopy(o)
+    o2.forcing.var_names["sh"] = ""
+    o2.forcing.var_names["lh"] = ""
+    o2.output.output_file = str(tmp_path / "nf_")
+    o2.output.restart_file = str(tmp_path / "nfr_")
+    d2 = ICARDriver(o2)
+    d.run()
+    d2.run()
+    th_flux = d.model.field("potential_temperature")[0].mean()
+    th_none = d2.model.field("potential_temperature")[0].mean()
+    assert th_flux > th_none + 0.05
+    assert np.isfinite(d.model.field("water_vapor")).all()
