@@ -234,8 +234,10 @@ class ForcingOptions:
     # forcing variable names (var_list namelist)
     var_names: dict = field(default_factory=lambda: {
         "p": "p", "theta": "theta", "t": "t", "qv": "qv", "u": "u", "v": "v",
-        "qc": "", "qi": "", "pb": "", "zb": "",
+        "qc": "", "qi": "", "qr": "", "qs": "", "qg": "",
+        "pb": "", "zb": "",
         "sh": "", "lh": "", "pblh": "",
+        "ulat": "", "ulon": "", "vlat": "", "vlon": "",
         "hgt": "hgt", "z": "z", "lat": "lat", "lon": "lon",
         "lat_hi": "lat_hi", "lon_hi": "lon_hi", "hgt_hi": "hgt_hi",
         "sst": "", "swdown": "", "lwdown": "", "sinalpha": "", "cosalpha": "",
@@ -522,8 +524,11 @@ class Options:
         name_map = {  # namelist key -> canonical forcing slot
             "pvar": "p", "tvar": "t", "qvvar": "qv", "uvar": "u", "vvar": "v",
             "qcvar": "qc", "qivar": "qi",
+            "qrvar": "qr", "qsvar": "qs", "qgvar": "qg",
             "pbvar": "pb", "zbvar": "zb",
             "shvar": "sh", "lhvar": "lh", "pblhvar": "pblh",
+            "ulat": "ulat", "ulon": "ulon",
+            "vlat": "vlat", "vlon": "vlon",
             "hgtvar": "hgt", "zvar": "z", "latvar": "lat", "lonvar": "lon",
             "lat_hi": "lat_hi", "lon_hi": "lon_hi", "hgt_hi": "hgt_hi",
             "sst_var": "sst", "swdown_var": "swdown", "lwdown_var": "lwdown",

@@ -57,7 +57,7 @@ class ICARDriver:
         raw0 = self.forcing.read_step(0)
         self.regridder = Regridder.build(
             self.model.geom, self.forcing.lat, self.forcing.lon,
-            raw0.get("z"), options)
+            raw0.get("z"), options, f_stag=self.forcing.stagger_coords)
 
         self._install_initial_conditions(raw0)
         self._install_external_conditions()

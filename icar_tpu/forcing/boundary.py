@@ -91,6 +91,16 @@ class ForcingData:
         if self.lat.ndim == 1:
             self.lon, self.lat = np.meshgrid(self.lon, self.lat)
         self.hgt = self._read0("hgt") if self.var_names.get("hgt") else None
+        # optional staggered wind-grid coordinates (ulat/ulon/vlat/vlon in
+        # &var_list): winds are then interpolated from their native
+        # staggered grids instead of assuming mass-grid winds
+        self.stagger_coords = {}
+        for k in ("ulat", "ulon", "vlat", "vlon"):
+            a = self._read0(k)
+            if a is not None:
+                if a.ndim == 3:
+                    a = a[0]
+                self.stagger_coords[k] = a
 
     def _read0(self, slot: str, step: Optional[int] = None):
         name = self.var_names.get(slot)
@@ -122,8 +132,8 @@ class ForcingData:
         path, step = self._locate(step)
         out: Dict[str, np.ndarray] = {}
         for slot in ("u", "v", "p", "pb", "t", "theta", "qv", "qc", "qi",
-                     "z", "zb", "sst", "swdown", "lwdown", "sh", "lh",
-                     "pblh"):
+                     "qr", "qs", "qg", "z", "zb", "sst", "swdown",
+                     "lwdown", "sh", "lh", "pblh"):
             name = self.var_names.get(slot)
             if not name:
                 continue
@@ -173,6 +183,8 @@ class Regridder:
     geo: GeoLUT
     geo_u: GeoLUT
     geo_v: GeoLUT
+    geo_u_mass: Optional[GeoLUT] = None   # mass-source LUTs to the wind
+    geo_v_mass: Optional[GeoLUT] = None   # grids (for z placement)
     vlut: Optional[VertLUT] = None
     vlut_u: Optional[VertLUT] = None
     vlut_v: Optional[VertLUT] = None
@@ -180,7 +192,8 @@ class Regridder:
     time_varying_z: bool = False
 
     @classmethod
-    def build(cls, geom, f_lat, f_lon, f_z, options: Options):
+    def build(cls, geom, f_lat, f_lon, f_z, options: Options,
+              f_stag: Optional[Dict[str, np.ndarray]] = None):
         from ..grid import offset_x, offset_y
         from .interpolation import standardize_longitudes
 
@@ -197,13 +210,26 @@ class Regridder:
         geo = build_geo_lut(f_lat, f_lon, np.asarray(geom.lat), m_lon)
         geo_u = build_geo_lut(f_lat, f_lon, lat_u, lon_u)
         geo_v = build_geo_lut(f_lat, f_lon, lat_v, lon_v)
+        # mass-grid-source LUTs to the model u/v grids, used below to place
+        # forcing z on the wind grids even when the winds themselves come
+        # from their own staggered grids
+        geo_u_mass, geo_v_mass = geo_u, geo_v
+        if f_stag and all(k in f_stag for k in ("ulat", "ulon")):
+            geo_u = build_geo_lut(
+                f_stag["ulat"], standardize_longitudes(f_stag["ulon"], lsys),
+                lat_u, lon_u)
+        if f_stag and all(k in f_stag for k in ("vlat", "vlon")):
+            geo_v = build_geo_lut(
+                f_stag["vlat"], standardize_longitudes(f_stag["vlon"], lsys),
+                lat_v, lon_v)
 
-        self = cls(geo=geo, geo_u=geo_u, geo_v=geo_v)
+        self = cls(geo=geo, geo_u=geo_u, geo_v=geo_v,
+                   geo_u_mass=geo_u_mass, geo_v_mass=geo_v_mass)
         if f_z is not None:
             # geo-interp forcing z onto the model grids, then build vLUTs
             fz_m = np.asarray(geo_interp(jnp.asarray(f_z), geo))
-            fz_u = np.asarray(geo_interp(jnp.asarray(f_z), geo_u))
-            fz_v = np.asarray(geo_interp(jnp.asarray(f_z), geo_v))
+            fz_u = np.asarray(geo_interp(jnp.asarray(f_z), geo_u_mass))
+            fz_v = np.asarray(geo_interp(jnp.asarray(f_z), geo_v_mass))
             self.vlut = build_vlut(np.asarray(geom.z), fz_m)
             self.vlut_u = build_vlut(np.asarray(geom.z_u), fz_u)
             self.vlut_v = build_vlut(np.asarray(geom.z_v), fz_v)
@@ -221,8 +247,10 @@ class Regridder:
         (boundary_obj.f90:432-478); rebuilding the model-grid LUTs from the
         current levels is the equivalent (and direct) transform."""
         fz_m = np.asarray(geo_interp(jnp.asarray(f_z), self.geo))
-        fz_u = np.asarray(geo_interp(jnp.asarray(f_z), self.geo_u))
-        fz_v = np.asarray(geo_interp(jnp.asarray(f_z), self.geo_v))
+        fz_u = np.asarray(geo_interp(jnp.asarray(f_z),
+                                     self.geo_u_mass or self.geo_u))
+        fz_v = np.asarray(geo_interp(jnp.asarray(f_z),
+                                     self.geo_v_mass or self.geo_v))
         self.vlut = build_vlut(np.asarray(geom.z), fz_m)
         self.vlut_u = build_vlut(np.asarray(geom.z_u), fz_u)
         self.vlut_v = build_vlut(np.asarray(geom.z_v), fz_v)
@@ -258,7 +286,9 @@ class Regridder:
         # forcing cloud species (qcvar/qivar in &var_list; read as qc/qi in
         # boundary_obj.f90 and forced on the lateral boundaries like any
         # other advected scalar)
-        for slot, name in (("qc", "cloud_water"), ("qi", "cloud_ice")):
+        for slot, name in (("qc", "cloud_water"), ("qi", "cloud_ice"),
+                           ("qr", "rain_mass"), ("qs", "snow_mass"),
+                           ("qg", "graupel_mass")):
             if slot in raw:
                 a = horiz(slot, self.geo)
                 out[name] = vinterp(a, self.vlut) if self.vlut else a

@@ -610,3 +610,40 @@ def test_prescribed_flux_lsm_from_forcing(ideal_run, tmp_path):
     th_none = d2.model.field("potential_temperature")[0].mean()
     assert th_flux > th_none + 0.05
     assert np.isfinite(d.model.field("water_vapor")).all()
+
+
+def test_staggered_wind_grid_coordinates():
+    """ulat/ulon/vlat/vlon: winds interpolate from their native staggered
+    forcing grids (the WRF met_em layout) instead of the mass grid."""
+    from types import SimpleNamespace
+
+    from icar_tpu.forcing.boundary import Regridder
+
+    nz, ny_f, nx_f = 3, 8, 10
+    f_lat, f_lon = np.meshgrid(np.linspace(40, 44, ny_f),
+                               np.linspace(-106, -101, nx_f), indexing="ij")
+    dlon = (f_lon[0, 1] - f_lon[0, 0])
+    # u grid staggered half a cell west, one extra column
+    fu_lat, fu_lon = np.meshgrid(
+        np.linspace(40, 44, ny_f),
+        np.linspace(-106 - dlon / 2, -101 + dlon / 2, nx_f + 1),
+        indexing="ij")
+
+    ny, nx = 5, 6
+    m_lat, m_lon = np.meshgrid(np.linspace(41, 43, ny),
+                               np.linspace(-105, -102, nx), indexing="ij")
+    o = Options()
+    o.domain.dx = 1000.0
+    geom = SimpleNamespace(lat=m_lat, lon=m_lon, z=None, z_u=None, z_v=None)
+    rg = Regridder.build(geom, f_lat, f_lon, None, o,
+                         f_stag={"ulat": fu_lat, "ulon": fu_lon})
+
+    # u linear in lon on ITS grid interpolates exactly onto the model u grid
+    u = np.broadcast_to((3.0 * fu_lon).astype(np.float32),
+                        (nz, ny_f, nx_f + 1)).copy()
+    out = rg.to_model_grid({"u": u}, geom)["u"]
+    from icar_tpu.grid import offset_x
+    want_lon = offset_x(m_lon)
+    got = np.asarray(out)
+    # smoothing is applied to winds; compare away from smoothing edges
+    np.testing.assert_allclose(got[:, 2, 2], 3.0 * want_lon[2, 2], rtol=5e-3)
