@@ -297,3 +297,41 @@ def test_extract_daily_precip(tmp_path):
     assert daily.shape == (2, ny, nx)
     np.testing.assert_allclose(daily[0], 2.0)   # frames at 12h & 24h
     np.testing.assert_allclose(daily[1], 2.0)   # frames at 36h & 48h
+
+
+def test_make_domain_from_dem(tmp_path):
+    """DEM -> init-conditions file (helpers/make_domain.py equivalent):
+    subset, coarsen, smooth, landmask; the output loads as a model domain."""
+    import importlib
+    md = importlib.import_module("make_domain")
+
+    ny, nx = 30, 40
+    lat = np.linspace(38, 42, ny)
+    lon = np.linspace(-109, -104, nx)
+    lon2, lat2 = np.meshgrid(lon, lat)
+    elev = 1500 + 800 * np.sin(lon2 * 3) * np.cos(lat2 * 2)
+    elev[:10, :] = 0.0                    # an ocean strip
+    dem = str(tmp_path / "dem.nc")
+    write_vars(dem, {"elevation": (("lat", "lon"), elev.astype(np.float32)),
+                     "lat": (("lat",), lat.astype(np.float32)),
+                     "lon": (("lon",), lon.astype(np.float32))})
+    out = str(tmp_path / "domain.nc")
+    md.make_domain(dem, out, lat_range=(38.5, 41.5), coarsen=2, smooth=1,
+                   verbose=False)
+    with NCFile(out) as f:
+        hgt = f.read("hgt_hi")
+        la = f.read("lat_hi")
+        lm = f.read("landmask")
+    assert hgt.shape == la.shape == lm.shape
+    assert la.min() >= 38.4 and la.max() <= 41.6
+    assert set(np.unique(lm)) <= {1.0, 2.0}
+    assert (lm == 2.0).any() and (lm == 1.0).any()
+    assert hgt.max() > 1000
+
+    # the file is a valid init_conditions_file for load_domain
+    from icar_tpu.config import Options
+    from icar_tpu.core.driver import load_domain
+    o = Options()
+    o.forcing.init_conditions_file = out
+    terrain, la2, lo2 = load_domain(o)
+    assert terrain.shape == hgt.shape
