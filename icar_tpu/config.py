@@ -327,8 +327,8 @@ class Options:
             "conv": (self.physics.convection, range(0, 6)),
         }
         implemented = {
-            "mp": (C.MP_NONE, C.MP_THOMPSON, C.MP_SIMPLE, C.MP_WSM6,
-                   C.MP_THOMPSON_AER, C.MP_WSM3),
+            "mp": (C.MP_NONE, C.MP_THOMPSON, C.MP_SIMPLE, C.MP_MORRISON,
+                   C.MP_WSM6, C.MP_THOMPSON_AER, C.MP_WSM3),
             "adv": (C.ADV_NONE, C.ADV_UPWIND, C.ADV_MPDATA),
             "wind": (C.WIND_NONE, C.WIND_LINEAR, C.WIND_CONSERVE_MASS,
                      C.WIND_ITERATIVE, C.WIND_LINEAR_ITERATIVE),

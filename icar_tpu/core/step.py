@@ -800,6 +800,33 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     s["re_ice"] = re_qi
                     s["re_snow"] = re_qs
 
+            if phys.microphysics == C.MP_MORRISON:
+                from ..physics import mp_morrison
+                (theta, qv, qc, qi, qr, qs, qg, ni, ns_, nr, ng, rain, snow,
+                 graupel) = mp_morrison.mp_morrison(
+                    s["potential_temperature"], s["water_vapor"],
+                    s["cloud_water"], s["cloud_ice"], s["rain_mass"],
+                    s["snow_mass"], s["graupel_mass"], s["ice_number"],
+                    s["snow_number"], s["rain_number"], s["graupel_number"],
+                    s["exner"], s["pressure"], jnp.asarray(geom.dz_mass),
+                    s["w_real"], dt, s["precipitation"], s["snowfall"],
+                    s["graupel"])
+                s = dict(s)
+                s["potential_temperature"] = theta
+                s["water_vapor"] = qv
+                s["cloud_water"] = qc
+                s["cloud_ice"] = qi
+                s["rain_mass"] = qr
+                s["snow_mass"] = qs
+                s["graupel_mass"] = qg
+                s["ice_number"] = ni
+                s["snow_number"] = ns_
+                s["rain_number"] = nr
+                s["graupel_number"] = ng
+                s["precipitation"] = rain
+                s["snowfall"] = snow
+                s["graupel"] = graupel
+
             if phys.microphysics == C.MP_WSM6:
                 from ..physics import mp_wsm6
                 (theta, qv, qc, qi, qr, qs, qg, rain, snow,

@@ -311,8 +311,26 @@ def collect_requests(options) -> VarRequest:
                          "rain_mass"])
         req.restart_vars(["precipitation", "snowfall", "cloud_water",
                           "rain_mass"])
+    elif phys.microphysics == C.MP_MORRISON:
+        # Morrison 2-moment: 4 prognostic number concentrations advected
+        # alongside the 5 hydrometeor species (mp_morrison.f90:553-562);
+        # w feeds the (currently diagnostic-only) activation machinery
+        req.alloc_vars(["pressure", "potential_temperature", "exner",
+                        "density", "water_vapor", "cloud_water", "cloud_ice",
+                        "rain_mass", "snow_mass", "graupel_mass",
+                        "ice_number", "snow_number", "rain_number",
+                        "graupel_number", "w_real", "precipitation",
+                        "snowfall", "graupel", "dz"])
+        req.advect_vars(["potential_temperature", "water_vapor",
+                         "cloud_water", "cloud_ice", "rain_mass", "snow_mass",
+                         "graupel_mass", "ice_number", "snow_number",
+                         "rain_number", "graupel_number"])
+        req.restart_vars(["precipitation", "snowfall", "graupel",
+                          "cloud_water", "cloud_ice", "rain_mass",
+                          "snow_mass", "graupel_mass", "ice_number",
+                          "snow_number", "rain_number", "graupel_number"])
     elif phys.microphysics != C.MP_NONE:
-        # WSM6/Morrison families
+        # WSM6 family
         req.alloc_vars(["pressure", "potential_temperature", "exner", "density",
                         "water_vapor", "cloud_water", "cloud_ice", "rain_mass",
                         "snow_mass", "graupel_mass", "precipitation", "snowfall",
