@@ -336,7 +336,8 @@ class Options:
             "rad": (C.RA_NONE, C.RA_BASIC, C.RA_SIMPLE, C.RA_RRTMG),
             "lsm": (C.LSM_NONE, C.LSM_BASIC, C.LSM_NOAH, C.LSM_NOAHMP),
             "water": (C.WATER_NONE, C.WATER_SIMPLE, C.WATER_LAKE),
-            "conv": (C.CU_NONE, C.CU_TIEDTKE, C.CU_NSAS, C.CU_BMJ),
+            "conv": (C.CU_NONE, C.CU_TIEDTKE, C.CU_KF, C.CU_NSAS,
+                     C.CU_BMJ),
         }
         if self.output.engine not in ("netcdf4", "classic-async"):
             errs.append(f"unknown output engine {self.output.engine!r} "

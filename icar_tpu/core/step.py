@@ -660,6 +660,48 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s["convective_precipitation"] = (
                 s["convective_precipitation"] + rain_c)
 
+        if phys.convection == C.CU_KF:
+            # Kain-Fritsch: tendencies persist across substeps while the
+            # NCA countdown is positive (cu_kf.f90:224-230); the commented
+            # ICAR feedback adds qr/qs tendencies to the grid-scale rain
+            # and snow fields (cu_driver.f90:494-498)
+            from ..physics import cu_kf as kf_mod
+            s = dict(s)
+            (t_th, t_qv, t_qc, t_qr, t_qi, t_qs, raincv, w0avg, nca,
+             prate) = kf_mod.kfcps(
+                s["u_mass"], s["v_mass"], s["potential_temperature"],
+                s["water_vapor"], s["pressure"], s["density"],
+                jnp.asarray(geom.dz_mass), s["w_real"], s["exner"],
+                dt, geom.dx, s["kf_w0avg"], s["kf_nca"], s["kf_prate"],
+                s["tend_th_cu"], s["tend_qv_cu"], s["tend_qc_cu"],
+                s["tend_qr_cu"], s["tend_qi_cu"], s["tend_qs_cu"])
+            s["kf_w0avg"], s["kf_nca"], s["kf_prate"] = w0avg, nca, prate
+            s["tend_th_cu"], s["tend_qv_cu"] = t_th, t_qv
+            s["tend_qc_cu"], s["tend_qr_cu"] = t_qc, t_qr
+            s["tend_qi_cu"], s["tend_qs_cu"] = t_qi, t_qs
+            cu = options.cu
+            if cu.tendency_fraction > 0:
+                if cu.tend_th_fraction > 0:
+                    s["potential_temperature"] = (
+                        s["potential_temperature"]
+                        + t_th * dt * cu.tend_th_fraction)
+                if cu.tend_qv_fraction > 0:
+                    s["water_vapor"] = (s["water_vapor"]
+                                        + t_qv * dt * cu.tend_qv_fraction)
+                if cu.tend_qc_fraction > 0 and "cloud_water" in s:
+                    s["cloud_water"] = (s["cloud_water"]
+                                        + t_qc * dt * cu.tend_qc_fraction)
+                if cu.tend_qi_fraction > 0 and "cloud_ice" in s:
+                    s["cloud_ice"] = (s["cloud_ice"]
+                                      + t_qi * dt * cu.tend_qi_fraction)
+                if "rain_mass" in s:
+                    s["rain_mass"] = s["rain_mass"] + t_qr * dt
+                if "snow_mass" in s:
+                    s["snow_mass"] = s["snow_mass"] + t_qs * dt
+            s["precipitation"] = s["precipitation"] + raincv
+            s["convective_precipitation"] = (
+                s["convective_precipitation"] + raincv)
+
         if phys.convection == C.CU_NSAS:
             from ..physics import cu_nsas as nsas_mod
             s = dict(s)

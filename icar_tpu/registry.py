@@ -215,6 +215,18 @@ _SPECS = [
     _v("longwave_cloud_forcing", dims="2d", units="W m-2"),
     _v("shortwave_cloud_forcing", dims="2d", units="W m-2"),
     _v("cosine_zenith_angle", dims="2d", units="1"),
+    # Kain-Fritsch (conv=3) persistent state: the W0AVG running-mean w
+    # (cu_kf.f90:193-207), the NCA countdown + rain rate frozen between
+    # re-triggers (":224-230"), and the stored feedback tendencies
+    _v("kf_w0avg", units="m s-1"),
+    _v("kf_nca", dims="2d", units="s", default=-100.0),
+    _v("kf_prate", dims="2d", units="mm s-1"),
+    _v("tend_th_cu", units="K s-1"),
+    _v("tend_qv_cu", units="kg kg-1 s-1"),
+    _v("tend_qc_cu", units="kg kg-1 s-1"),
+    _v("tend_qr_cu", units="kg kg-1 s-1"),
+    _v("tend_qi_cu", units="kg kg-1 s-1"),
+    _v("tend_qs_cu", units="kg kg-1 s-1"),
 ]
 
 REGISTRY = {s.name: s for s in _SPECS}
@@ -360,6 +372,20 @@ def collect_requests(options) -> VarRequest:
         req.restart_vars(["convective_precipitation"])
     if phys.convection == C.CU_NSAS:
         req.alloc_vars(["hpbl"])
+    if phys.convection == C.CU_KF:
+        # kfinit + the commented KFCPS call (cu_driver.f90:158-170,332-352)
+        req.alloc_vars(["temperature", "pressure", "exner", "density",
+                        "u_mass", "v_mass", "w_real", "water_vapor",
+                        "cloud_water", "cloud_ice", "rain_mass",
+                        "snow_mass", "potential_temperature",
+                        "precipitation", "convective_precipitation",
+                        "kf_w0avg", "kf_nca", "kf_prate", "tend_th_cu",
+                        "tend_qv_cu", "tend_qc_cu", "tend_qr_cu",
+                        "tend_qi_cu", "tend_qs_cu"])
+        req.restart_vars(["convective_precipitation", "kf_w0avg",
+                          "kf_nca", "kf_prate", "tend_th_cu",
+                          "tend_qv_cu", "tend_qc_cu", "tend_qr_cu",
+                          "tend_qi_cu", "tend_qs_cu"])
     if phys.windtype in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE):
         # wind_linear_var_request (wind.f90:32-56)
         req.alloc_vars(["nsquared", "potential_temperature", "exner",
