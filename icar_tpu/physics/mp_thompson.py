@@ -211,6 +211,70 @@ def _rain_nr_from_mvd(rr, mvd, c):
     return c.crg[1] * c.org3 * rr * lamr ** BM_R / AM_R
 
 
+# lookup-table groups sharing an index tuple; each group becomes ONE
+# XLA gather (or one pair of one-hot matmuls for the small 2D tables).
+# On TPU a fancy-index gather costs ~per-index-vector, not per-byte
+# (~24 ms for ONE 4D gather over a 300x300x20 grid on v5e vs ~25 ms for
+# 12 tables stacked along a leading axis), so grouping the reference's
+# per-table reads (qr_acr_qs / qr_acr_qg / freezeH2O / qi_aut_qs,
+# mp_thompson.f90:1700-1955) is an order-of-magnitude win.
+_RACS_NAMES = ("tcs_racs1", "tcs_racs2", "tmr_racs1", "tmr_racs2",
+               "tcr_sacr1", "tcr_sacr2", "tms_sacr1", "tms_sacr2",
+               "tnr_racs1", "tnr_racs2", "tnr_sacr1", "tnr_sacr2")
+_RACG_NAMES = ("tmr_racg", "tcr_gacr", "tnr_racg", "tnr_gacr", "tcg_racg")
+_QRFZ_NAMES = ("tpg_qrfz", "tpi_qrfz", "tni_qrfz", "tnr_qrfz")
+_QCFZ_NAMES = ("tpi_qcfz", "tni_qcfz")
+_IAUS_NAMES = ("tpi_ide", "tps_iaus", "tni_iaus")
+_PREP_CACHE = {}
+
+
+def _prep_tables(params):
+    """get_tables + pre-stacked numpy groups (built once per parameter
+    set, outside any trace so nothing is constant-folded at compile)."""
+    key = tuple(sorted(vars(params).items()))
+    if key not in _PREP_CACHE:
+        t, _ = get_tables(params)
+        prep = dict(t)
+        for gname, names in (("racs", _RACS_NAMES), ("racg", _RACG_NAMES),
+                             ("qrfz", _QRFZ_NAMES)):
+            prep["_stk_" + gname] = np.stack(
+                [t[n].reshape(-1) for n in names])
+        for gname, names in (("qcfz", _QCFZ_NAMES), ("iaus", _IAUS_NAMES),
+                             ("efrw", ("t_Efrw",)), ("efsw", ("t_Efsw",))):
+            prep["_stk_" + gname] = np.stack([t[n] for n in names])
+        _PREP_CACHE[key] = prep
+    return _PREP_CACHE[key]
+
+
+def _take_tables(T, names, idxs, dtype, stk):
+    """One stacked flat gather serving every table in a group. Returns
+    {name: values} shaped like the index arrays."""
+    dims = T[names[0]].shape
+    lin = idxs[0]
+    for d, ix in zip(dims[1:], idxs[1:]):
+        lin = lin * d + ix
+    vals = jnp.take(jnp.asarray(T[stk]), lin, axis=1).astype(dtype)
+    return {n: vals[i] for i, n in enumerate(names)}
+
+
+def _onehot_tables(T, names, ia, ib, dtype, stk):
+    """Exact 2D table lookup as two one-hot contractions on the MXU
+    (~7x faster than a gather for these small tables; bit-exact because
+    each output is 1.0*value + exact zeros under HIGHEST precision)."""
+    tab = jnp.asarray(T[stk])                 # (NT, A, B)
+    nt, a_dim, b_dim = tab.shape
+    sh = ia.shape
+    oa = (ia.reshape(-1)[:, None]
+          == jnp.arange(a_dim, dtype=ia.dtype)).astype(dtype)
+    rows = jax.lax.dot_general(
+        oa, tab.astype(dtype), (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)  # (n, NT, B)
+    ob = (ib.reshape(-1)[:, None]
+          == jnp.arange(b_dim, dtype=ib.dtype)).astype(dtype)
+    vals = jnp.sum(rows * ob[:, None, :], axis=-1)
+    return {n: vals[:, i].reshape(sh) for i, n in enumerate(names)}
+
+
 def _thermo(temp, pres, qv):
     tempc = temp - 273.15
     rho = 0.622 * pres / (RR2 * temp * (qv + 0.622))
@@ -329,7 +393,8 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
          / np.log(float(c.Dr[-1] / c.Dr[0]))).astype(jnp.int32),
         0, NBR - 1)
     idx_efc = jnp.clip((mvd_c * 1e6).astype(jnp.int32) - 1, 0, NBC - 1)
-    Ef_rw = T["t_Efrw"][idx_efr, idx_efc]
+    Ef_rw = _onehot_tables(T, ("t_Efrw",), idx_efr, idx_efc, dtype,
+                           "_stk_efrw")["t_Efrw"]
     rcw_on = L_qc & L_qr & (mvd_r > D0R) & (mvd_c > D0C)
     prr_rcw = jnp.where(
         rcw_on,
@@ -378,7 +443,8 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     idx_efs = jnp.clip(
         (NBS * jnp.log(jnp.maximum(xDs, D0S) / tt.D0S)
          / np.log(float(c.Ds[-1] / c.Ds[0]))).astype(jnp.int32), 0, NBS - 1)
-    Ef_sw = T["t_Efsw"][idx_efs, idx_efc]
+    Ef_sw = _onehot_tables(T, ("t_Efsw",), idx_efs, idx_efc, dtype,
+                           "_stk_efsw")["t_Efsw"]
     scw_on = L_qc & (mvd_c > D0C) & (xDs > D0S)
     prs_scw = jnp.where(scw_on, rhof * c.t1_qs_qc * Ef_sw * rc * smoe, 0.0)
 
@@ -394,11 +460,16 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
                         * ilamg ** c.cge[8], 0.0)
 
     # ---- rain collecting snow / graupel via lookup tables --------------
+    RS = _take_tables(T, _RACS_NAMES, (idx_s, idx_t, idx_r1, idx_r),
+                      dtype, "_stk_racs")
+    GG = _take_tables(T, _RACG_NAMES, (idx_g1, idx_g, idx_r1, idx_r),
+                      dtype, "_stk_racg")
+
     def gat(name):
-        return T[name][idx_s, idx_t, idx_r1, idx_r].astype(dtype)
+        return RS[name]
 
     def gat_g(name):
-        return T[name][idx_g1, idx_g, idx_r1, idx_r].astype(dtype)
+        return GG[name]
 
     rs_on = (rr >= tt.r_r[0]) & (rs >= tt.r_s[0])
     cold = temp < T_0
@@ -443,33 +514,34 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     rate_max_i = (qv - qvsi) * rho * odts * 0.999
 
     frz_tab = (rr > tt.r_r[0])
-    prg_rfz = jnp.where(cold & frz_tab,
-                        T["tpg_qrfz"][idx_r, idx_r1, idx_tc] * odts, 0.0)
+    QF = _take_tables(T, _QRFZ_NAMES, (idx_r, idx_r1, idx_tc), dtype,
+                      "_stk_qrfz")
+    prg_rfz = jnp.where(cold & frz_tab, QF["tpg_qrfz"] * odts, 0.0)
     pri_rfz = jnp.where(
-        cold, jnp.where(frz_tab, T["tpi_qrfz"][idx_r, idx_r1, idx_tc] * odts,
+        cold, jnp.where(frz_tab, QF["tpi_qrfz"] * odts,
                         jnp.where((rr > R1) & (temp < HGFR),
                                   rr * odts, 0.0)), 0.0)
     pni_rfz = jnp.where(
-        cold, jnp.where(frz_tab, T["tni_qrfz"][idx_r, idx_r1, idx_tc] * odts,
+        cold, jnp.where(frz_tab, QF["tni_qrfz"] * odts,
                         jnp.where((rr > R1) & (temp < HGFR),
                                   nr * odts, 0.0)), 0.0)
     pnr_rfz = jnp.where(
         cold & frz_tab,
-        jnp.minimum(nr * odts, T["tnr_qrfz"][idx_r, idx_r1, idx_tc] * odts),
+        jnp.minimum(nr * odts, QF["tnr_qrfz"] * odts),
         jnp.where(cold & (rr > R1) & (temp < HGFR), nr * odts, 0.0))
 
     wfz_tab = rc > tt.r_c[0]
+    CF = _onehot_tables(T, _QCFZ_NAMES, idx_c, idx_tc, dtype, "_stk_qcfz")
     pri_wfz = jnp.where(
         cold, jnp.where(wfz_tab,
-                        jnp.minimum(rc * odts,
-                                    T["tpi_qcfz"][idx_c, idx_tc] * odts),
+                        jnp.minimum(rc * odts, CF["tpi_qcfz"] * odts),
                         jnp.where((rc > R1) & (temp < HGFR),
                                   rc * odts, 0.0)), 0.0)
     pni_wfz = jnp.where(
         cold & wfz_tab,
         jnp.minimum(jnp.minimum(pp.Nt_c * odts,
                                 pri_wfz / (2. * XM0I)),
-                    T["tni_qcfz"][idx_c, idx_tc] * odts), 0.0)
+                    CF["tni_qcfz"] * odts), 0.0)
 
     # ice nucleation (Cooper)
     nuc_on = cold & ((ssati >= 0.25) | ((ssatw > EPS) & (temp < 261.15)))
@@ -489,7 +561,8 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     oxmi = 1.0 / xmi
     ide_raw = C_CUBE * t1_subl * diffu * ssati * rvs \
         * c.oig1 * c.cig[4] * ni * ilami
-    tpi_ide = T["tpi_ide"][idx_i, idx_i1].astype(dtype)
+    II = _onehot_tables(T, _IAUS_NAMES, idx_i, idx_i1, dtype, "_stk_iaus")
+    tpi_ide = II["tpi_ide"]
     ide_on = cold & L_qi
     pri_ide_neg = jnp.maximum(jnp.maximum(-ri * odts, ide_raw), rate_max_i)
     pni_ide = jnp.where(ide_on & (ide_raw < 0.0),
@@ -509,15 +582,13 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
         jnp.where(iau_big, ri * .99 * odts,
                   jnp.where(iau_none, 0.0,
                             jnp.minimum(ri * .99 * odts,
-                                        T["tps_iaus"][idx_i, idx_i1]
-                                        * odts))), 0.0)
+                                        II["tps_iaus"] * odts))), 0.0)
     pni_iau = jnp.where(
         ide_on,
         jnp.where(iau_big, ni * .95 * odts,
                   jnp.where(iau_none, 0.0,
                             jnp.minimum(ni * .95 * odts,
-                                        T["tni_iaus"][idx_i, idx_i1]
-                                        * odts))), 0.0)
+                                        II["tni_iaus"] * odts))), 0.0)
 
     # snow deposition / sublimation
     C_snow = jnp.clip(pp.C_sqrd + (tempc + 15.) * (pp.C_cubes - pp.C_sqrd)
@@ -955,8 +1026,7 @@ def mp_thompson(th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz, dt,
 
     Returns (th, qv, qc, qi, qr, qs, qg, ni, nr, rain, snow, graupel)."""
     params = params or ThompsonParams()
-    tables, _ = get_tables(params)
-    tables = {k: jnp.asarray(v) for k, v in tables.items()}
+    tables = _prep_tables(params)
     key = tuple(sorted(vars(params).items()))
     (th, qv, qc, qi, qr, qs_, qg, ni, nr,
      ppt_rain, ppt_ice, ppt_snow, ppt_graupel) = _mp_thompson_impl(
