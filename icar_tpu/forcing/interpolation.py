@@ -18,6 +18,8 @@ from dataclasses import dataclass
 from typing import Tuple
 
 import jax.numpy as jnp
+
+from ..ops.indexing import take_level
 import numpy as np
 
 
@@ -159,8 +161,8 @@ def vinterp(data_lo, lut: VertLUT):
     k1 = jnp.asarray(lut.k1)
     k2 = jnp.asarray(lut.k2)
     w1 = jnp.asarray(lut.w1)
-    d1 = jnp.take_along_axis(data_lo, k1, axis=0)
-    d2 = jnp.take_along_axis(data_lo, k2, axis=0)
+    d1 = take_level(data_lo, k1)
+    d2 = take_level(data_lo, k2)
     return w1 * d1 + (1 - w1) * d2
 
 

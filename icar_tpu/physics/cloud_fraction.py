@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.indexing import take_level
+
 from .mp_thompson import rsif, rslf
 
 ENTRAINMENT = 0.5   # entrmnt (atm_utilities.f90:744)
@@ -66,7 +68,7 @@ def _deck_adjust(cfr, q_in, extra, qvs, t, dz, mask, top, bot, t_min):
 
     topc = jnp.clip(top, 0, nz - 1)
     botc = jnp.clip(bot, 0, nz - 1)
-    g = lambda a, i: jnp.take_along_axis(a, i, axis=0)
+    g = take_level
     # per-level run aggregates (same value for every level of a deck)
     dz_bot = g(dzb3, botc)
     tdz = g(csum_dz, topc) - g(csum_dz, botc) + dz_bot

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.indexing import take_level
 import numpy as np
 
 from .bmj_tables import (A2, A3, A4, CAPA, ELOCP, ITB, ITBQ, JTB, JTBQ,
@@ -103,7 +105,7 @@ def _setrow(a, i, v):
 
 
 def _lev(arr, kidx):
-    return jnp.take_along_axis(arr, kidx[None], axis=0)[0]
+    return take_level(arr, kidx)
 
 
 def _qs(t, p):

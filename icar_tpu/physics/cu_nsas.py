@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.indexing import take_level
 import numpy as np
 
 # physical constants as passed by ICAR's cu_driver (mod_wrf_constants)
@@ -92,7 +94,7 @@ def _qes(t, p_mb):
 
 
 def _lev(arr, kidx):
-    return jnp.take_along_axis(arr, kidx[None], axis=0)[0]
+    return take_level(arr, kidx)
 
 
 def _first_above(cond, k0, default, lo=1):

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.indexing import take_level
+
 # constants (cu_tiedtke.f90:38-148)
 G = 9.806
 ZRG = 1.0 / G
@@ -123,8 +125,8 @@ def cuadjtq(t, q, p, mask, kcall):
 
 
 def _lev(arr, kidx):
-    """arr[(k), ny, nx] gathered at per-column level kidx (ny, nx)."""
-    return jnp.take_along_axis(arr, kidx[None], axis=0)[0]
+    """arr[(k), ny, nx] selected at per-column level kidx (ny, nx)."""
+    return take_level(arr, kidx)
 
 
 def cumastr(ten, qen, uen, ven, verv, qsen, qhfl, dt, pap, paph, geo,
@@ -261,6 +263,7 @@ def cumastr(ten, qen, uen, ven, verv, qsen, qhfl, dt, pap, paph, geo,
     zbi = 1.0 / (25.0 * G)
     ihmin_out = ihmin
     found = ~deep
+    geoh_base = _lev(geoh, kcbot)      # hoisted: loop-invariant gather
     for k in range(KLEV - 1, -1, -1):
         act = deep & (k < kcbot) & (k >= ictop0) & ~found
         if k >= 1:
@@ -270,7 +273,7 @@ def cumastr(ten, qen, uen, ven, verv, qsen, qhfl, dt, pap, paph, geo,
             zdhdz = (CPD * (ten[k - 1] - ten[k])
                      + ALV * (qen[k - 1] - qen[k]) + dgeo) * G \
                 / jnp.where(dgeo == 0, 1.0, dgeo)
-            zdepth = geoh[k] - _lev(geoh, kcbot)
+            zdepth = geoh[k] - geoh_base
             zfac = jnp.sqrt(1. + zdepth * zbi)
             zhmin = jnp.where(act, zhmin + zdhdz * zfac * zdz, zhmin)
             zrh = -ALV * (qsenh[k] - qenh[k]) * zfac
@@ -319,6 +322,8 @@ def cumastr(ten, qen, uen, ven, verv, qsen, qhfl, dt, pap, paph, geo,
                       (KLEV - 1) - jnp.argmax(near300[::-1], axis=0),
                       KLEV - 1).astype(jnp.int32)
     ktop0 = jnp.maximum(kk300, kctop)
+    paph_cb1 = _lev(paph, kcbot1)      # hoisted: loop-invariant gathers
+    paph_kt0 = _lev(paph, ktop0)
     for k in range(1, KLEV):
         inside = (k <= kcbot1) & (k > kctop)
         zro = paph[k] / (RD * tenh[k])
@@ -334,7 +339,7 @@ def cumastr(ten, qen, uen, ven, verv, qsen, qhfl, dt, pap, paph, geo,
                  / (tenh[k] * (1. + .608 * qenh[k])) - 1.0) * zdz, 0.0)
         in_rh = (k <= kcbot1) & (k > ktop0)
         dept = (paph[k] - paph[k - 1]) \
-            / jnp.maximum(_lev(paph, kcbot1) - _lev(paph, ktop0), 1e-10)
+            / jnp.maximum(paph_cb1 - paph_kt0, 1e-10)
         zrelh = zrelh + jnp.where(in_rh & ldcum1,
                                   dept * qen[k] / qsen[k], 0.0)
     crirh1 = jnp.where(lndj == 1, CRIRH * 0.8, CRIRH)
@@ -467,10 +472,19 @@ def cuasc(tenh, qenh, ten, qen, qsen, geo, geoh, pap, paph, qte, verv,
     def setrow(a, i, v):
         return jax.lax.dynamic_update_index_in_dim(a, v, i, 0)
 
+    # per-column gathers hoisted out of the level loop (TPU gathers are
+    # expensive; these are loop-invariant — ictop0/khmin never change
+    # inside the loop, and paph(kcbot) is carried and refreshed on
+    # mid-level onset)
+    paph_top = _lev(paph, ictop0)
+    ikt_geoh = _lev(geoh, ictop0)
+    ikh_geoh = _lev(geoh, jnp.maximum(khmin, 0))
+    zpbase0 = _lev(paph, kcbot)
+
     def body(it, carry):
         (ptu, pqu, plu, pmfu, zmfus, zmfuq, zmful, plude, zdmfup,
          oentr, odetr, klab, zmfub, zentr, ktype, kcbot, kctop,
-         ldcum_next, zbuoy) = carry
+         ldcum_next, zbuoy, zpbase) = carry
         jk = KLEV - 2 - it
 
         # CUBASMC mid-level onset (:3087-3164)
@@ -492,6 +506,7 @@ def cuasc(tenh, qenh, ten, qen, qsen, geo, geoh, pap, paph, qte, verv,
         mful_jk1 = jnp.where(mid, 0.0, row(zmful, jk + 1))
         dmfup_jk1 = jnp.where(mid, 0.0, row(zdmfup, jk + 1))
         kcbot = jnp.where(mid, jk, kcbot)
+        zpbase = jnp.where(mid, row(paph, jk), zpbase)
         klab_jk1 = jnp.where(mid, 1, row(klab, jk + 1))
         ktype = jnp.where(mid, 3, ktype)
         zentr = jnp.where(mid, ENTRMID, zentr)
@@ -509,10 +524,9 @@ def cuasc(tenh, qenh, ten, qen, qsen, geo, geoh, pap, paph, qte, verv,
         zmfub = jnp.where(over, zmfmax, zmfub)
 
         # CUENTR_NEW (:3331-3443), orgen/nturben = 1
-        zpbase = _lev(paph, kcbot)
         zrrho = (RD * row(tenh, jk + 1)) / row(paph, jk + 1)
         zdprho = (row(paph, jk + 1) - row(paph, jk)) * ZRG
-        zpmid = 0.5 * (zpbase + _lev(paph, ictop0))
+        zpmid = 0.5 * (zpbase + paph_top)
         zentr_k = zentr * pmfu_jk1 * zdprho * zrrho
         llo1 = (jk < kcbot) & ldcum
         zdmfde = jnp.where(llo1, zentr_k, 0.0)
@@ -527,8 +541,6 @@ def cuasc(tenh, qenh, ten, qen, qsen, geo, geoh, pap, paph, qte, verv,
         llo2_d = llo1 & (ktype == 1)
         zdmfen = jnp.where(llo2_d, zentr_k, zdmfen)
         od_on = llo2_d & (jk <= khmin) & (jk >= ictop0)
-        ikt_geoh = _lev(geoh, ictop0)
-        ikh_geoh = _lev(geoh, jnp.maximum(khmin, 0))
         ztmzk = -(ikh_geoh - ikt_geoh) * ZRG
         zzmzk = -(ikh_geoh - row(geoh, jk)) * ZRG
         valid = od_on & (khmin > ictop0)
@@ -667,16 +679,16 @@ def cuasc(tenh, qenh, ten, qen, qsen, geo, geoh, pap, paph, qte, verv,
         klab = setrow(klab, jk + 1, klab_jk1)
         return (ptu, pqu, plu, pmfu, zmfus, zmfuq, zmful, plude,
                 zdmfup, oentr, odetr, klab, zmfub, zentr, ktype, kcbot,
-                kctop, ldcum_next, zbuoy)
+                kctop, ldcum_next, zbuoy, zpbase)
 
     ldcum_next = jnp.zeros(shape2, bool)
     carry = (ptu, pqu, plu, pmfu, zmfus, zmfuq, zmful, plude, zdmfup,
              oentr, odetr, klab, zmfub, zentr, ktype, kcbot, kctop,
-             ldcum_next, zbuoy)
+             ldcum_next, zbuoy, zpbase0)
     carry = jax.lax.fori_loop(0, KLEV - 2, body, carry)
     (ptu, pqu, plu, pmfu, zmfus, zmfuq, zmful, plude, zdmfup, oentr,
      odetr, klab, zmfub, zentr, ktype, kcbot, kctop, ldcum_next,
-     zbuoy) = carry
+     zbuoy, _) = carry
 
     # ---- fluxes above the non-buoyancy level (:2335-2375) --------------
     ldcum = ldcum_next & ~(kctop == KLEV - 2)

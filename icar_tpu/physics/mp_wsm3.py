@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.indexing import take_level
 import numpy as np
 
 # physical constants as the ICAR driver passes them
@@ -205,13 +207,13 @@ def wsm3(th, qv, qci, qrs, w_real, exner, p, dz, den, dt, rain, snow):
     mstep = jnp.max(jnp.where(warm3, karr, -1), axis=0)          # (ny, nx)
     has_melt = mstep >= 0
     m0 = jnp.maximum(mstep, 0)
-    w_at = jnp.take_along_axis(w_real, m0[None], axis=0)[0]
+    w_at = take_level(w_real, m0)
     k1 = jnp.where((w_at > 0) & has_melt,
                    jnp.minimum(m0 + 1, nz - 1), m0)              # freeze lvl
     k2 = m0                                                      # melt lvl
 
     def gat(a, kk):
-        return jnp.take_along_axis(a, kk[None], axis=0)[0]
+        return take_level(a, kk)
 
     qrsci = gat(qrs, k1) + gat(qci, k1)
     dz1, dzk = gat(dz, k1), gat(dz, k2)

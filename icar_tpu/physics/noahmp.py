@@ -27,6 +27,8 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.indexing import take_level
 import numpy as np
 
 from .noahmp_params import NSOIL, NSNOW
@@ -72,9 +74,7 @@ def _snow_mask(isnow):
 
 
 def _gather_m(arr, midx):
-    L = arr.shape[0]
-    return jnp.take_along_axis(
-        arr, jnp.clip(midx, 0, L - 1)[None].astype(jnp.int32), axis=0)[0]
+    return take_level(arr, midx.astype(jnp.int32))
 
 
 def _scatter_m(arr, midx, val, do):
@@ -136,10 +136,10 @@ def phenology(p, vegtype, snowh, tv, lat, yearlen, julian):
     it1 = jnp.where(it1 < 1, 12, it1)
     it2 = jnp.where(it2 > 12, 1, it2)
     # p.laim is (12, ny, nx), month index 1-based
-    lai = (wt1 * jnp.take_along_axis(p.laim, (it1 - 1)[None], axis=0)[0]
-           + wt2 * jnp.take_along_axis(p.laim, (it2 - 1)[None], axis=0)[0])
-    sai = (wt1 * jnp.take_along_axis(p.saim, (it1 - 1)[None], axis=0)[0]
-           + wt2 * jnp.take_along_axis(p.saim, (it2 - 1)[None], axis=0)[0])
+    lai = (wt1 * take_level(p.laim, it1 - 1)
+           + wt2 * take_level(p.laim, it2 - 1))
+    sai = (wt1 * take_level(p.saim, it1 - 1)
+           + wt2 * take_level(p.saim, it2 - 1))
     sai = jnp.where(sai < 0.05, 0.0, sai)
     lai = jnp.where((lai < 0.05) | (sai == 0.0), 0.0, lai)
     novegcell = ((vegtype == p.iswater) | (vegtype == p.isbarren)
@@ -1267,10 +1267,10 @@ def energy(p, vegtype, isnow, dt, rhoair, sfcprs, qair, sfctmp, thair,
     # soil moisture transpiration factor (OPT_BTR=1 Noah, :2036-2053)
     nroot_mask = (jnp.arange(NSOIL)[:, None, None]
                   < p.nroot[None])
-    zroot = -jnp.take_along_axis(
+    zroot = -take_level(
         jnp.broadcast_to(zsoil[:, None, None],
                          (NSOIL,) + p.nroot.shape),
-        jnp.clip(p.nroot, 1, NSOIL)[None] - 1, axis=0)[0]
+        jnp.clip(p.nroot, 1, NSOIL) - 1)
     gx = jnp.clip((sh2o - p.smcwlt[None])
                   / jnp.maximum(p.smcref[None] - p.smcwlt[None], MPE),
                   0.0, 1.0)
@@ -1638,7 +1638,7 @@ def divide_snow(p, isnow, stc, snice, snliq, dzsnso, split2_thresh=0.20):
     gidx = k_ax + isnow[None] + (NSNOW - 1)
 
     def gath(a):
-        return jnp.take_along_axis(a, jnp.clip(gidx, 0, NSNOW - 1), axis=0)
+        return take_level(a, gidx)
     stc_s = stc[:NSNOW]
     dz, swice, swliq, tsno = (gath(dzsnso), gath(snice), gath(snliq),
                               gath(stc_s))
@@ -1713,8 +1713,7 @@ def divide_snow(p, isnow, stc, snice, snliq, dzsnso, split2_thresh=0.20):
     smask3 = j_ax3 >= isnow[None] + 1
 
     def scat(stack, comp):
-        return jnp.where(smask3, jnp.take_along_axis(comp, cidx, axis=0),
-                         stack)
+        return jnp.where(smask3, take_level(comp, cidx), stack)
     dzsnso = scat(dzsnso, dz)
     snice = scat(snice, swice)
     snliq = scat(snliq, swliq)

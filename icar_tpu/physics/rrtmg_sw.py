@@ -33,6 +33,8 @@ from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.indexing import take_level
 import numpy as np
 
 from .rrtmg_lw import (AMD, AMW, AVOGAD, GRAV, HEATFAC, ONEMINUS, PREFLOG,
@@ -173,7 +175,7 @@ def _selffor(t, c):
 
 def _gather_lay(arr, idx):
     """arr (nlay, ...), idx (...) layer indices -> (...)."""
-    return jnp.take_along_axis(arr, idx[None], axis=0)[0]
+    return take_level(arr, idx)
 
 
 def _laysolfr_lower(c, layreffr, laytrop0):

@@ -30,6 +30,8 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.indexing import take_level
 import numpy as np
 
 NLEVLAKE = 10   # water_lake.f90:45
@@ -88,10 +90,8 @@ def _f32(x):
 
 
 def _gather_m(arr, midx):
-    """arr[(L, ny, nx)] gathered at per-column layer index midx[(ny, nx)]."""
-    L = arr.shape[0]
-    return jnp.take_along_axis(
-        arr, jnp.clip(midx, 0, L - 1)[None].astype(jnp.int32), axis=0)[0]
+    """arr[(L, ny, nx)] selected at per-column layer index midx[(ny, nx)]."""
+    return take_level(arr, midx.astype(jnp.int32))
 
 
 def _scatter_m(arr, midx, val, do):

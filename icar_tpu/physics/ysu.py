@@ -24,6 +24,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.indexing import take_level
 import numpy as np
 
 from .. import constants as C
@@ -213,8 +215,8 @@ def _interp_hpbl(kpbl, brdn, brup, brcr, za):
                       jnp.where(brup <= brcr, 1.0,
                                 (brcr - brdn) / jnp.where(brup == brdn, 1.0,
                                                           brup - brdn)))
-    za_km1 = jnp.take_along_axis(za, jnp.maximum(kpbl - 1, 0)[None], axis=0)[0]
-    za_k = jnp.take_along_axis(za, kpbl[None], axis=0)[0]
+    za_km1 = take_level(za, jnp.maximum(kpbl - 1, 0))
+    za_k = take_level(za, kpbl)
     return za_km1 + brint * (za_k - za_km1)
 
 
@@ -337,7 +339,7 @@ def ysu(ux, vx, th, t, qv, qc, qi, p, p_i, exner, dz8w, z, terrain, psfc,
     km1 = jnp.maximum(kpbl - 1, 0)
 
     def gat(a, kk):
-        return jnp.take_along_axis(a, kk[None], axis=0)[0]
+        return take_level(a, kk)
 
     wm3 = wstar3 + 5.0 * ust3
     wm2 = wm3 ** H2
