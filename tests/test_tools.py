@@ -335,3 +335,28 @@ def test_make_domain_from_dem(tmp_path):
     o.forcing.init_conditions_file = out
     terrain, la2, lo2 = load_domain(o)
     assert terrain.shape == hgt.shape
+
+
+def test_gen_sounding(tmp_path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gen_sounding", os.path.join(REPO, "tools", "gen_sounding.py"))
+    gs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gs)
+    out = str(tmp_path / "snd.txt")
+    gs.main(["285", "6", "--rh", "0.9", "--dz", "500", "--ztop", "15000",
+             "-o", out])
+    lines = open(out).read().strip().splitlines()
+    sfc = [float(x) for x in lines[0].split()]
+    assert sfc[0] == 1000.0 and sfc[1] == 285.0
+    rows = np.array([[float(x) for x in l.split()] for l in lines[1:]])
+    assert rows.shape == (31, 5)
+    # theta increases at the prescribed lapse rate; qv decreases upward
+    np.testing.assert_allclose(np.diff(rows[:, 1]), 3.0, atol=1e-3)
+    assert (np.diff(rows[:, 2]) < 0).all()
+    # moist adiabat: theta increases with height above the LCL
+    out2 = str(tmp_path / "snd2.txt")
+    gs.main(["300", "7", "--moist-adiabat", "--dz", "1000", "-o", out2])
+    rows2 = np.array([[float(x) for x in l.split()]
+                      for l in open(out2).read().strip().splitlines()[1:]])
+    assert rows2[10, 1] > rows2[0, 1] + 20
