@@ -360,3 +360,36 @@ def test_gen_sounding(tmp_path):
     rows2 = np.array([[float(x) for x in l.split()]
                       for l in open(out2).read().strip().splitlines()[1:]])
     assert rows2[10, 1] > rows2[0, 1] + 20
+
+
+def test_fix_time(tmp_path):
+    import h5py
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "fix_time", os.path.join(REPO, "tools", "fix_time.py"))
+    ft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ft)
+    # simulate a restart-overlapped time axis: 0..5h then restart at 3h
+    t = np.array([0, 3600, 7200, 10800, 14400, 18000,
+                  10800, 14400, 18000, 21600], np.float64)
+    path = str(tmp_path / "out.nc")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("model_time", data=t, maxshape=(None,),
+                         chunks=True)
+        f.create_dataset("precip", data=np.arange(10.0),
+                         maxshape=(None,), chunks=True)
+    fixed = str(tmp_path / "fixed.nc")
+    ft.main([path, "-o", fixed])
+    with h5py.File(fixed) as f:
+        tn = f["model_time"][...]
+    assert (np.diff(tn) > 0).all()
+    np.testing.assert_allclose(tn, np.arange(10) * 3600.0)
+
+    ft.main([path, "-o", fixed, "--truncate"])
+    with h5py.File(fixed) as f:
+        tn = f["model_time"][...]
+        pr = f["precip"][...]
+    assert (np.diff(tn) > 0).all()
+    np.testing.assert_allclose(tn, [0, 3600, 7200, 10800, 14400, 18000,
+                                    21600])
+    np.testing.assert_allclose(pr, [0, 1, 2, 6, 7, 8, 9])
