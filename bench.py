@@ -41,6 +41,18 @@ def build_model(config: str, nx, ny, nz):
             mp=C.MP_THOMPSON, windtype=C.WIND_CONSERVE_MASS,
             rad=C.RA_SIMPLE, pbl=C.PBL_SIMPLE, lsm=C.LSM_NOAH,
             water=C.WATER_SIMPLE, conv=C.CU_TIEDTKE, **common)
+    if config == "conus":
+        # CONUS-scale domain-decomposed run (BASELINE.md): full physics
+        # on a large domain, sharded over every available device
+        import jax
+        from icar_tpu.parallel.mesh import make_mesh
+        m = ideal_ridge_model(
+            mp=C.MP_THOMPSON, windtype=C.WIND_CONSERVE_MASS,
+            rad=C.RA_SIMPLE, pbl=C.PBL_SIMPLE, lsm=C.LSM_NOAH,
+            water=C.WATER_SIMPLE, conv=C.CU_TIEDTKE, **common)
+        if len(jax.devices()) > 1:
+            m.attach_mesh(make_mesh(nx, ny))
+        return m
     raise SystemExit(f"unknown config {config!r}")
 
 
@@ -50,7 +62,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="ridge",
                     choices=["ridge", "mpdata_thompson", "linear",
-                             "fullphys"])
+                             "fullphys", "conus"])
     ap.add_argument("--size", default="500x500x20",
                     help="domain as NXxNYxNZ")
     args = ap.parse_args()
@@ -89,6 +101,7 @@ def main():
         "mpdata_thompson": "MPDATA+Thompson",
         "linear": "linear winds+mp_simple",
         "fullphys": "Thompson+Noah+PBL+rad+Tiedtke",
+        "conus": "full physics, domain-decomposed",
     }
     result = {
         "metric": (f"grid-points*steps/s per chip (ideal ridge "
