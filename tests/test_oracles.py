@@ -1,0 +1,306 @@
+"""Numerical parity against independent oracles (VERDICT r1 item #1).
+
+Every test here compares a vectorized icar_tpu scheme against a literal
+loop-based transcription of the corresponding reference Fortran routine
+(tests/oracles/*) over randomized inputs — a consistent-but-wrong constant
+in the JAX path cannot pass these.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from oracles import advect_ref, linear_theory_ref, mp_simple_ref, pbl_simple_ref, wind_ref
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# SB04 simple microphysics (mp_simple.f90:198-646)
+# ---------------------------------------------------------------------------
+
+
+def _mp_inputs(seed, nz=12, ny=3, nx=4):
+    r = rng(seed)
+    z = np.cumsum(np.full(nz, 300.0)) - 150.0
+    p = (101325.0 * np.exp(-z / 8000.0))[:, None, None] \
+        * np.ones((nz, ny, nx))
+    p = p * r.uniform(0.97, 1.03, (1, ny, nx))
+    exner = (p / 100000.0) ** 0.2857
+    t = (290.0 - 0.0065 * z)[:, None, None] + r.uniform(-8, 8, (nz, ny, nx))
+    theta = t / exner
+    rho = p / (287.0 * t)
+    # qv spanning sub- and super-saturation
+    es = 610.78 * np.exp(17.27 * (t - 273.16) / (t - 35.86))
+    qvs = 0.622 * es / (p - es)
+    qv = qvs * r.uniform(0.3, 1.4, (nz, ny, nx))
+    qc = np.where(r.uniform(size=(nz, ny, nx)) < 0.5,
+                  r.uniform(0, 8e-4, (nz, ny, nx)), 0.0)
+    qr = np.where(r.uniform(size=(nz, ny, nx)) < 0.4,
+                  r.uniform(0, 5e-4, (nz, ny, nx)), 0.0)
+    qs = np.where(r.uniform(size=(nz, ny, nx)) < 0.4,
+                  r.uniform(0, 5e-4, (nz, ny, nx)), 0.0)
+    dz = np.full((nz, ny, nx), 300.0) * r.uniform(0.8, 1.2, (nz, 1, 1))
+    rain = r.uniform(0, 2, (ny, nx))
+    snow = r.uniform(0, 1, (ny, nx))
+    to32 = lambda a: np.asarray(a, np.float32)
+    return tuple(map(to32, (p, theta, exner, rho, qv, qc, qr, qs, rain,
+                            snow, dz)))
+
+
+@pytest.mark.parametrize("seed,dt", [(1, 40.0), (2, 90.0), (3, 15.0)])
+def test_mp_simple_matches_scalar_oracle(seed, dt):
+    from icar_tpu.physics import mp_simple
+
+    p, theta, exner, rho, qv, qc, qr, qs, rain, snow, dz = _mp_inputs(seed)
+    got = mp_simple.mp_simple(
+        jnp.asarray(p), jnp.asarray(theta), jnp.asarray(exner),
+        jnp.asarray(rho), jnp.asarray(qv), jnp.asarray(qc), jnp.asarray(qr),
+        jnp.asarray(qs), jnp.asarray(rain), jnp.asarray(snow),
+        np.float32(dt), jnp.asarray(dz), use_pallas=False)
+    want = mp_simple_ref.mp_simple_driver(
+        p, theta, exner, rho, qv, qc, qr, qs, rain, snow, dt, dz)
+    names = ("theta", "qv", "qc", "qr", "qs", "rain", "snow")
+    tols = dict(theta=(1e-5, 1e-4), qv=(1e-4, 1e-6), qc=(1e-3, 1e-6),
+                qr=(1e-3, 1e-6), qs=(1e-3, 1e-6), rain=(1e-4, 1e-6),
+                snow=(1e-4, 1e-6))
+    for name, g, w in zip(names, got, want):
+        rtol, atol = tols[name]
+        np.testing.assert_allclose(np.asarray(g), w, rtol=rtol, atol=atol,
+                                   err_msg=f"mp_simple {name} vs oracle")
+
+
+# ---------------------------------------------------------------------------
+# upwind advection (advect.f90:107-360)
+# ---------------------------------------------------------------------------
+
+
+def _advect_inputs(seed, nz=8, ny=7, nx=9):
+    r = rng(seed)
+    q = r.uniform(0.2, 1.0, (2, nz, ny, nx)).astype(np.float32)
+    u = r.uniform(-8, 8, (nz, ny, nx + 1)).astype(np.float32)
+    v = r.uniform(-8, 8, (nz, ny + 1, nx)).astype(np.float32)
+    w = r.uniform(-1, 1, (nz, ny, nx)).astype(np.float32)
+    dz = (np.full((nz, ny, nx), 200.0)
+          * r.uniform(0.7, 1.3, (nz, 1, 1))).astype(np.float32)
+    jaco = r.uniform(0.8, 1.2, (nz, ny, nx)).astype(np.float32)
+    jaco_u = r.uniform(0.8, 1.2, (nz, ny, nx + 1)).astype(np.float32)
+    jaco_v = r.uniform(0.8, 1.2, (nz, ny + 1, nx)).astype(np.float32)
+    jaco_w = r.uniform(0.8, 1.2, (nz, ny, nx)).astype(np.float32)
+    rho = r.uniform(0.7, 1.2, (nz, ny, nx)).astype(np.float32)
+    return q, u, v, w, dz, jaco, jaco_u, jaco_v, jaco_w, rho
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+@pytest.mark.parametrize("advect_density", [False, True])
+def test_advect_upwind_matches_slice_oracle(seed, advect_density):
+    from icar_tpu.ops import advection
+
+    q, u, v, w, dz, jaco, jaco_u, jaco_v, jaco_w, rho = _advect_inputs(seed)
+    dt, dx = np.float32(20.0), np.float32(1000.0)
+    got = advection.advect_upwind(
+        jnp.asarray(q), jnp.asarray(u), jnp.asarray(v), jnp.asarray(w),
+        dt, dx, jnp.asarray(jaco_u), jnp.asarray(jaco_v),
+        jnp.asarray(jaco_w), jnp.asarray(jaco), jnp.asarray(rho),
+        jnp.asarray(dz), advect_density, use_pallas=False)
+    U_m, V_m, W_m = advect_ref.setup_module_winds(
+        u, v, w, dx, dt, jaco_u, jaco_v, jaco_w, rho, advect_density)
+    for s in range(q.shape[0]):
+        want = advect_ref.advect3d(q[s], U_m, V_m, W_m, rho, dz, jaco,
+                                   advect_density)
+        np.testing.assert_allclose(np.asarray(got[s]), want,
+                                   rtol=2e-5, atol=2e-6,
+                                   err_msg=f"advect species {s} vs oracle")
+
+
+# ---------------------------------------------------------------------------
+# mass-balancing wind solver (wind.f90:81-498)
+# ---------------------------------------------------------------------------
+
+
+def test_balance_uvw_matches_recurrence_oracle():
+    from icar_tpu.ops import wind as wind_ops
+
+    _, u, v, w, dz, jaco, jaco_u, jaco_v, jaco_w, _ = _advect_inputs(7)
+    got = wind_ops.balance_uvw(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(jaco_u),
+        jnp.asarray(jaco_v), jnp.asarray(jaco_w), jnp.asarray(dz),
+        np.float32(1000.0), jnp.asarray(jaco))
+    want = wind_ref.balance_uvw(u, v, jaco_u, jaco_v, jaco_w, dz,
+                                1000.0, jaco)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4,
+                               err_msg="balance_uvw w vs oracle")
+
+
+def test_iterative_winds_matches_oracle():
+    from icar_tpu.models.icar import ideal_ridge_model
+    from icar_tpu.ops import wind as wind_ops
+
+    m = ideal_ridge_model(nx=24, ny=10, nz=12, dx=1000.0, hill_height=200.0,
+                          u_speed=10.0, rh=0.5)
+    geom = m.geom
+    u = np.asarray(m.state["u"], np.float32)
+    v = np.asarray(m.state["v"], np.float32)
+    got_u, got_v = wind_ops.iterative_winds(
+        jnp.asarray(u), jnp.asarray(v), geom, 3)
+    want_u, want_v, _ = wind_ref.iterative_winds(
+        u, v, np.asarray(geom.jacobian_u), np.asarray(geom.jacobian_v),
+        np.asarray(geom.jacobian_w), np.asarray(geom.advection_dz),
+        geom.dx, np.asarray(geom.jacobian), 3)
+    np.testing.assert_allclose(np.asarray(got_u), want_u, rtol=1e-4,
+                               atol=1e-4, err_msg="iterative u vs oracle")
+    np.testing.assert_allclose(np.asarray(got_v), want_v, rtol=1e-4,
+                               atol=1e-4, err_msg="iterative v vs oracle")
+
+
+# ---------------------------------------------------------------------------
+# simple PBL diffusion (pbl_simple.f90:71-291)
+# ---------------------------------------------------------------------------
+
+
+def _pbl_inputs(seed, nz=10, ny=4, nx=6, strong_shear=False):
+    r = rng(seed)
+    z1 = np.cumsum(np.full(nz, 250.0)) - 125.0
+    terrain = r.uniform(0, 300, (ny, nx))
+    z = z1[:, None, None] + terrain[None]
+    dz = np.full((nz, ny, nx), 250.0)
+    p = 101325.0 * np.exp(-z / 8000.0)
+    exner = (p / 100000.0) ** 0.2857
+    th = 290.0 + 0.003 * z + r.uniform(-1, 1, (nz, ny, nx))
+    qv = r.uniform(1e-3, 8e-3, (nz, ny, nx))
+    qc = r.uniform(0, 2e-4, (nz, ny, nx))
+    qi = r.uniform(0, 1e-4, (nz, ny, nx))
+    qr = r.uniform(0, 1e-4, (nz, ny, nx))
+    qs = r.uniform(0, 1e-4, (nz, ny, nx))
+    um = r.uniform(-5, 5, (nz, ny, nx))
+    vm = r.uniform(-5, 5, (nz, ny, nx))
+    if strong_shear:
+        # identical saturating-diffusivity column at x=0 of EVERY y slice so
+        # the reference's per-slice substep count equals the global count
+        um[:, :, 0] = (np.arange(nz) * 40.0)[:, None]
+        vm[:, :, 0] = 0.0
+        th[:, :, 0] = 300.0
+        qv[:, :, 0] = 3e-3
+        qc[:, :, 0] = qi[:, :, 0] = qr[:, :, 0] = qs[:, :, 0] = 0.0
+    rho = p / (287.0 * th * exner)
+    # uniform land: a mixed land/water domain makes the reference's
+    # PER-Y-SLICE substep count differ from icar_tpu's global count (a
+    # documented divergence); the all-water path is tested separately
+    land = np.ones((ny, nx))
+    to32 = lambda a: np.asarray(a, np.float32)
+    return tuple(map(to32, (th, qv, qc, qi, qr, qs, um, vm, exner, rho, z,
+                            dz, terrain))) + (land.astype(np.int32),)
+
+
+@pytest.mark.parametrize("strong_shear", [False, True])
+@pytest.mark.parametrize("all_water", [False, True])
+def test_pbl_simple_matches_loop_oracle(strong_shear, all_water):
+    from icar_tpu.physics import pbl_simple
+
+    (th, qv, qc, qi, qr, qs, um, vm, exner, rho, z, dz,
+     terrain, land) = _pbl_inputs(11, strong_shear=strong_shear)
+    if all_water:
+        land = np.full_like(land, 2)
+    dt = np.float32(60.0)
+    got = pbl_simple.pbl_simple(
+        jnp.asarray(th), jnp.asarray(qv), jnp.asarray(qc), jnp.asarray(qi),
+        jnp.asarray(qr), jnp.asarray(qs), jnp.asarray(um), jnp.asarray(vm),
+        jnp.asarray(exner), jnp.asarray(rho), jnp.asarray(z),
+        jnp.asarray(dz), jnp.asarray(terrain), dt,
+        water_mask=jnp.asarray(land == 2))
+    want = pbl_simple_ref.simple_pbl(th, qv, qc, qi, qr, qs, um, vm, exner,
+                                     rho, z, dz, terrain, land, dt)
+    # oracle order: th qv qc qi qr qs; jax returns th qv qc qi qr qs
+    names = ("th", "qv", "qc", "qi", "qr", "qs")
+    for name, g, w in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-4, atol=1e-6,
+                                   err_msg=f"pbl_simple {name} vs oracle")
+
+
+# ---------------------------------------------------------------------------
+# linear mountain-wave LUT vs the analytic closed form
+# ---------------------------------------------------------------------------
+
+
+def test_linear_lut_matches_analytic_solution():
+    """The model's LUT-built perturbation over an ideal y-invariant ridge
+    must match the independent 1D closed-form solution (and v' must
+    vanish)."""
+    from icar_tpu.config import LtOptions
+    from icar_tpu.ops import linear_winds as lw
+
+    nx, ny, nz = 96, 16, 8
+    dx = 2000.0
+    U = 10.0
+    Ndsq = 3.6e-5
+    dz_levels = np.full(nz, 400.0, np.float32)
+
+    x = (np.arange(nx) - nx / 2) * dx
+    ridge = 800.0 / (1.0 + (x / 15000.0) ** 2)     # y-invariant Witch profile
+    terrain = np.broadcast_to(ridge, (ny, nx)).astype(np.float64)
+
+    lt = LtOptions()
+    lt.buffer = 30
+    # grids aligned so (U, dir=pi/2, Ndsq) hit table nodes exactly
+    lt.n_spd_values, lt.spdmin, lt.spdmax = 4, 0.0, 30.0
+    lt.n_dir_values, lt.dirmin, lt.dirmax = 5, 0.0, 2 * np.pi
+    lt.n_nsq_values = 2
+    lt.nsqmin, lt.nsqmax = float(np.log(Ndsq)), float(np.log(Ndsq * 4))
+    lt.variable_n = False
+    lt.n_squared = Ndsq
+    lt.min_stability, lt.max_stability = Ndsq / 10, Ndsq * 10
+    lt.smooth_nsq = False
+
+    lut_u, lut_v, values = lw.build_lut(terrain, dx, dz_levels, lt,
+                                        minimum_layer_size=1e9)
+
+    u3d = jnp.full((nz, ny, nx + 1), np.float32(U))
+    v3d = jnp.zeros((nz, ny + 1, nx), jnp.float32)
+    theta = jnp.full((nz, ny, nx), 290.0, jnp.float32)  # unused (variable_n off)
+    nsq_log = lw.compute_nsquared(
+        theta, jnp.ones_like(theta), jnp.zeros_like(theta),
+        jnp.zeros_like(theta), jnp.zeros_like(theta), lt.vert_smooth,
+        False, lt.n_squared, lt.min_stability, lt.max_stability, False, 0)
+    pu = jnp.zeros_like(u3d)
+    pv = jnp.zeros_like(v3d)
+    u_out, v_out, pu, pv = lw.apply_spatial_winds(
+        u3d, v3d, nsq_log, pu, pv, lut_u, lut_v, *values,
+        lt.vert_smooth, 1.0, 1.0)
+    u_pert = np.asarray(u_out - u3d)[:, ny // 2, :]       # (nz, nx+1)
+    v_pert = np.asarray(v_out - v3d)
+
+    # independent oracle on the SAME buffered terrain profile (buffering is
+    # shared geometry prep; the solver under test is the FFT solution)
+    buffered = lw.add_buffer_topo(
+        lw.add_buffer_topo(terrain, 5, lt.buffer), 0, 2)
+    buf = lt.buffer + 2
+    zs_row = np.asarray(buffered[buffered.shape[0] // 2])
+    z_mid = np.cumsum(dz_levels) - dz_levels / 2
+    up_o, w_o = linear_theory_ref.solve_uw(zs_row, dx, U, Ndsq, z_mid)
+    # crop the buffer and stagger onto u faces exactly as build_lut does
+    up_crop = up_o[:, buf - 1:up_o.shape[1] - buf + 1]
+    up_faces = (up_crop[:, :-1] + up_crop[:, 1:]) * 0.5   # (nz, nx+1)
+
+    scale = np.abs(up_faces).max()
+    assert scale > 0.05, "degenerate oracle solution"
+    err = np.abs(u_pert - up_faces).max() / scale
+    # the buffer-ring smoothing (add_buffer_topo) deliberately introduces
+    # y-structure near the corners, so the 2D solve differs from the 1D
+    # mid-row reduction by a few percent (measured 2.7%); wrong-field /
+    # sign / half-bin-wavenumber bugs all produce O(100%) errors here
+    assert err < 0.04, f"LUT u' deviates {err:.1%} from analytic solution"
+    # y-invariant ridge with flow along x: no meridional perturbation on
+    # the symmetry row (buffer-ring smoothing bleeds an antisymmetric v'
+    # toward the y edges; it vanishes on the mid row by symmetry — a
+    # wavenumber-grid bug like the reference's linspace half-bin shift
+    # would instead leak a uniform v' everywhere)
+    v_mid = np.asarray(v_out - v3d)[:, ny // 2 : ny // 2 + 1, :]
+    assert np.abs(v_mid).max() < 0.01 * scale, "spurious v' over 1D ridge"
+    # physical sanity: the lowest-level analytic updraft peaks windward
+    # (upstream) of the crest for westerly flow
+    crest = buf + np.argmax(ridge)
+    iw = np.argmax(w_o[0])
+    assert iw <= crest, "analytic updraft not on the windward slope"
