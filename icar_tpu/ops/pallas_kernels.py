@@ -38,6 +38,25 @@ def tpu_backend() -> bool:
     return plat in ("tpu", "axon")
 
 
+# When True, kernels run through the Pallas interpreter (pure XLA ops) so
+# the CPU test suite exercises the exact kernel bodies and asserts their
+# equivalence with the jnp reference paths (tests/test_pallas.py).
+_INTERPRET = False
+
+
+def force_interpret(enable: bool) -> bool:
+    """Enable/disable interpret-mode dispatch (tests only). Returns the
+    previous value so callers can restore it."""
+    global _INTERPRET
+    prev = _INTERPRET
+    _INTERPRET = bool(enable)
+    return prev
+
+
+def _run_kernels() -> bool:
+    return _HAS_PALLAS and (tpu_backend() or _INTERPRET)
+
+
 def _sat_mr(t, p):
     a = jnp.where(t < FREEZING, 21.8745584, 17.2693882)
     b = jnp.where(t < FREEZING, 7.66, 35.86)
@@ -122,6 +141,7 @@ def saturation_adjust_tpu(pressure, temperature, qv, qc):
         in_specs=[spec] * 4,
         out_specs=[spec] * 4,
         out_shape=out_shape,
+        interpret=_INTERPRET,
     )(reshape(pressure), reshape(temperature), reshape(qv), reshape(qc))
     shape3 = (nz, ny, nx)
     return (t.reshape(shape3), qv2.reshape(shape3), qc2.reshape(shape3),
@@ -129,7 +149,7 @@ def saturation_adjust_tpu(pressure, temperature, qv, qc):
 
 
 def saturation_adjust_available() -> bool:
-    return _HAS_PALLAS and tpu_backend()
+    return _run_kernels()
 
 
 # ---------------------------------------------------------------------------
@@ -221,6 +241,7 @@ def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 8):
     out = pl.pallas_call(
         _advect_kernel,
         grid=grid,
+        interpret=_INTERPRET,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   spec4, spec4, spec4,
                   spec3(nx), spec3(nx), spec3(nx - 1), spec3(nx),
@@ -343,6 +364,7 @@ def sediment_species_tpu(q, qv, temperature, pressure, rho, dz, dt,
     qf, qvf, tf, pr = pl.pallas_call(
         kern,
         grid=(Mp // TX,),
+        interpret=_INTERPRET,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6,
         out_specs=[spec, spec, spec, spec1],
         out_shape=[jax.ShapeDtypeStruct((nz, Mp), q.dtype)] * 3
