@@ -954,6 +954,14 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                             geom.dx, options.run.cfl_reduction_factor,
                             options.run.cfl_strictness)
             dt = jnp.minimum(dt, C.MAX_DT)
+            # quantize dt to 1/64 s (exact in f32) so the substep count is
+            # identical run-to-run and sharding-to-sharding: different mesh
+            # layouts fuse the CFL arithmetic differently, and an ulp-level
+            # dt difference would flip while_loop trip counts (the
+            # reference's co_min is exact because max/min reductions are
+            # order-independent; the elementwise CFL sums feeding it are
+            # not). Mirrors the determinism of time_step.f90:413 co_min.
+            dt = jnp.maximum(jnp.floor(dt * 64.0) / 64.0, 1.0 / 64.0)
             dt = jnp.minimum(dt, end_time - t)
 
             # YSU consumes the 10m-wind/ustar diagnostics every substep
