@@ -77,14 +77,15 @@ class ICARDriver:
         # online precipitation bias correction (setup_bias_correction,
         # init.f90:300-321): monthly rain-fraction climatology, clipped to
         # [0.2, 5] then inverted
-        self.rain_fraction = None
+        self.use_rain_fraction = False
         if options.bias.use_bias_correction and options.bias.filename:
             with NCFile(options.bias.filename) as f:
                 rf = np.asarray(f.read(options.bias.rain_fraction_var),
                                 np.float32)
             if rf.ndim != 3:
                 raise ValueError("rain_fraction must be (12, ny, nx)")
-            self.rain_fraction = 1.0 / np.clip(rf, 0.2, 5.0)
+            self.model.set_rain_fraction(1.0 / np.clip(rf, 0.2, 5.0))
+            self.use_rain_fraction = True
         self.timers["init"].stop()
 
     def _output_names(self):
@@ -233,25 +234,12 @@ class ICARDriver:
         m.state = s
         print("NoahMP state initialized")
 
-    def _apply_rain_fraction(self, precip_before, t):
-        """Scale this interval's precipitation increment by the monthly
-        bias-correction fraction on interior cells (apply_rain_fraction,
-        mp_driver.f90:350-397)."""
+    def _rain_frac_month(self, t):
+        """Month index of the bias-correction climatology at model time t
+        (apply_rain_fraction month selection, mp_driver.f90:357-359)."""
         date = self.options.start_time() + TimeDelta(t)
-        n = self.rain_fraction.shape[0]
-        step = min(int(n * date.year_fraction()), n - 1)
-        cur = self.model.state["precipitation"]
-        frac = np.ones(cur.shape, np.float32)
-        ny, nx = self.rain_fraction.shape[1:]
-        frac[:ny, :nx] = self.rain_fraction[step]
-        frac[0, :] = 1.0
-        frac[-1, :] = 1.0
-        frac[:, 0] = 1.0
-        frac[:, -1] = 1.0
-        s = dict(self.model.state)
-        s["precipitation"] = precip_before + (cur - precip_before) \
-            * jnp.asarray(frac)
-        self.model.state = s
+        n = self.model._rain_frac_months.shape[0]
+        return min(int(n * date.year_fraction()), n - 1)
 
     def _forcing_tendencies(self, raw):
         """Target fields -> wind solve -> relaxation tendencies
@@ -335,15 +323,12 @@ class ICARDriver:
 
             while t < input_end - 1e-3:
                 target_t = min(next_output, input_end)
-                if self.rain_fraction is not None:
-                    precip_before = jnp.asarray(
-                        self.model.state["precipitation"])
+                month = (self._rain_frac_month(t)
+                         if self.use_rain_fraction else None)
                 self.timers["physics"].start()
-                self.model.advance(target_t - t)
+                self.model.advance(target_t - t, rain_frac_month=month)
                 self.timers["physics"].stop()
                 t = target_t
-                if self.rain_fraction is not None:
-                    self._apply_rain_fraction(precip_before, t)
                 if debug:
                     from ..utils.diagnostics_debug import domain_check
                     self.model.state, problems = domain_check(

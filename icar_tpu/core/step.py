@@ -943,6 +943,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             state_padded = state
             state = _slice_natural(state)
             dqdt = _slice_natural(dqdt)
+        if "rain_frac" in aux:
+            precip0 = state["precipitation"]
 
         def cond(carry):
             t = carry[1]
@@ -997,6 +999,16 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         # output-only diagnostics (IVT/IWV, 10m winds, w_real) once per
         # interval rather than per substep
         state = diagnostic_update(state, geom, full=True)
+        if "rain_frac" in aux:
+            # monthly precipitation bias correction: scale this interval's
+            # increment on interior cells (apply_rain_fraction,
+            # mp_driver.f90:350-397) — applied in-jit so the bias-corrected
+            # loop never syncs with the host
+            rf = aux["rain_frac"]
+            p = state["precipitation"]
+            rf = rf[..., :p.shape[-2], :p.shape[-1]].astype(p.dtype)
+            state = dict(state)
+            state["precipitation"] = precip0 + (p - precip0) * rf
         if natural_shapes is not None:
             state = {k: state_padded[k].at[..., :v.shape[-2], :v.shape[-1]]
                      .set(v) for k, v in state.items()}

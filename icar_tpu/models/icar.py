@@ -50,6 +50,9 @@ class ICARModel:
         self.v_perturbation = None
         # flow-blocking LUT + terrain heights (initialize_blocking)
         self._blocking = None
+        # monthly precipitation bias-correction scale, device-resident
+        # (apply_rain_fraction, mp_driver.f90:350-397)
+        self._rain_frac_months = None
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -77,6 +80,8 @@ class ICARModel:
             for k, v in padded.items()}
         if self._dqdt:
             self._pad_and_shard_dqdt()
+        if self._rain_frac_months is not None:
+            self._place_rain_fraction()
         self._step_fn = None
 
     def _pad_and_shard_dqdt(self):
@@ -210,6 +215,42 @@ class ICARModel:
                     s[name].dtype)
         self.state = s
 
+    def set_rain_fraction(self, monthly_scale: np.ndarray):
+        """Install the monthly precipitation bias-correction scale
+        (apply_rain_fraction, mp_driver.f90:350-397): ``monthly_scale`` is
+        (12, ny, nx); interior cells of each interval's precipitation
+        increment are multiplied by the current month's entry. The scale is
+        applied INSIDE the jitted interval step (core/step.py), so the
+        bias-corrected hot loop has no host round-trip."""
+        ny, nx = self.geom.ny, self.geom.nx
+        frac = np.ones((monthly_scale.shape[0], ny, nx), np.float32)
+        fy = min(monthly_scale.shape[1], ny)
+        fx = min(monthly_scale.shape[2], nx)
+        frac[:, :fy, :fx] = monthly_scale[:, :fy, :fx]
+        # domain-boundary ring is never scaled (mp_driver.f90:361-396
+        # operates on its+1..ite-1 interior cells only)
+        frac[:, 0, :] = 1.0
+        frac[:, -1, :] = 1.0
+        frac[:, :, 0] = 1.0
+        frac[:, :, -1] = 1.0
+        self._rain_frac_np = frac
+        self._place_rain_fraction()
+
+    def _place_rain_fraction(self):
+        frac = self._rain_frac_np
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import pad_field
+            nyp, nxp = self._padded_sizes
+            padded = np.ones((frac.shape[0], nyp, nxp), np.float32)
+            padded[:, :frac.shape[1], :frac.shape[2]] = frac
+            self._rain_frac_months = jax.device_put(
+                jnp.asarray(padded),
+                NamedSharding(self.mesh, P(None, "y", "x")))
+        else:
+            self._rain_frac_months = jnp.asarray(frac)
+
     def set_forcing_tendencies(self, dqdt: Dict[str, np.ndarray]):
         """Install dqdt fields for the next interval (update_delta_fields,
         domain_obj.f90:2339-2372)."""
@@ -230,14 +271,19 @@ class ICARModel:
         return {"day_of_year0": jnp.float32(now.mjd - year_start.mjd),
                 "year_length": jnp.float32(now.year_length())}
 
-    def advance(self, seconds: float):
+    def advance(self, seconds: float, rain_frac_month: Optional[int] = None):
         """Integrate the state forward by ``seconds`` (one forcing/output
-        interval; step, time_step.f90:440-551)."""
+        interval; step, time_step.f90:440-551). ``rain_frac_month`` selects
+        the bias-correction scale applied to this interval's precipitation
+        increment (requires a prior set_rain_fraction call)."""
         if self._step_fn is None:
             self._build_step()
         t0 = jnp.float32(0.0)
+        aux = self._time_aux()
+        if rain_frac_month is not None:
+            aux["rain_frac"] = self._rain_frac_months[rain_frac_month]
         state, t, n = self._step_fn(self.state, self._dqdt, t0,
-                                    jnp.float32(seconds), self._time_aux())
+                                    jnp.float32(seconds), aux)
         self.state = state
         self.model_time += float(seconds)
         self.last_n_substeps = int(n)

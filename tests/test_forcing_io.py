@@ -281,36 +281,32 @@ def test_namelist_output_engine_roundtrip(tmp_path):
         o2.validate()
 
 
-def test_rain_fraction_bias_correction(tmp_path):
+def test_rain_fraction_bias_correction():
     """Monthly precipitation bias scaling (apply_rain_fraction,
-    mp_driver.f90:350-397): interval delta scaled on interior cells by
-    1/clip(fraction) for the current month."""
-    from types import SimpleNamespace
+    mp_driver.f90:350-397): the interval's precipitation increment is
+    scaled on interior cells by 1/clip(fraction) for the current month,
+    INSIDE the jitted step (no host round-trip in the hot loop)."""
+    from icar_tpu.models.icar import ideal_ridge_model
 
-    import jax.numpy as jnp
+    def run(month):
+        m = ideal_ridge_model(nx=24, ny=12, nz=10, dx=1000.0,
+                              hill_height=600.0, u_speed=10.0, rh=1.0)
+        scale = np.ones((12, 12, 24), np.float32)
+        scale[6] = 0.5                          # halve July precip
+        m.set_rain_fraction(scale)
+        m.advance(600.0, rain_frac_month=month)
+        m.advance(600.0, rain_frac_month=month)
+        return m.field("precipitation")
 
-    from icar_tpu.config import Options
-    from icar_tpu.core.driver import ICARDriver
-
-    o = Options()
-    o.run.start_date = "2020-07-10 00:00:00"   # July -> month index 6
-    rf = np.ones((12, 4, 6), np.float32)
-    rf[6] = 2.0                                 # halve July precip
-    d = SimpleNamespace(options=o, rain_fraction=1.0 / np.clip(rf, 0.2, 5.0),
-                        model=SimpleNamespace(state={}))
-    before = jnp.zeros((4, 6), jnp.float64)
-    after = jnp.full((4, 6), 10.0, jnp.float64)
-    d.model.state = {"precipitation": after}
-    ICARDriver._apply_rain_fraction(d, before, t=0.0)
-    out = np.asarray(d.model.state["precipitation"])
-    np.testing.assert_allclose(out[1:-1, 1:-1], 5.0)   # interior halved
-    np.testing.assert_allclose(out[0, :], 10.0)        # boundary untouched
-    # January (different start date) leaves precip unscaled
-    o.run.start_date = "2020-01-10 00:00:00"
-    d.model.state = {"precipitation": after}
-    ICARDriver._apply_rain_fraction(d, before, t=0.0)
-    np.testing.assert_allclose(
-        np.asarray(d.model.state["precipitation"]), 10.0)
+    july = run(6)
+    january = run(0)
+    assert january.max() > 1e-4, "test case did not precipitate"
+    # interior increments halved in July, identical in January
+    np.testing.assert_allclose(july[1:-1, 1:-1], january[1:-1, 1:-1] * 0.5,
+                               rtol=1e-6)
+    # boundary ring untouched by the correction
+    np.testing.assert_allclose(july[0, :], january[0, :], rtol=1e-6)
+    np.testing.assert_allclose(july[:, -1], january[:, -1], rtol=1e-6)
 
 
 def test_output_file_rotation(ideal_run, tmp_path):
