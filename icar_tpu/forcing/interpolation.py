@@ -44,12 +44,141 @@ def _is_regular(lat2d, lon2d, tol=1e-4):
             and np.abs(lon2d - lon2d[:1, :]).max() < tol)
 
 
+def _idw_lut(lo_lat, lo_lon, hi_lat_flat, hi_lon_flat):
+    """4-nearest inverse-distance weights (idw_weights,
+    geo_reader.f90:193-212) — used only as a fallback for target points
+    outside the forcing grid's convex hull (where the reference hard-stops,
+    find_surrounding geo_reader.f90:893-899; falling back instead is a
+    deliberate robustness divergence)."""
+    from scipy.spatial import cKDTree
+    pts = np.column_stack([lo_lat.ravel(), lo_lon.ravel()])
+    tree = cKDTree(pts)
+    q = np.column_stack([hi_lat_flat, hi_lon_flat])
+    dist, idx = tree.query(q, k=4)
+    dist = np.maximum(dist, 1e-12)
+    w = 1.0 / dist
+    w = w / w.sum(axis=1, keepdims=True)
+    return idx.T, w.T
+
+
+def _tri_weights(yi, xi, y1, x1, y2, x2, y3, x3):
+    """Vectorized barycentric weights on the triangle (p1, p2, p3)
+    (tri_weights, geo_reader.f90:113-178). Returns (w1, w2, w3, denom);
+    degenerate triangles get denom == 0."""
+    denom = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+    safe = np.where(denom == 0, 1.0, denom)
+    w1 = ((y2 - y3) * (xi - x3) + (x3 - x2) * (yi - y3)) / safe
+    w2 = ((y3 - y1) * (xi - x3) + (x1 - x3) * (yi - y3)) / safe
+    w3 = 1.0 - w1 - w2
+    return w1, w2, w3, denom
+
+
+def _curvilinear_quad_lut(lo_lat, lo_lon, hi_lat_flat, hi_lon_flat):
+    """Enclosing-quad triangulation weights for curvilinear forcing grids
+    (find_location + find_surrounding + tri_weights + geo_interp,
+    geo_reader.f90:293-489, 793-901, 113-178, 1069-1139), fully vectorized
+    over target points:
+
+    1. nearest forcing point per target (the reference's walking search +
+       local minimum scan finds the same Euclidean-degree-space nearest
+       point; a KD-tree finds it exactly),
+    2. of the four quadrant boxes around it, the first (in the reference's
+       (dx,dy) = (-1,-1),(-1,1),(1,-1),(1,1) order) whose corner-triangle
+       fan contains the target,
+    3. barycentric weights on the triangle (corner1, corner2, centroid),
+       tried in the reference's preference order (find_surrounding
+       geo_reader.f90:816-860),
+    4. folded into 4-point form: the reference applies
+       w1*f1 + w2*f2 + w3*mean(f1..f4) (geo_interp, geo_reader.f90:1110-1124),
+       which equals the weight vector [w1+w3/4, w2+w3/4, w3/4, w3/4].
+
+    Returns (idx (4, N), w (4, N), resolved (N,) bool)."""
+    ny_lo, nx_lo = lo_lat.shape
+    from scipy.spatial import cKDTree
+    tree = cKDTree(np.column_stack([lo_lat.ravel(), lo_lon.ravel()]))
+    _, nearest = tree.query(np.column_stack([hi_lat_flat, hi_lon_flat]), k=1)
+    yc = nearest // nx_lo
+    xc = nearest % nx_lo
+    n = yc.shape[0]
+
+    yi = np.asarray(hi_lat_flat, np.float64)
+    xi = np.asarray(hi_lon_flat, np.float64)
+    lat = np.asarray(lo_lat, np.float64)
+    lon = np.asarray(lo_lon, np.float64)
+
+    idx_out = np.zeros((4, n), np.int64)
+    w_out = np.zeros((4, n), np.float64)
+    resolved = np.zeros(n, bool)
+
+    # two containment passes: strict first (the reference's point_in_poly
+    # containment test, geo_reader.f90:714-791), then the loose -1e-2
+    # barycentric tolerance tri_weights itself accepts for edge cases
+    # (geo_reader.f90:147-157), whose slightly-negative weights are clipped
+    for TOL in (-1e-7, -1e-2):
+        idx_out, w_out, resolved = _quad_pass(
+            lat, lon, yi, xi, yc, xc, ny_lo, nx_lo,
+            idx_out, w_out, resolved, TOL)
+    return idx_out, w_out, resolved
+
+
+def _quad_pass(lat, lon, yi, xi, yc, xc, ny_lo, nx_lo,
+               idx_out, w_out, resolved, TOL):
+    n = yc.shape[0]
+    for dy, dx in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+        y0 = np.clip(yc, 0 if dy > 0 else 1, ny_lo - (2 if dy > 0 else 1))
+        x0 = np.clip(xc, 0 if dx > 0 else 1, nx_lo - (2 if dx > 0 else 1))
+        in_bounds = (y0 == yc) & (x0 == xc)
+        y1g, x1g = y0, x0
+        y2g, x2g = y0, x0 + dx          # x neighbor
+        y3g, x3g = y0 + dy, x0          # y neighbor
+        y4g, x4g = y0 + dy, x0 + dx     # diagonal
+        corners_y = np.stack([lat[y1g, x1g], lat[y2g, x2g],
+                              lat[y3g, x3g], lat[y4g, x4g]])
+        corners_x = np.stack([lon[y1g, x1g], lon[y2g, x2g],
+                              lon[y3g, x3g], lon[y4g, x4g]])
+        cy = corners_y.mean(axis=0)
+        cx = corners_x.mean(axis=0)
+        # the reference's candidate triangles in preference order
+        # (find_surrounding, geo_reader.f90:816-860): (p, x-nbr), (p, y-nbr),
+        # then the edge-case fallbacks (y-nbr, diag), (x-nbr, diag) — each
+        # with the 4-corner centroid as the third vertex
+        cand = ((0, 1), (0, 2), (2, 3), (1, 3))
+        corner_idx = np.stack([y1g * nx_lo + x1g, y2g * nx_lo + x2g,
+                               y3g * nx_lo + x3g, y4g * nx_lo + x4g])
+        for a, b in cand:
+            w1, w2, w3, denom = _tri_weights(
+                yi, xi, corners_y[a], corners_x[a],
+                corners_y[b], corners_x[b], cy, cx)
+            ok = (~resolved & in_bounds & (denom != 0)
+                  & (w1 >= TOL) & (w2 >= TOL) & (w3 >= TOL))
+            if not ok.any():
+                continue
+            # clip + renormalize exactly as tri_weights (geo_reader.f90:157-172)
+            w1c = np.maximum(w1, 0.0)
+            w2c = np.maximum(w2, 0.0)
+            w3c = np.maximum(w3, 0.0)
+            tot = w1c + w2c + w3c
+            w1c, w2c, w3c = w1c / tot, w2c / tot, w3c / tot
+            others = [p for p in range(4) if p not in (a, b)]
+            full_w = np.zeros((4, n))
+            full_w[a] = w1c + w3c / 4
+            full_w[b] = w2c + w3c / 4
+            full_w[others[0]] = w3c / 4
+            full_w[others[1]] = w3c / 4
+            idx_out = np.where(ok, corner_idx, idx_out)
+            w_out = np.where(ok, full_w, w_out)
+            resolved = resolved | ok
+    return idx_out, w_out, resolved
+
+
+
 def build_geo_lut(lo_lat, lo_lon, hi_lat, hi_lon) -> GeoLUT:
     """Build the 4-point weight table from forcing (lo) to model (hi) grid.
 
     Regular forcing grids get exact bilinear weights (geo_reader's
-    bilin_weights path); curvilinear grids use the 4-nearest
-    inverse-distance variant (geo_reader.f90:193-217)."""
+    bilin_weights path); curvilinear grids use the reference's
+    enclosing-quad triangulation (geo_LUT, geo_reader.f90:903-980) with a
+    4-nearest IDW fallback for points outside the forcing hull."""
     ny_lo, nx_lo = lo_lat.shape
     ny, nx = hi_lat.shape
 
@@ -72,16 +201,19 @@ def build_geo_lut(lo_lat, lo_lon, hi_lat, hi_lon) -> GeoLUT:
         w = np.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
                       fy * (1 - fx), fy * fx])
     else:
-        from scipy.spatial import cKDTree
-        pts = np.column_stack([lo_lat.ravel(), lo_lon.ravel()])
-        tree = cKDTree(pts)
-        q = np.column_stack([hi_lat.ravel(), hi_lon.ravel()])
-        dist, idx = tree.query(q, k=4)
-        dist = np.maximum(dist, 1e-12)
-        w = (1.0 / dist)
-        w = w / w.sum(axis=1, keepdims=True)
-        idx = idx.T
-        w = w.T
+        hi_lat_f = hi_lat.ravel()
+        hi_lon_f = hi_lon.ravel()
+        idx, w, resolved = _curvilinear_quad_lut(lo_lat, lo_lon,
+                                                 hi_lat_f, hi_lon_f)
+        if not resolved.all():
+            idw_idx, idw_w = _idw_lut(lo_lat, lo_lon, hi_lat_f, hi_lon_f)
+            idx = np.where(resolved, idx, idw_idx)
+            w = np.where(resolved, w, idw_w)
+            n_fallback = int((~resolved).sum())
+            import sys
+            print(f"geo LUT: {n_fallback}/{resolved.size} model points fall "
+                  "outside the forcing grid; using inverse-distance weights "
+                  "there", file=sys.stderr)
 
     return GeoLUT(idx=idx.reshape(4, ny, nx).astype(np.int32),
                   w=w.reshape(4, ny, nx).astype(np.float32),
