@@ -7,6 +7,13 @@ configuration, run/short_icar_options.nml mp=2 adv=1), timed over whole
 forcing intervals of the jitted while_loop step.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The detail block carries roofline evidence: XLA's own bytes-accessed
+cost analysis of the compiled step, converted to achieved HBM bandwidth
+and % of the device's peak (see docs/perf_roofline.md).
+
+--config picks one BASELINE.md config; --matrix runs all five and embeds
+the per-config results; --sharded attaches a 1-device mesh (measures the
+GSPMD padded-frame overhead vs the unsharded path).
 """
 
 import argparse
@@ -16,6 +23,18 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# HBM peak by device (GB/s): v5e=819, v4=1228, v6e=1640
+HBM_PEAK_GBPS = (("TPU v5 lite", 819.0), ("TPU v4", 1228.0),
+                 ("TPU v6 lite", 1640.0), ("TPU v5p", 2765.0))
+
+
+def peak_for(device) -> float:
+    name = str(device)
+    for k, v in HBM_PEAK_GBPS:
+        if k in name:
+            return v
+    return 819.0
 
 
 def build_model(config: str, nx, ny, nz):
@@ -56,24 +75,45 @@ def build_model(config: str, nx, ny, nz):
     raise SystemExit(f"unknown config {config!r}")
 
 
-def main():
+LABELS = {
+    "ridge": "upwind+mp_simple",
+    "mpdata_thompson": "MPDATA+Thompson",
+    "linear": "linear winds+mp_simple",
+    "fullphys": "Thompson+Noah+PBL+rad+Tiedtke",
+    "conus": "full physics, domain-decomposed",
+}
+
+
+def step_bytes_accessed(model, interval):
+    """XLA's bytes-accessed cost analysis of the compiled interval step.
+
+    The while_loop body is counted ONCE, so for a multi-substep interval
+    this approximates bytes per substep (plus the interval-end diagnostics
+    and, for sharded runs, the padded-frame slicing). Mosaic custom calls
+    report their operand+result bytes."""
+    import jax.numpy as jnp
+    try:
+        lowered = model._step_fn.lower(model.state, model._dqdt,
+                                       jnp.float32(0.0),
+                                       jnp.float32(interval),
+                                       model._time_aux())
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("bytes accessed", 0.0)) or None
+    except Exception:
+        return None
+
+
+def run_config(config, nx, ny, nz, sharded=False, n_timed=3,
+               interval=1200.0):
     import jax
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="ridge",
-                    choices=["ridge", "mpdata_thompson", "linear",
-                             "fullphys", "conus"])
-    ap.add_argument("--size", default="500x500x20",
-                    help="domain as NXxNYxNZ")
-    args = ap.parse_args()
-    nx, ny, nz = (int(s) for s in args.size.split("x"))
-    interval = 1200.0      # seconds of model time per advance() call
-    n_timed = 3
-
-    from icar_tpu import constants as C
-
     t0 = time.time()
-    model = build_model(args.config, nx, ny, nz)
+    model = build_model(config, nx, ny, nz)
+    if sharded and model.mesh is None:
+        from icar_tpu.parallel.mesh import make_mesh
+        model.attach_mesh(make_mesh(nx, ny, jax.devices()[:1]))
     setup_s = time.time() - t0
 
     # warmup: compile + one interval
@@ -92,31 +132,74 @@ def main():
 
     # sanity: state must stay finite
     import numpy as np
-    th = np.asarray(model.state["potential_temperature"])
+    th = np.asarray(model.field("potential_temperature"))
     assert np.isfinite(th).all(), "non-finite state after benchmark run"
 
     gp_steps_per_s = nx * ny * nz * steps / elapsed
-    labels = {
-        "ridge": "upwind+mp_simple",
-        "mpdata_thompson": "MPDATA+Thompson",
-        "linear": "linear winds+mp_simple",
-        "fullphys": "Thompson+Noah+PBL+rad+Tiedtke",
-        "conus": "full physics, domain-decomposed",
+    peak = peak_for(jax.devices()[0])
+    detail = {
+        "substeps": steps,
+        "elapsed_s": round(elapsed, 3),
+        "warmup_s": round(warmup_s, 3),
+        "setup_s": round(setup_s, 3),
+        "steps_per_s": round(steps / elapsed, 3),
+        "device": str(jax.devices()[0]),
     }
+    ba = step_bytes_accessed(model, interval)
+    if ba:
+        bw = ba * (steps / elapsed) / 1e9
+        detail["bytes_per_substep"] = int(ba)
+        detail["achieved_hbm_gbps"] = round(bw, 1)
+        detail["hbm_peak_gbps"] = peak
+        detail["roofline_pct"] = round(100.0 * bw / peak, 1)
+    if sharded:
+        detail["sharded_1dev"] = True
+    return gp_steps_per_s, detail
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="ridge", choices=list(LABELS))
+    ap.add_argument("--size", default="500x500x20",
+                    help="domain as NXxNYxNZ")
+    ap.add_argument("--matrix", action="store_true",
+                    help="run every BASELINE config; embed per-config "
+                         "results in detail.matrix")
+    ap.add_argument("--sharded", action="store_true",
+                    help="attach a 1-device mesh (GSPMD overhead probe)")
+    args = ap.parse_args()
+    nx, ny, nz = (int(s) for s in args.size.split("x"))
+
+    if args.matrix:
+        matrix = {}
+        for cfg in LABELS:
+            try:
+                v, d = run_config(cfg, nx, ny, nz)
+                matrix[cfg] = {"gp_steps_per_s": round(v, 1), **d}
+            except Exception as e:             # keep the matrix going
+                matrix[cfg] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# {cfg}: {matrix[cfg]}", file=sys.stderr, flush=True)
+        ridge = matrix.get("ridge", {})
+        result = {
+            "metric": (f"grid-points*steps/s per chip (ideal ridge "
+                       f"{nx}x{ny}x{nz}, {LABELS['ridge']})"),
+            "value": ridge.get("gp_steps_per_s"),
+            "unit": "gp*steps/s",
+            "vs_baseline": None,
+            "detail": {"matrix": matrix},
+        }
+        print(json.dumps(result))
+        return
+
+    value, detail = run_config(args.config, nx, ny, nz,
+                               sharded=args.sharded)
     result = {
         "metric": (f"grid-points*steps/s per chip (ideal ridge "
-                   f"{nx}x{ny}x{nz}, {labels[args.config]})"),
-        "value": round(gp_steps_per_s, 1),
+                   f"{nx}x{ny}x{nz}, {LABELS[args.config]})"),
+        "value": round(value, 1),
         "unit": "gp*steps/s",
         "vs_baseline": None,
-        "detail": {
-            "substeps": steps,
-            "elapsed_s": round(elapsed, 3),
-            "warmup_s": round(warmup_s, 3),
-            "setup_s": round(setup_s, 3),
-            "steps_per_s": round(steps / elapsed, 3),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

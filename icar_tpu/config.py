@@ -96,6 +96,11 @@ class MpOptions:
     t_adjust: float = 0.0
     Ef_rw_l: bool = False
     Ef_sw_l: bool = False
+    # mp=5 only: run the Thompson-Eidhammer scheme aerosol-aware with
+    # prognostic nc/nwfa/nifa (is_aerosol_aware, mp_thompson_aer.f90:58).
+    # Default off = the reference driver's behavior, which passes no
+    # aerosol fields (mp_driver.f90:446-476)
+    use_aerosol_aware: bool = False
 
 
 @dataclass

@@ -40,8 +40,14 @@ def compute_ivt(qv, u_mass, v_mass, p_i):
     return compute_iq(qv * speed, p_i)
 
 
+# every field the partial (per-substep) diagnostic refresh can produce
+PARTIAL_FIELDS = frozenset((
+    "exner", "pressure_interface", "temperature", "temperature_interface",
+    "density", "uv_mass", "surface_pressure"))
+
+
 def diagnostic_update(state, geom, full: bool = True,
-                      with_w_real: bool = False):
+                      with_w_real: bool = False, needs=None):
     """Refresh derived fields (diagnostic_update, time_step.f90:49-198).
 
     ``full=False`` computes only the fields physics consumes (exner,
@@ -49,28 +55,45 @@ def diagnostic_update(state, geom, full: bool = True,
     w_real diagnostics are pure outputs that nothing in the substep loop
     reads, so the step computes them once per interval instead of per
     substep (a deliberate cost improvement over the reference, which
-    recomputes everything every dt)."""
+    recomputes everything every dt).
+
+    ``needs``: optional set restricting the partial refresh to the listed
+    PARTIAL_FIELDS — the substep loop passes only the fields that (a) the
+    configured physics actually consumes and (b) can change during the
+    interval (e.g. pressure-derived fields are loop-invariant unless the
+    forcing relaxes pressure), so the memory-bound refresh touches the
+    minimum set of full 3D arrays. ``needs=None`` computes everything."""
     s = dict(state)
     p = s["pressure"]
     theta = s["potential_temperature"]
     u, v, w = s["u"], s["v"], s["w"]
 
-    exner = exner_function(p)
-    p_i = interface_from_mass(p)
-    temperature = theta * exner
-    t_i = interface_from_mass(temperature)
-    density = p / (C.RD * temperature)
-    u_mass = (u[:, :, :-1] + u[:, :, 1:]) * 0.5
-    v_mass = (v[:, :-1, :] + v[:, 1:, :]) * 0.5
+    if needs is None:
+        needs = PARTIAL_FIELDS
 
-    s["exner"] = exner
-    s["pressure_interface"] = p_i
-    s["temperature"] = temperature
-    s["temperature_interface"] = t_i
-    s["density"] = density
-    s["u_mass"] = u_mass
-    s["v_mass"] = v_mass
-    if "surface_pressure" in s:
+    if "exner" in needs:
+        exner = exner_function(p)
+        s["exner"] = exner
+    else:
+        exner = s["exner"]
+    if "pressure_interface" in needs or (full and "surface_pressure" in s):
+        p_i = interface_from_mass(p)
+        s["pressure_interface"] = p_i
+    else:
+        p_i = s["pressure_interface"]
+    temperature = theta * exner
+    if "temperature" in needs:
+        s["temperature"] = temperature
+    if "temperature_interface" in needs:
+        s["temperature_interface"] = interface_from_mass(temperature)
+    if "density" in needs:
+        s["density"] = p / (C.RD * temperature)
+    if "uv_mass" in needs or full:
+        u_mass = (u[:, :, :-1] + u[:, :, 1:]) * 0.5
+        v_mass = (v[:, :-1, :] + v[:, 1:, :]) * 0.5
+        s["u_mass"] = u_mass
+        s["v_mass"] = v_mass
+    if "surface_pressure" in needs and "surface_pressure" in s:
         s["surface_pressure"] = p_i[0]
 
     if not full and not with_w_real:

@@ -87,6 +87,15 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
     dz_levels = jnp.asarray(geom.dz_levels, jnp.float32)
     bmask = boundary_mask(geom.ny, geom.nx)
     adv_names = tuple(advect_names)
+    # advected species ride the while_loop carry as ONE stacked array
+    # (state["_qstack"]): physics reads them back as zero-copy slices and
+    # advection's fused output becomes the next carry directly, instead of
+    # restacking + unstacking every advected field every substep
+    use_stack = bool(adv_names) and phys.advection in (C.ADV_UPWIND,
+                                                       C.ADV_MPDATA)
+    limit_floor = jnp.asarray(
+        [0.0 if k in LIMITED_FIELDS else -jnp.inf for k in adv_names],
+        jnp.float32)[:, None, None, None] if use_stack else None
     sin_lat = jnp.sin(jnp.asarray(geom.lat) * (jnp.pi / 180.0))
     cos_lat = jnp.cos(jnp.asarray(geom.lat) * (jnp.pi / 180.0))
     lon2d = jnp.asarray(geom.lon)
@@ -804,23 +813,40 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 s["snowfall"] = snow
 
             if phys.microphysics in (C.MP_THOMPSON, C.MP_THOMPSON_AER):
-                # mp=5 is the Thompson-Eidhammer scheme, which ICAR invokes
-                # WITHOUT aerosol fields (mp_driver.f90:446-476), i.e. in its
-                # is_aerosol_aware=.false. constant-Nc fallback = the Thompson
-                # core; it additionally diagnoses effective radii.
+                # mp=5 is the Thompson-Eidhammer scheme. The reference
+                # driver invokes it WITHOUT aerosol fields
+                # (mp_driver.f90:446-476), i.e. the constant-Nc fallback;
+                # with mp_parameters use_aerosol_aware=.true. the full
+                # is_aerosol_aware path runs with prognostic nc/nwfa/nifa.
                 from ..physics import mp_thompson
                 from ..physics.thompson_tables import ThompsonParams
                 import dataclasses as _dc
                 tp = ThompsonParams(**{f.name: getattr(options.mp, f.name)
                                        for f in _dc.fields(ThompsonParams)})
-                (theta, qv, qc, qi, qr, qs, qg, ni, nr, rain, snow,
-                 graupel) = mp_thompson.mp_thompson(
-                    s["potential_temperature"], s["water_vapor"],
-                    s["cloud_water"], s["cloud_ice"], s["rain_mass"],
-                    s["snow_mass"], s["graupel_mass"], s["ice_number"],
-                    s["rain_number"], s["exner"], s["pressure"],
-                    jnp.asarray(geom.dz_mass), dt,
-                    s["precipitation"], s["snowfall"], s["graupel"], params=tp)
+                aerosol = (phys.microphysics == C.MP_THOMPSON_AER
+                           and "nwfa" in s)
+                if aerosol:
+                    (theta, qv, qc, qi, qr, qs, qg, ni, nr, nc, nwfa,
+                     nifa, rain, snow, graupel) = \
+                        mp_thompson.mp_thompson_aer(
+                        s["potential_temperature"], s["water_vapor"],
+                        s["cloud_water"], s["cloud_ice"], s["rain_mass"],
+                        s["snow_mass"], s["graupel_mass"], s["ice_number"],
+                        s["rain_number"], s["cloud_number"], s["nwfa"],
+                        s["nifa"], s["exner"], s["pressure"],
+                        jnp.asarray(geom.dz_mass), dt, s["precipitation"],
+                        s["snowfall"], s["graupel"],
+                        w=s.get("w_real"), params=tp)
+                else:
+                    (theta, qv, qc, qi, qr, qs, qg, ni, nr, rain, snow,
+                     graupel) = mp_thompson.mp_thompson(
+                        s["potential_temperature"], s["water_vapor"],
+                        s["cloud_water"], s["cloud_ice"], s["rain_mass"],
+                        s["snow_mass"], s["graupel_mass"], s["ice_number"],
+                        s["rain_number"], s["exner"], s["pressure"],
+                        jnp.asarray(geom.dz_mass), dt,
+                        s["precipitation"], s["snowfall"], s["graupel"],
+                        params=tp)
                 s = dict(s)
                 s["potential_temperature"] = theta
                 s["water_vapor"] = qv
@@ -834,10 +860,15 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 s["precipitation"] = rain
                 s["snowfall"] = snow
                 s["graupel"] = graupel
+                if aerosol:
+                    s["cloud_number"] = nc
+                    s["nwfa"] = nwfa
+                    s["nifa"] = nifa
                 if phys.microphysics == C.MP_THOMPSON_AER:
                     re_qc, re_qi, re_qs = mp_thompson.calc_effect_rad(
                         theta * s["exner"], s["pressure"], qv, qc, qi, ni,
-                        qs, params=tp)
+                        qs, params=tp,
+                        nc=(s["cloud_number"] if aerosol else None))
                     s["re_cloud"] = re_qc
                     s["re_ice"] = re_qi
                     s["re_snow"] = re_qs
@@ -905,7 +936,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             s = do_microphysics(s, dt)
 
         # --- advection of all requested species in one fused pass
-        if adv_names and phys.advection in (C.ADV_UPWIND, C.ADV_MPDATA):
+        if use_stack:
             stacked = jnp.stack([s[k] for k in adv_names])
             common = (s["u"], s["v"], s["w"], dt, geom.dx,
                       jnp.asarray(geom.jacobian_u), jnp.asarray(geom.jacobian_v),
@@ -921,9 +952,12 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     stacked, *common, order=options.adv.mpdata_order,
                     use_fct=options.adv.flux_corrected_transport,
                     advect_density=options.run.advect_density)
-            s = dict(s)
-            for i, k in enumerate(adv_names):
-                s[k] = out[i]
+            # the advected species LEAVE the dict here and ride the loop
+            # carry as this one stacked array: the next substep's physics
+            # reads them back as zero-copy slices, so the per-substep
+            # unstack (one full write+read of every advected field) is gone
+            s = {k: v for k, v in s.items() if k not in adv_names}
+            s["_qstack"] = out
             if "tend_qv_adv" in s and "water_vapor" in adv_names:
                 # moisture-convergence tendency feeding the next
                 # substep's convective trigger (tend%qv_adv)
@@ -938,6 +972,43 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             out[k] = v[..., :s[-2], :s[-1]]
         return out
 
+    def _substep_needs(pressure_varies: bool, winds_vary: bool):
+        """The PARTIAL_FIELDS the per-substep diagnostic refresh must
+        recompute for THIS configuration: a diagnostic is refreshed only if
+        (a) some configured scheme consumes it and (b) its inputs can change
+        during the interval. theta changes every substep; pressure and the
+        staggered winds change only when the forcing relaxes them
+        (apply_forcing, domain_obj.f90:2400-2428) — everything derived
+        purely from static fields is computed once before the loop. This is
+        most of the substep's memory savings over the reference, which
+        refreshes every diagnostic every dt (time_step.f90:49-198)."""
+        any_surface = (phys.landsurface != C.LSM_NONE
+                       or phys.watersurface != C.WATER_NONE)
+        needs = set()
+        if (phys.microphysics != C.MP_NONE
+                or phys.boundarylayer != C.PBL_NONE
+                or phys.convection != C.CU_NONE
+                or phys.radiation == C.RA_RRTMG
+                or any_surface or options.run.advect_density):
+            needs.add("density")
+        if (phys.radiation == C.RA_RRTMG or any_surface
+                or phys.boundarylayer == C.PBL_YSU
+                or phys.convection != C.CU_NONE):
+            needs.add("temperature")
+        if phys.radiation == C.RA_RRTMG:
+            needs.add("temperature_interface")
+        if pressure_varies:
+            needs.add("exner")
+            if (any_surface or phys.convection != C.CU_NONE
+                    or phys.radiation == C.RA_RRTMG
+                    or phys.boundarylayer != C.PBL_NONE):
+                needs.add("pressure_interface")
+                needs.add("surface_pressure")
+        if winds_vary and (any_surface or phys.convection != C.CU_NONE
+                           or phys.boundarylayer != C.PBL_NONE):
+            needs.add("uv_mass")
+        return frozenset(needs)
+
     def step(state, dqdt, t0, end_time, aux):
         if natural_shapes is not None:
             state_padded = state
@@ -946,14 +1017,22 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         if "rain_frac" in aux:
             precip0 = state["precipitation"]
 
-        def cond(carry):
-            t = carry[1]
-            return t < end_time - 1e-3
+        # loop-invariant analysis (trace-time): pressure and the staggered
+        # winds change inside the interval ONLY via forcing relaxation, so
+        # when the installed dqdt lacks them, everything derived from them —
+        # the CFL dt and the pressure-derived diagnostics — hoists out of
+        # the substep loop (exact: the hoisted value equals what every
+        # substep would recompute)
+        pressure_varies = with_forcing and "pressure" in dqdt
+        winds_vary = with_forcing and any(k in dqdt for k in ("u", "v", "w"))
+        needs = _substep_needs(pressure_varies, winds_vary)
+        full_each = (phys.boundarylayer == C.PBL_YSU)
+        w_real_cfg = (phys.microphysics == C.MP_WSM3
+                      or phys.convection != C.CU_NONE)
 
-        def body(carry):
-            state, t, n, mp_el, lsm_el, rad_el = carry
-            dt = compute_dt(state["u"], state["v"], state["w"], dz_levels,
-                            geom.dx, options.run.cfl_reduction_factor,
+        def quantized_dt(u, v, w):
+            dt = compute_dt(u, v, w, dz_levels, geom.dx,
+                            options.run.cfl_reduction_factor,
                             options.run.cfl_strictness)
             dt = jnp.minimum(dt, C.MAX_DT)
             # quantize dt to 1/64 s (exact in f32) so the substep count is
@@ -963,7 +1042,51 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             # reference's co_min is exact because max/min reductions are
             # order-independent; the elementwise CFL sums feeding it are
             # not). Mirrors the determinism of time_step.f90:413 co_min.
-            dt = jnp.maximum(jnp.floor(dt * 64.0) / 64.0, 1.0 / 64.0)
+            return jnp.maximum(jnp.floor(dt * 64.0) / 64.0, 1.0 / 64.0)
+
+        # establish every derived field once before the loop; the body then
+        # refreshes only the `needs` subset
+        state = diagnostic_update(state, geom, full=False,
+                                  with_w_real=w_real_cfg)
+        if not winds_vary:
+            dt_static = quantized_dt(state["u"], state["v"], state["w"])
+
+        tend_stack = None
+        if use_stack:
+            state = dict(state)
+            state["_qstack"] = jnp.stack([state.pop(k) for k in adv_names])
+            if with_forcing and any(k in dqdt for k in adv_names):
+                zero = jnp.zeros_like(state["_qstack"][0])
+                tend_stack = jnp.stack([dqdt.get(k, zero)
+                                        for k in adv_names])
+
+        def unstack(state):
+            state = dict(state)
+            qstack = state.pop("_qstack")
+            for i, k in enumerate(adv_names):
+                state[k] = qstack[i]
+            return state
+
+        def limits_fn(state):
+            state = enforce_limits(state)
+            if use_stack:
+                state = dict(state)
+                state["_qstack"] = jnp.maximum(state["_qstack"],
+                                               limit_floor)
+            return state
+
+        def cond(carry):
+            t = carry[1]
+            return t < end_time - 1e-3
+
+        def body(carry):
+            state, t, n, mp_el, lsm_el, rad_el = carry
+            if use_stack:
+                state = unstack(state)
+            if winds_vary:
+                dt = quantized_dt(state["u"], state["v"], state["w"])
+            else:
+                dt = dt_static
             dt = jnp.minimum(dt, end_time - t)
 
             # YSU consumes the 10m-wind/ustar diagnostics every substep
@@ -971,19 +1094,25 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             # 8% SLOWER than XLA's own fusions here — XLA already handles
             # this elementwise+reduction mix well, so it stays jnp)
             state = diagnostic_update(state, geom,
-                                      full=(phys.boundarylayer == C.PBL_YSU),
-                                      with_w_real=(
-                                          phys.microphysics == C.MP_WSM3
-                                          or phys.convection != C.CU_NONE))
+                                      full=full_each,
+                                      with_w_real=(w_real_cfg and winds_vary),
+                                      needs=None if full_each else needs)
             state, mp_el, lsm_el, rad_el = physics_step(
                 state, dt, t, aux, mp_el, lsm_el, rad_el)
             if with_forcing:
                 state = apply_forcing(state, dqdt, dt, bmask)
+                if tend_stack is not None:
+                    # boundary-ring relaxation of the advected species on
+                    # the stacked carry (apply_forcing,
+                    # domain_obj.f90:2400-2428)
+                    state = dict(state)
+                    state["_qstack"] = (state["_qstack"]
+                                        + tend_stack * (dt * bmask)[None, None])
             # clamp over-shot negatives in the last couple of substeps
             # (time_step.f90:537-539); a lax.cond so the clamp pass over
             # the whole state costs nothing until the interval end
             near_end = (end_time - t) < dt * 2
-            state = jax.lax.cond(near_end, enforce_limits,
+            state = jax.lax.cond(near_end, limits_fn,
                                  lambda s: s, state)
             return state, t + dt, n + 1, mp_el, lsm_el, rad_el
 
@@ -996,6 +1125,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
              jnp.float32(options.mp.update_interval),
              jnp.float32(options.lsm.update_interval),
              jnp.float32(options.rad.update_interval_rrtmg)))
+        if use_stack:
+            state = unstack(state)
         # output-only diagnostics (IVT/IWV, 10m winds, w_real) once per
         # interval rather than per substep
         state = diagnostic_update(state, geom, full=True)

@@ -35,6 +35,18 @@ class ICARModel:
         self.geom = build_geometry(terrain, lat, lon, options)
         self.state = create_state(options)
         self.advect_names = advected_names(options)
+        if (options.physics.microphysics == C.MP_THOMPSON_AER
+                and "nwfa" in self.state):
+            # default CCN/IN profiles when no aerosol data is supplied
+            # (thompson_aer_init, mp_thompson_aer.f90:442-516); forcing
+            # ingest overwrites these when nwfa/nifa exist in the files
+            from ..physics.mp_thompson import aer_init_profiles
+            z_agl = np.asarray(self.geom.z) \
+                - np.asarray(self.geom.terrain)[None]
+            nwfa, nifa = aer_init_profiles(
+                z_agl, np.asarray(self.geom.terrain))
+            self.state["nwfa"] = jnp.asarray(nwfa, jnp.float32)
+            self.state["nifa"] = jnp.asarray(nifa, jnp.float32)
         self.model_time = 0.0          # seconds since run start
         self._with_forcing = False
         self._dqdt: Dict[str, jnp.ndarray] = {}
@@ -53,6 +65,7 @@ class ICARModel:
         # monthly precipitation bias-correction scale, device-resident
         # (apply_rain_fraction, mp_driver.f90:350-397)
         self._rain_frac_months = None
+        self._wind_fn = None
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -83,6 +96,7 @@ class ICARModel:
         if self._rain_frac_months is not None:
             self._place_rain_fraction()
         self._step_fn = None
+        self._wind_fn = None
 
     def _pad_and_shard_dqdt(self):
         from jax.sharding import NamedSharding
@@ -170,9 +184,54 @@ class ICARModel:
             self.options.lt.stability_window_size,
             bo.blocking_contribution, bo.block_fr_max, bo.block_fr_min)
 
+    def _compute_winds_sharded(self, u, v, rotate: bool):
+        """Run the wind solver SPMD over the attached mesh: inputs are
+        padded into the uniform frame and sharded P(None, 'y', 'x'); the
+        solver's stencil slices compile to XLA halo collectives — the TPU
+        equivalent of the per-iteration staggered exchange_u/exchange_v of
+        the reference's iterative solver (wind.f90:406-407, 482-483;
+        exchangeable_obj.f90:164-232). Returns natural-shape (u, v, w)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import pad_field
+        nyp, nxp = self._padded_sizes
+        sh = NamedSharding(self.mesh, P(None, "y", "x"))
+        up = jax.device_put(jnp.asarray(pad_field(np.asarray(u), nyp, nxp)),
+                            sh)
+        vp = jax.device_put(jnp.asarray(pad_field(np.asarray(v), nyp, nxp)),
+                            sh)
+        if self._wind_fn is None:
+            geom = self.geom
+            nz, ny, nx = geom.nz, geom.ny, geom.nx
+            windtype = self.options.physics.windtype
+            iters = self.options.run.wind_iterations
+            utd = self.options.run.use_terrain_difference
+            sin_t = jnp.asarray(geom.sintheta)
+            cos_t = jnp.asarray(geom.costheta)
+
+            def wind_fn(up, vp, do_rotate):
+                u = up[:, :ny, :nx + 1]
+                v = vp[:, :ny + 1, :nx]
+                if do_rotate:
+                    u, v = wind_ops.make_winds_grid_relative(u, v,
+                                                             sin_t, cos_t)
+                return wind_ops.update_winds(u, v, geom, windtype, iters,
+                                             utd)
+
+            self._wind_fn = jax.jit(wind_fn, static_argnums=2)
+        return self._wind_fn(up, vp, rotate)
+
     def compute_winds(self, u, v, rotate: bool = False):
         """Run the configured wind solver on (u, v); returns balanced
         (u, v, w) (update_winds, wind.f90:289-369)."""
+        if self.mesh is not None \
+                and self.options.physics.windtype not in (
+                    C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE) \
+                and not self.options.block.block_flow:
+            # pure solvers (balance / conserve-mass / iterative) run SPMD;
+            # the linear-theory LUT and blocking paths keep host-side state
+            # and stay on the single-device path for now
+            return self._compute_winds_sharded(u, v, rotate)
         if rotate:
             u, v = wind_ops.make_winds_grid_relative(
                 u, v, jnp.asarray(self.geom.sintheta),

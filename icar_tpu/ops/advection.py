@@ -101,7 +101,7 @@ def advect_upwind(stacked_q, u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
                                 rho, advect_density)
     if use_pallas and not advect_density:
         from . import pallas_kernels as pk
-        if pk.saturation_adjust_available():
+        if pk.kernels_available():
             return pk.advect_upwind_tpu(stacked_q, winds.U_m, winds.V_m,
                                         winds.W_m, dz, jaco)
     fn = lambda q: advect3d_upwind(q, winds, rho, dz, jaco, advect_density)

@@ -65,12 +65,10 @@ def _sat_mr(t, p):
     return 0.6219907 * e_s / (p - e_s)
 
 
-def _sat_adjust_kernel(p_ref, t_ref, qv_ref, qc_ref,
-                       t_out, qv_out, qc_out, qvs_out):
-    p = p_ref[:]
-    t0 = t_ref[:]
-    qv0 = qv_ref[:]
-    qc0 = qc_ref[:]
+def _sat_adjust_inline(p, t0, qv0, qc0):
+    """The saturation-adjustment convergence loop (cloud_conversion,
+    mp_simple.f90:198-280) on in-VMEM values; shared by the fused
+    microphysics kernel. Returns (t, qv, qc, qvsat)."""
     vapor2temp = (LH_VAPOR + (373.15 - t0) * DLHVDT) / HEAT_CAPACITY
 
     def cond(carry):
@@ -110,46 +108,15 @@ def _sat_adjust_kernel(p_ref, t_ref, qv_ref, qc_ref,
     t = jnp.where(failed, t0, t)
     qv = jnp.where(failed, _sat_mr(t0, p), qv)
     qc = jnp.where(failed, qc0, qc)
-    t_out[:] = t
-    qv_out[:] = qv
-    qc_out[:] = jnp.maximum(qc, 0.0)
-    qvs_out[:] = qvsat
+    return t, qv, jnp.maximum(qc, 0.0), qvsat
 
 
-@functools.partial(jax.jit, static_argnames=())
-def saturation_adjust_tpu(pressure, temperature, qv, qc):
-    """Fused saturation adjustment: (nz, ny, nx) fields -> (t, qv, qc, qvsat).
-
-    Tiles rows of the flattened (nz*ny, nx) view; each tile runs the full
-    convergence loop in VMEM with an early exit."""
-    nz, ny, nx = pressure.shape
-    M = nz * ny
-    # row-tile size: Mosaic stack-allocates dozens of (TM, nx) temporaries
-    # for the while_loop body, so keep tiles small enough that ~70 buffers
-    # fit the 16 MB VMEM budget; round to the 8-row sublane granularity
-    TM = max(8, min(128, (2 ** 17) // max(nx * 4, 1)) // 8 * 8)
-    grid = (pl.cdiv(M, TM),)
-
-    def reshape(a):
-        return a.reshape(M, nx)
-
-    spec = pl.BlockSpec((TM, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((M, nx), pressure.dtype)] * 4
-    t, qv2, qc2, qvs = pl.pallas_call(
-        _sat_adjust_kernel,
-        grid=grid,
-        in_specs=[spec] * 4,
-        out_specs=[spec] * 4,
-        out_shape=out_shape,
-        interpret=_INTERPRET,
-    )(reshape(pressure), reshape(temperature), reshape(qv), reshape(qc))
-    shape3 = (nz, ny, nx)
-    return (t.reshape(shape3), qv2.reshape(shape3), qc2.reshape(shape3),
-            qvs.reshape(shape3))
-
-
-def saturation_adjust_available() -> bool:
+def kernels_available() -> bool:
     return _run_kernels()
+
+
+# back-compat name used by earlier call sites
+saturation_adjust_available = kernels_available
 
 
 # ---------------------------------------------------------------------------
@@ -163,16 +130,39 @@ def saturation_adjust_available() -> bool:
 # as HBM refs and the kernel DMAs halo windows into scratch.
 
 
-def _advect_kernel(ny_ref, qc_ref, qd_ref, qu_ref, vb_ref, va_ref,
-                   u_ref, w_ref, dz_ref, jaco_ref, out_ref):
+def _advect_kernel(ny_ref, qpad_ref, vpad_ref,
+                   u_ref, w_ref, dz_ref, jaco_ref, out_ref,
+                   qwin, vwin, sems):
     i = pl.program_id(0)          # y tile; species index is grid dim 1
+    s = pl.program_id(1)
     TY = out_ref.shape[2]
+
+    # the y stencil needs a 1-row halo, which non-overlapping BlockSpecs
+    # cannot express: DMA a (TY+8)-row window of this species (and, once
+    # per tile, of the y-face winds) from HBM into scratch. Mosaic requires
+    # DMA slice offsets AND sizes 8-aligned in the sublane dim, so the
+    # window is 8 rows (not 2) taller than the tile, with a 4-row ghost
+    # band in front: padded row r holds global row r-4, and the window for
+    # rows [i*TY, i*TY+TY) starts at padded row i*TY (aligned when TY is a
+    # multiple of 8).
+    qdma = pltpu.make_async_copy(
+        qpad_ref.at[s, :, pl.ds(i * TY, TY + 8), :], qwin, sems.at[0])
+    qdma.start()
+
+    @pl.when(s == 0)
+    def _():
+        # V window depends only on the tile, and species is the inner grid
+        # dim: fetch once per tile, reuse from scratch for the rest
+        vdma = pltpu.make_async_copy(
+            vpad_ref.at[:, pl.ds(i * TY, TY + 8), :], vwin, sems.at[1])
+        vdma.start()
+        vdma.wait()
+    qdma.wait()
+
     U = u_ref[:]                  # (nz, TY, nx-1) internal x faces
     W = w_ref[:]                  # (nz, TY, nx)
     dz = dz_ref[:]
     jaco = jaco_ref[:]
-    Vb = vb_ref[:]                # face below each row
-    Va = va_ref[:]                # face above each row
 
     ny_real = ny_ref[0]
     gidx = i * TY + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
@@ -181,9 +171,13 @@ def _advect_kernel(ny_ref, qc_ref, qd_ref, qu_ref, vb_ref, va_ref,
     def flux(l, r, c):
         return ((c + jnp.abs(c)) * l + (c - jnp.abs(c)) * r) * 0.5
 
-    qc = qc_ref[0]                # (nz, TY, nx) this species' rows
-    qd = qd_ref[0]                # row below (y-1)
-    qu = qu_ref[0]                # row above (y+1)
+    # window row j = global row i*TY + j - 4 (4-row front ghost band)
+    qd = qwin[:, 3:TY + 3]        # row below (y-1)
+    qc = qwin[:, 4:TY + 4]        # this tile's rows
+    qu = qwin[:, 5:TY + 5]        # row above (y+1)
+    # window row j = face i*TY + j - 4; row g needs faces g-1 and g
+    Vb = vwin[:, 3:TY + 3]        # face below each row
+    Va = vwin[:, 4:TY + 4]        # face above each row
     fx = flux(qc[:, :, :-1], qc[:, :, 1:], U)
     xdiv = fx[:, :, 1:] - fx[:, :, :-1]              # cells 1..nx-2
     ydiv = flux(qc, qu, Va) - flux(qd, qc, Vb)
@@ -199,14 +193,15 @@ def _advect_kernel(ny_ref, qc_ref, qd_ref, qu_ref, vb_ref, va_ref,
     out_ref[0] = qc - dq
 
 
-def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 8):
+def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 32):
     """Fused multi-species donor-cell update (same math as
     ops.advection.advect3d_upwind, advect.f90:107-178) as one Pallas pass.
 
-    The y-stencil neighbors arrive as pre-shifted copies of q (and of the
-    y-face winds) so every kernel input uses plain non-overlapping
-    BlockSpecs — XLA pays one cheap shift copy instead of the kernel doing
-    halo DMA, which Mosaic's alignment rules make fragile.
+    The species stack is padded by one ghost row in front (plus tile
+    padding behind) and the kernel DMAs each tile's (ty+2)-row halo window
+    from HBM — one read of each field per substep, instead of the three
+    materialized shifted copies a BlockSpec-only formulation needs (which
+    tripled the q read traffic and added two full-stack writes).
 
     stacked_q: (S, nz, ny, nx); U_m (nz, ny, nx-1); V_m (nz, ny-1, nx);
     W_m/dz/jaco (nz, ny, nx). Density advection not supported (rho=1)."""
@@ -214,18 +209,20 @@ def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 8):
     ny_pad = pl.cdiv(ny, ty) * ty
     pad_y = ny_pad - ny
 
-    def rowpad(a, mode="edge"):
+    def rowpad(a, mode="edge", front=0):
         return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
-                       + ((0, pad_y), (0, 0)), mode=mode)
+                       + ((front, pad_y), (0, 0)), mode=mode)
 
-    qc = rowpad(stacked_q)
-    qd = rowpad(jnp.concatenate([stacked_q[:, :, :1], stacked_q[:, :, :-1]],
-                                axis=2))
-    qu = rowpad(jnp.concatenate([stacked_q[:, :, 1:], stacked_q[:, :, -1:]],
-                                axis=2))
-    zrow = jnp.zeros_like(V_m[:, :1, :])
-    vb = rowpad(jnp.concatenate([zrow, V_m], axis=1), mode="constant")
-    va = rowpad(jnp.concatenate([V_m, zrow], axis=1), mode="constant")
+    # q with ghost rows: padded row r = global row r-4 (4-row ghost bands
+    # keep every DMA window 8-row aligned); ghost rows are read only as the
+    # (masked-out) neighbors of boundary rows. XLA fuses this pad with the
+    # species stack into a single copy, so it replaces (not adds to) the
+    # stack materialization.
+    qpad = jnp.pad(stacked_q, ((0, 0), (0, 0), (4, pad_y + 4), (0, 0)),
+                   mode="edge")
+    # V faces: padded row r = face r-4 (zero ghosts; the fluxes they
+    # produce touch only masked boundary rows)
+    vpad = jnp.pad(V_m, ((0, 0), (4, pad_y + 5), (0, 0)), mode="constant")
     up = rowpad(U_m, mode="constant")
     wp = rowpad(W_m, mode="constant")
     dzp = rowpad(dz)
@@ -243,32 +240,37 @@ def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 8):
         grid=grid,
         interpret=_INTERPRET,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  spec4, spec4, spec4,
-                  spec3(nx), spec3(nx), spec3(nx - 1), spec3(nx),
-                  spec3(nx), spec3(nx)],
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  spec3(nx - 1), spec3(nx), spec3(nx), spec3(nx)],
         out_specs=spec4,
         out_shape=jax.ShapeDtypeStruct((S, nz, ny_pad, nx), stacked_q.dtype),
-    )(jnp.asarray([ny], jnp.int32), qc, qd, qu, vb, va, up, wp, dzp, jacop)
+        scratch_shapes=[pltpu.VMEM((nz, ty + 8, nx), stacked_q.dtype),
+                        pltpu.VMEM((nz, ty + 8, nx), stacked_q.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )(jnp.asarray([ny], jnp.int32), qpad, vpad, up, wp, dzp, jacop)
     return out[:, :, :ny, :]
 
 
 # ---------------------------------------------------------------------------
-# fused CFL-substepped sedimentation (SB04)
+# fully-fused SB04 simple microphysics
 # ---------------------------------------------------------------------------
 #
-# mp_simple's explicit sedimentation (physics/mp_simple._sediment_species,
-# mp_simple.f90:507-564) runs ceil(dt*v_fall/dz) upstream fall steps per
-# model substep — at dt~50s and dz_0=50m that is 10-14 inner iterations,
-# each a full HBM sweep over 6 fields in the jnp path (the profiled top
-# cost of the whole model step). Sedimentation is purely columnar, so the
-# kernel tiles the flattened horizontal dim, keeps each column batch in
-# VMEM for the entire inner loop, and exits immediately for tiles with no
-# precipitate (the loop is an exact identity when q == 0 everywhere).
+# The whole scheme — saturation adjustment (a 15-sweep convergence loop),
+# the cloud->rain/snow conversions, and the two CFL-substepped explicit
+# sedimentation loops (10-14 inner iterations each at dt~50 s) — is
+# column-local, so ONE kernel runs it end to end with each column batch
+# resident in VMEM: 11 field reads and 7 writes per model substep, where
+# the unfused formulation paid ~30 full-field HBM passes. Tiles with no
+# precipitate exit the fall loops immediately (exact identity), which
+# subsumes the jnp path's global "any rain?" lax.cond gates.
 
 LH_LIQUID = 3.34e5
 SMALL = 1e-30
 RAIN_FALL_RATE = 10.0
 SNOW_FALL_RATE = 1.5
+SNOW_CLOUD_INIT = 1e-4
+RAIN_CLOUD_INIT = 1e-4
 
 
 def _phase_change(temperature, q1, qmax, q2, lheat, change_rate):
@@ -283,18 +285,18 @@ def _phase_change(temperature, q1, qmax, q2, lheat, change_rate):
     return tn, q1n, q2n
 
 
-def _sediment_kernel(scal_ref, q_ref, qv_ref, t_ref, p_ref, rho_ref, dz_ref,
-                     q_out, qv_out, t_out, precip_out, *, snow: bool):
-    dt = scal_ref[0]
-    evap_base = scal_ref[1]
-    fall_rate = SNOW_FALL_RATE if snow else RAIN_FALL_RATE
-    q0 = q_ref[:]
-    qv0 = qv_ref[:]
-    t0 = t_ref[:]
-    p = p_ref[:]
-    rho = rho_ref[:]
-    dz = dz_ref[:]
+def _cloud2hydrometeor(qc, q, conversion, qcmin):
+    # physics/mp_simple.cloud2hydrometeor (mp_simple.f90:295-315)
+    delta = jnp.where(qc > qcmin, qc - qc * conversion, 0.0)
+    transfer = jnp.minimum(delta, qc)
+    return jnp.maximum(qc - transfer, 0.0), q + transfer
 
+
+def _sediment_inline(q, qv, t, p, rho, dz, dt, fall_rate, evap_base,
+                     snow: bool):
+    """CFL-substepped upstream fall + inter-substep evaporation on in-VMEM
+    values (physics/mp_simple._sediment_species, mp_simple.f90:507-564).
+    Returns (q, qv, t, surface_precip)."""
     # per-column CFL count & per-substep fall distance (mp_simple.f90:511)
     cfl = jnp.ceil(jnp.max(dt / dz * fall_rate, axis=0, keepdims=True))
     fall_dist = dt * fall_rate / cfl              # (1, TX) [m]
@@ -302,7 +304,7 @@ def _sediment_kernel(scal_ref, q_ref, qv_ref, t_ref, p_ref, rho_ref, dz_ref,
     n_tile = jnp.max(cfl).astype(jnp.int32)
     # identity when the tile holds no precipitate: every flux is *0 and
     # every phase-change mask requires q > SMALL
-    n_tile = jnp.where(jnp.max(q0) > 0.0, n_tile, jnp.int32(0))
+    n_tile = jnp.where(jnp.max(q) > 0.0, n_tile, jnp.int32(0))
 
     def l_heat(t):
         le = -(LH_VAPOR + (373.15 - t) * DLHVDT)
@@ -332,45 +334,126 @@ def _sediment_kernel(scal_ref, q_ref, qv_ref, t_ref, p_ref, rho_ref, dz_ref,
         qv = jnp.where(m, qv_e, qv)
         return s + 1, q, qv, t, precip
 
-    precip0 = jnp.zeros_like(q0[:1])
+    precip0 = jnp.zeros_like(q[:1])
     _, q, qv, t, precip = jax.lax.while_loop(
         lambda c: c[0] < n_tile, substep,
-        (jnp.int32(0), q0, qv0, t0, precip0))
-    q_out[:] = q
+        (jnp.int32(0), q, qv, t, precip0))
+    return q, qv, t, precip
+
+
+def _mp_simple_kernel(scal_ref, p_ref, exner_ref, th_ref, rho_ref, dz_ref,
+                      qv_ref, qc_ref, qr_ref, qs_ref, rain_ref, snow_ref,
+                      th_out, qv_out, qc_out, qr_out, qs_out,
+                      rain_out, snow_out):
+    dt = scal_ref[0]
+    cloud2rain = scal_ref[1]
+    cloud2snow = scal_ref[2]
+    p = p_ref[:]
+    exner = exner_ref[:]
+    t = th_ref[:] * exner
+    rho = rho_ref[:]
+    dz = dz_ref[:]
+    qv = qv_ref[:]
+    qc = qc_ref[:]
+    qr = qr_ref[:]
+    qs = qs_ref[:]
+
+    # latent heats from the PRE-adjustment temperature
+    # (mp_conversions, mp_simple.f90:381-390)
+    l_melt = -LH_LIQUID
+    l_evap = -(LH_VAPOR + (373.15 - t) * DLHVDT)
+    l_subl = l_melt + l_evap
+
+    # --- saturation adjustment (cloud_conversion, mp_simple.f90:198-280)
+    t, qv, qc, qvsat = _sat_adjust_inline(p, t, qv, qc)
+
+    # --- conversions (mp_conversions, mp_simple.f90:381-420); identical
+    # op order and masking to physics/mp_simple.mp_conversions
+    any_species = (qc + qr + qs) > SMALL
+    qc_big = qc > SMALL
+    warm = t > FREEZING
+
+    m = any_species & qc_big & warm
+    qc_r, qr_r = _cloud2hydrometeor(qc, qr, cloud2rain, RAIN_CLOUD_INIT)
+    qc = jnp.where(m, qc_r, qc)
+    qr = jnp.where(m, qr_r, qr)
+    mm = m & (qs > SMALL)
+    t_m, qs_m, qr_m = _phase_change(t, qs, 100.0, qr, l_melt, cloud2rain)
+    t = jnp.where(mm, t_m, t)
+    qs = jnp.where(mm, qs_m, qs)
+    qr = jnp.where(mm, qr_m, qr)
+
+    mc = any_species & qc_big & ~warm
+    qc_s, qs_s = _cloud2hydrometeor(qc, qs, cloud2snow, SNOW_CLOUD_INIT)
+    qc = jnp.where(mc, qc_s, qc)
+    qs = jnp.where(mc, qs_s, qs)
+
+    unsat = any_species & (qv < qvsat)
+    mr = unsat & (qr > SMALL)
+    t_e, qr_e, qv_e = _phase_change(t, qr, qvsat, qv, l_evap, cloud2rain / 2)
+    t = jnp.where(mr, t_e, t)
+    qr = jnp.where(mr, qr_e, qr)
+    qv = jnp.where(mr, qv_e, qv)
+    ms = unsat & (qs > SMALL)
+    t_s, qs_e, qv_s = _phase_change(t, qs, qvsat, qv, l_subl, cloud2snow / 2)
+    t = jnp.where(ms, t_s, t)
+    qs = jnp.where(ms, qs_e, qs)
+    qv = jnp.where(ms, qv_s, qv)
+
+    # --- sedimentation; snowfall adds to both snow and total rain
+    # (mp_simple.f90:507-549)
+    qr, qv, t, sed_r = _sediment_inline(qr, qv, t, p, rho, dz, dt,
+                                        RAIN_FALL_RATE, cloud2rain, False)
+    qs, qv, t, sed_s = _sediment_inline(qs, qv, t, p, rho, dz, dt,
+                                        SNOW_FALL_RATE, cloud2snow, True)
+
+    th_out[:] = t / exner
     qv_out[:] = qv
-    t_out[:] = t
-    precip_out[:] = precip
+    qc_out[:] = qc
+    qr_out[:] = qr
+    qs_out[:] = qs
+    rain_out[:] = rain_ref[:] + sed_r + sed_s
+    snow_out[:] = snow_ref[:] + sed_s
 
 
-def sediment_species_tpu(q, qv, temperature, pressure, rho, dz, dt,
-                         evap_rate_base, snow: bool):
-    """Fused sedimentation for one species: (nz, ny, nx) fields ->
-    (q, qv, t, surface_precip). Bit-exact vs the jnp path in
-    physics/mp_simple._sediment_species (columns are independent and the
-    kernel preserves the per-column op order and masking)."""
-    nz, ny, nx = q.shape
+def mp_simple_tpu(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
+                  dt, dz, cloud2rain, cloud2snow, tx: int = 256):
+    """The full SB04 scheme as one fused kernel (mp_simple_driver,
+    mp_simple.f90:595-646): (nz, ny, nx) fields + (ny, nx) accumulators ->
+    (theta, qv, qc, qr, qs, rain, snow). Equivalent to the jnp driver
+    physics/mp_simple.mp_simple within f32 fusion tolerance
+    (tests/test_pallas.py)."""
+    nz, ny, nx = pressure.shape
     M = ny * nx
-    TX = 512
-    Mp = pl.cdiv(M, TX) * TX
+    Mp = pl.cdiv(M, tx) * tx
 
     def flat(a, pad_val):
-        a = a.reshape(nz, M)
+        a = a.reshape(a.shape[:-2] + (M,))
+        if a.ndim == 1:
+            a = a[None]
         return jnp.pad(a, ((0, 0), (0, Mp - M)), constant_values=pad_val)
 
-    scal = jnp.stack([jnp.float32(dt), jnp.float32(evap_rate_base)])
-    spec = pl.BlockSpec((nz, TX), lambda i: (0, i), memory_space=pltpu.VMEM)
-    spec1 = pl.BlockSpec((1, TX), lambda i: (0, i), memory_space=pltpu.VMEM)
-    kern = functools.partial(_sediment_kernel, snow=snow)
-    qf, qvf, tf, pr = pl.pallas_call(
-        kern,
-        grid=(Mp // TX,),
+    scal = jnp.stack([jnp.float32(dt), jnp.float32(cloud2rain),
+                      jnp.float32(cloud2snow)])
+    spec = pl.BlockSpec((nz, tx), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((1, tx), lambda i: (0, i), memory_space=pltpu.VMEM)
+    acc_dtype = rain.dtype
+    th2, qv2, qc2, qr2, qs2, rain2, snow2 = pl.pallas_call(
+        _mp_simple_kernel,
+        grid=(Mp // tx,),
         interpret=_INTERPRET,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6,
-        out_specs=[spec, spec, spec, spec1],
-        out_shape=[jax.ShapeDtypeStruct((nz, Mp), q.dtype)] * 3
-        + [jax.ShapeDtypeStruct((1, Mp), q.dtype)],
-    )(scal, flat(q, 0.0), flat(qv, 0.0), flat(temperature, 300.0),
-      flat(pressure, 1e5), flat(rho, 1.0), flat(dz, 1e9))
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [spec] * 9 + [spec1] * 2,
+        out_specs=[spec] * 5 + [spec1] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nz, Mp), qv.dtype)] * 5
+        + [jax.ShapeDtypeStruct((1, Mp), acc_dtype)] * 2,
+    )(scal, flat(pressure, 1e5), flat(exner, 1.0), flat(theta, 300.0),
+      flat(rho, 1.0), flat(dz, 1e9), flat(qv, 0.0), flat(qc, 0.0),
+      flat(qr, 0.0), flat(qs, 0.0), flat(rain.astype(jnp.float32), 0.0),
+      flat(snow.astype(jnp.float32), 0.0))
     shape3 = (nz, ny, nx)
-    return (qf[:, :M].reshape(shape3), qvf[:, :M].reshape(shape3),
-            tf[:, :M].reshape(shape3), pr[0, :M].reshape(ny, nx))
+    return (th2[:, :M].reshape(shape3), qv2[:, :M].reshape(shape3),
+            qc2[:, :M].reshape(shape3), qr2[:, :M].reshape(shape3),
+            qs2[:, :M].reshape(shape3),
+            rain2[0, :M].reshape(ny, nx).astype(acc_dtype),
+            snow2[0, :M].reshape(ny, nx).astype(acc_dtype))

@@ -52,18 +52,15 @@ def sat_mr(temperature, pressure):
     return 0.6219907 * e_s / (pressure - e_s)
 
 
-def cloud_conversion(pressure, temperature, qv, qc, dt, use_pallas=True):
+def cloud_conversion(pressure, temperature, qv, qc, dt, use_pallas=False):
     """Saturation adjustment with latent heating (cloud_conversion,
     mp_simple.f90:198-280). Returns (temperature, qv, qc, qvsat).
 
-    On TPU a fused Pallas kernel runs the convergence loop entirely in
-    VMEM (ops/pallas_kernels.py); the jnp path below is the reference
-    implementation used on CPU and in sharded global-view execution."""
-    if use_pallas and temperature.ndim == 3:
-        from ..ops import pallas_kernels as pk
-        if pk.saturation_adjust_available():
-            return pk.saturation_adjust_tpu(pressure, temperature, qv, qc)
-
+    This is the jnp reference implementation; on TPU the whole scheme runs
+    as one fused Pallas kernel (ops/pallas_kernels.mp_simple_tpu) that
+    includes this convergence loop. ``use_pallas`` is accepted (and
+    ignored) for call-site compatibility."""
+    del use_pallas
     pre_t, pre_qv, pre_qc = temperature, qv, qc
     vapor2temp = (LH_VAPOR + (373.15 - temperature) * DLHVDT) / HEAT_CAPACITY
 
@@ -211,12 +208,7 @@ def _sediment_species(q, qv, temperature, pressure, rho, dz, dt,
     reference's per-column CFL; columns finish early via masking.
 
     Returns (q, qv, temperature, accumulated_surface_precip)."""
-    if use_pallas and q.ndim == 3:
-        from ..ops import pallas_kernels as pk
-        if pk.saturation_adjust_available():
-            return pk.sediment_species_tpu(
-                q, qv, temperature, pressure, rho, dz, dt, evap_rate_base,
-                snow=(fall_rate == SNOW_FALL_RATE))
+    del use_pallas   # jnp reference path; the TPU kernel fuses the scheme
     # per-column cfl count: ceil(max_k dt*v/dz)  (mp_simple.f90:511)
     cfl = jnp.ceil(jnp.max(dt / dz * fall_rate, axis=0))          # (ny, nx)
     n_max = jnp.max(cfl).astype(jnp.int32)
@@ -253,14 +245,28 @@ def mp_simple(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
     """Full scheme driver (mp_simple_driver, mp_simple.f90:595-646).
 
     All 3D args are (z, y, x); rain/snow are (y, x) accumulators [mm].
-    Returns updated (theta, qv, qc, qr, qs, rain, snow)."""
+    Returns updated (theta, qv, qc, qr, qs, rain, snow).
+
+    On TPU the ENTIRE scheme dispatches to one fused Pallas kernel
+    (ops/pallas_kernels.mp_simple_tpu): the scheme is column-local, so the
+    saturation loop, conversions, and both sedimentation fall loops run
+    with each column batch resident in VMEM — 11 field reads + 7 writes
+    per call instead of ~30 HBM passes. The jnp path below is the
+    reference implementation (CPU tests and sharded global-view runs)."""
     cloud2snow = jnp.exp(-SNOW_FORMATION_TC * dt)
     cloud2rain = jnp.exp(-RAIN_FORMATION_TC * dt)
+
+    if use_pallas and qv.ndim == 3:
+        from ..ops import pallas_kernels as pk
+        if pk.kernels_available():
+            return pk.mp_simple_tpu(pressure, theta, exner, rho, qv, qc,
+                                    qr, qs, rain, snow, dt, dz,
+                                    cloud2rain, cloud2snow)
 
     temperature = theta * exner
     temperature, qv, qc, qr, qs = mp_conversions(
         pressure, temperature, qv, qc, qr, qs, dt, cloud2rain, cloud2snow,
-        use_pallas)
+        use_pallas=False)
 
     def l_evap_fn(t):
         return -(LH_VAPOR + (373.15 - t) * DLHVDT)
@@ -268,30 +274,18 @@ def mp_simple(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
     def l_subl_fn(t):
         return -LH_LIQUID + l_evap_fn(t)
 
-    # the Pallas kernel early-exits per 512-column tile, which subsumes the
-    # reference's global "any rain?" gate (and avoids two full-field max
-    # reductions per substep just to compute the lax.cond predicates); the
-    # jnp path keeps the global gate
-    pallas_active = False
-    if use_pallas and qr.ndim == 3:
-        from ..ops import pallas_kernels as pk
-        pallas_active = pk.saturation_adjust_available()
-
     # rain sedimentation (only when rain exists anywhere, mp_simple.f90:507)
     def do_rain(args):
         qr, qv, t, rain = args
         qr, qv, t, sed = _sediment_species(
             qr, qv, t, pressure, rho, dz, dt, RAIN_FALL_RATE,
-            cloud2rain, l_evap_fn, use_pallas)
+            cloud2rain, l_evap_fn)
         return qr, qv, t, rain + sed
     def no_rain(args):
         return args
-    if pallas_active:
-        qr, qv, temperature, rain = do_rain((qr, qv, temperature, rain))
-    else:
-        qr, qv, temperature, rain = jax.lax.cond(
-            jnp.max(qr) > SMALL, do_rain, no_rain,
-            (qr, qv, temperature, rain))
+    qr, qv, temperature, rain = jax.lax.cond(
+        jnp.max(qr) > SMALL, do_rain, no_rain,
+        (qr, qv, temperature, rain))
 
     # snow sedimentation; snowfall adds to both snow and total rain
     # (mp_simple.f90:542-549)
@@ -299,17 +293,13 @@ def mp_simple(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
         qs, qv, t, rain, snow = args
         qs, qv, t, sed = _sediment_species(
             qs, qv, t, pressure, rho, dz, dt, SNOW_FALL_RATE,
-            cloud2snow, l_subl_fn, use_pallas)
+            cloud2snow, l_subl_fn)
         return qs, qv, t, rain + sed, snow + sed
     def no_snow(args):
         return args
-    if pallas_active:
-        qs, qv, temperature, rain, snow = do_snow(
-            (qs, qv, temperature, rain, snow))
-    else:
-        qs, qv, temperature, rain, snow = jax.lax.cond(
-            jnp.max(qs) > SMALL, do_snow, no_snow,
-            (qs, qv, temperature, rain, snow))
+    qs, qv, temperature, rain, snow = jax.lax.cond(
+        jnp.max(qs) > SMALL, do_snow, no_snow,
+        (qs, qv, temperature, rain, snow))
 
     theta = temperature / exner
     return theta, qv, qc, qr, qs, rain, snow

@@ -292,9 +292,76 @@ def _thermo(temp, pres, qv):
     return rho, rhof, rhof2, diffu, visco, ocp, vsc2, lvap, tcond
 
 
+def _nu_c_jnp(ncr):
+    """Per-cell cloud shape parameter nu_c = MIN(15, NINT(1e9/nc)+2)
+    (mp_thompson_aer.f90:1655). ncr in m^-3."""
+    return jnp.clip(jnp.rint(1000e6 / ncr).astype(jnp.int32) + 2, 2, 15)
+
+
+def _g_ratios(nu_c):
+    """Integer gamma ratios of the nu_c family: g1 = G(nu+4)/G(nu+1),
+    g2 = G(nu+7)/G(nu+4) (ccg(2)*ocg1 and ccg(3)*ocg2 of
+    mp_thompson_aer.f90:627-638, bm_r = 3)."""
+    nu = nu_c.astype(jnp.float32)
+    g1 = (nu + 1.) * (nu + 2.) * (nu + 3.)
+    g2 = (nu + 4.) * (nu + 5.) * (nu + 6.)
+    return g1, g2
+
+
+def _eff_aero(D, Da, visco, rho, temp, vt):
+    """Aerosol collection efficiency by a collector of diameter D falling
+    at vt (Eff_aero, mp_thompson_aer.f90:4993-5024)."""
+    boltzman = 1.3806503e-23
+    meanPath = 0.0256e-6
+    Cc = 1. + 2. * meanPath / Da * (1.257 + 0.4 * jnp.exp(-0.55 * Da
+                                                          / meanPath))
+    diff = boltzman * temp * Cc / (3. * PI * visco * Da)
+    Re = 0.5 * rho * D * vt / visco
+    Sc = visco / (rho * diff)
+    St = Da * Da * vt * 1000. / (9. * visco * D)
+    aval = 1. + jnp.log(1. + Re)
+    St2 = (1.2 + 1. / 12. * aval) / (1. + aval)
+    Eff = (4. / (Re * Sc) * (1. + 0.4 * jnp.sqrt(Re) * Sc ** (1. / 3.)
+                             + 0.16 * jnp.sqrt(Re) * jnp.sqrt(Sc))
+           + 4. * Da / D * (0.02 + Da / D * (1. + 2. * jnp.sqrt(Re))))
+    Eff = Eff + jnp.where(St > St2,
+                          ((St - St2) / (St - St2 + 0.666667)) ** 1.5, 0.0)
+    return jnp.clip(Eff, 1e-5, 1.0)
+
+
+def _ice_demott(tempc, rho, nifa):
+    """Heterogeneous ice nuclei from dust/mineral aerosol, DeMott et al.
+    (2010) (iceDeMott, mp_thompson_aer.f90:4879-4949; only the DeMott-2010
+    branch is live in the reference — the Phillips path is commented out).
+    nifa in m^-3; returns m^-3."""
+    nifa_cc = nifa * tt.RHO_NOT0 * 1e-6 / rho
+    xni = (5.94e-5 * (-tempc) ** 3.33) \
+        * (nifa_cc ** ((-0.0264 * tempc) + 0.0033))
+    xni = xni * rho / tt.RHO_NOT0 * 1000.0
+    return jnp.maximum(0.0, xni)
+
+
+def _ice_koop(temp, qv, qvs, nwfa, dt):
+    """Homogeneous freezing of deliquesced aerosols, Koop et al. (2001)
+    (iceKoop, mp_thompson_aer.f90:4955-4979). Returns m^-3."""
+    R_uni = 8.314
+    satw = qv / qvs
+    mu_diff = (210368.0 + 131.438 * temp - 3.32373e6 / temp
+               - 41729.1 * jnp.log(temp))
+    a_w_i = jnp.exp(mu_diff / (R_uni * temp))
+    delta_aw = satw - a_w_i
+    log_J = (-906.7 + 8502.0 * delta_aw - 26924.0 * delta_aw ** 2
+             + 29180.0 * delta_aw ** 3)
+    J_rate = 10.0 ** jnp.minimum(20.0, log_J)
+    prob_h = jnp.minimum(1. - jnp.exp(-J_rate * tt.AR_VOLUME * dt), 1.)
+    return jnp.maximum(0.0, jnp.minimum(prob_h * nwfa, 1000e3))
+
+
 @functools.partial(jax.jit, static_argnames=("params_key",))
 def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
-                      exner, p1d, dzq, dt, tables, params_key):
+                      exner, p1d, dzq, dt, tables, params_key,
+                      nc1d=None, nwfa1d=None, nifa1d=None, w1d=None,
+                      tnc_wev_flat=None):
     params = ThompsonParams(**dict(params_key))
     _, c = get_tables(params)
     T = tables
@@ -303,6 +370,10 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     odt = 1.0 / dt
     odts = odt
     dtype = th.dtype
+    # Thompson-Eidhammer aerosol-aware mode (is_aerosol_aware,
+    # mp_thompson_aer.f90:58,440): active when prognostic nc/nwfa/nifa
+    # are supplied; otherwise the constant-Nt_c fallback below
+    aer = nc1d is not None
 
     t1d = th * exner
     temp = t1d
@@ -313,6 +384,28 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     L_qc = qc1d > R1
     qc1d = jnp.where(L_qc, qc1d, 0.0)
     rc = jnp.where(L_qc, qc1d * rho, R1)
+
+    if aer:
+        # working aerosol concentrations in m^-3 (mp_thompson_aer.f90:
+        # 1649-1650) and droplet-number init with the mean-size clamp into
+        # [D0c, 2*D0r] (:1653-1667)
+        nwfa = jnp.clip(nwfa1d * rho, 11.1e6, 9999.0e6)
+        nifa = jnp.clip(nifa1d * rho, tt.NA_IN1 * 0.01, 9999.0e6)
+        nc1d = jnp.where(L_qc, nc1d, 0.0)
+        ncr = jnp.maximum(2.0, nc1d * rho)
+        nu_c0 = _nu_c_jnp(ncr)
+        g1_0, _ = _g_ratios(nu_c0)
+        lamc0 = (ncr * AM_R * g1_0 / rc) ** c.obmr
+        xDc0 = (BM_R + nu_c0 + 1.0) / lamc0
+        cce2 = BM_R + nu_c0.astype(jnp.float32) + 1.0
+        lamc_cl = jnp.where(xDc0 < D0C, cce2 / D0C,
+                            jnp.where(xDc0 > D0R * 2., cce2 / (D0R * 2.),
+                                      lamc0))
+        ncr = jnp.where(L_qc,
+                        jnp.minimum(tt.NT_C_MAX,
+                                    rc / (AM_R * g1_0) * lamc_cl ** BM_R),
+                        2.0)
+        w1d = jnp.zeros_like(temp) if w1d is None else w1d
 
     L_qi = qi1d > R1
     qi1d = jnp.where(L_qi, qi1d, 0.0)
@@ -373,11 +466,21 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     Ef_rr = 2.0 - jnp.exp(jnp.minimum(2300.0 * (mvd_r - 1600.0e-6), 50.0))
     pnr_rcr = jnp.where(L_qr & (mvd_r > D0R), Ef_rr * 4. * nr * rr, 0.0)
 
-    xDc = jnp.maximum(D0C * 1e6, ((rc / (AM_R * pp.Nt_c)) ** c.obmr) * 1e6)
-    lamc = (pp.Nt_c * AM_R * c.ccg[1] * c.ocg1 / rc) ** c.obmr
-    mvd_c = jnp.where(L_qc, (3.0 + c.mu_c + 0.672) / lamc, D0C)
-
-    Dc_g = ((c.ccg[2] * c.ocg2) ** c.obmr / lamc) * 1e6
+    if aer:
+        # per-cell nu_c cloud PSD from prognostic droplet number
+        # (mp_thompson_aer.f90:1955-1980)
+        nu_cw = _nu_c_jnp(ncr)
+        g1w, g2w = _g_ratios(nu_cw)
+        xDc = jnp.maximum(D0C * 1e6, ((rc / (AM_R * ncr)) ** c.obmr) * 1e6)
+        lamc = (ncr * AM_R * g1w / rc) ** c.obmr
+        mvd_c = jnp.where(L_qc, (3.0 + nu_cw + 0.672) / lamc, D0C)
+        Dc_g = (g2w ** c.obmr / lamc) * 1e6
+    else:
+        xDc = jnp.maximum(D0C * 1e6,
+                          ((rc / (AM_R * pp.Nt_c)) ** c.obmr) * 1e6)
+        lamc = (pp.Nt_c * AM_R * c.ccg[1] * c.ocg1 / rc) ** c.obmr
+        mvd_c = jnp.where(L_qc, (3.0 + c.mu_c + 0.672) / lamc, D0C)
+        Dc_g = ((c.ccg[2] * c.ocg2) ** c.obmr / lamc) * 1e6
     Dc_b = jnp.maximum(xDc ** 3 * Dc_g ** 3 - xDc ** 6, 0.0) ** (1.0 / 6.0)
     zeta1 = jnp.maximum(6.25e-6 * xDc * Dc_b ** 3 - 0.4, 0.0)
     zeta = 0.027 * rc * zeta1
@@ -385,7 +488,15 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     tau = 3.72 / (rc * taud)
     wau_on = L_qc & (rc > 0.01e-3)
     prr_wau = jnp.where(wau_on, jnp.minimum(rc * odts, zeta / tau), 0.0)
-    pnr_wau = prr_wau / (AM_R * c.mu_c * D0R ** 3)
+    if aer:
+        pnr_wau = prr_wau / (AM_R * nu_cw * D0R ** 3)
+        # droplet-number loss to autoconversion (Qc2M,
+        # mp_thompson_aer.f90:1978-1979)
+        pnc_wau = jnp.where(wau_on,
+                            jnp.minimum(ncr * odts,
+                                        prr_wau / (AM_R * mvd_c ** 3)), 0.0)
+    else:
+        pnr_wau = prr_wau / (AM_R * c.mu_c * D0R ** 3)
 
     # rain collecting cloud water
     idx_efr = jnp.clip(
@@ -401,6 +512,29 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
         jnp.minimum(rc * odts,
                     rhof * c.t1_qr_qc * Ef_rw * rc * N0_r
                     * ((1.0 / ilamr + FV_R) ** (-c.cre[8]))), 0.0)
+    if aer:
+        # droplet number collected by rain (Qc2M,
+        # mp_thompson_aer.f90:1991-1993)
+        pnc_rcw = jnp.where(
+            rcw_on,
+            jnp.minimum(ncr * odts,
+                        rhof * c.t1_qr_qc * Ef_rw * ncr * N0_r
+                        * ((1.0 / ilamr + FV_R) ** (-c.cre[8]))), 0.0)
+        # wet scavenging of aerosols by rain (mp_thompson_aer.f90:1997-2008)
+        rca_on = L_qr & (mvd_r > D0R)
+        vt_mvd = tt.vr_poly_jnp(mvd_r)
+        Ef_ra_w = _eff_aero(mvd_r, 0.04e-6, visco, rho, temp, vt_mvd)
+        pna_rca = jnp.where(
+            rca_on,
+            jnp.minimum(nwfa * odts,
+                        rhof * c.t1_qr_qc * Ef_ra_w * nwfa * N0_r
+                        * ((1.0 / ilamr + FV_R) ** (-c.cre[8]))), 0.0)
+        Ef_ra_d = _eff_aero(mvd_r, 0.8e-6, visco, rho, temp, vt_mvd)
+        pnd_rcd = jnp.where(
+            rca_on,
+            jnp.minimum(nifa * odts,
+                        rhof * c.t1_qr_qc * Ef_ra_d * nifa * N0_r
+                        * ((1.0 / ilamr + FV_R) ** (-c.cre[8]))), 0.0)
 
     # ---- table indices (mp_thompson.f90:1560-1700) ---------------------
     idx_tc = jnp.clip(_nint(-tempc), 1, 45) - 1
@@ -458,6 +592,40 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     gcw_on = (L_qc & (mvd_c > D0C) & (rg >= tt.r_g[0]) & (xDg > D0G))
     prg_gcw = jnp.where(gcw_on, rhof * c.t1_qg_qc * Ef_gw * rc * N0_g
                         * ilamg ** c.cge[8], 0.0)
+    if aer:
+        # droplet number collected by snow/graupel (Qc2M,
+        # mp_thompson_aer.f90:2177-2198)
+        pnc_scw = jnp.where(scw_on,
+                            jnp.minimum(ncr * odts, rhof * c.t1_qs_qc
+                                        * Ef_sw * ncr * smoe), 0.0)
+        pnc_gcw = jnp.where(gcw_on,
+                            jnp.minimum(ncr * odts, rhof * c.t1_qg_qc
+                                        * Ef_gw * ncr * N0_g
+                                        * ilamg ** c.cge[8]), 0.0)
+        # wet scavenging by snow and graupel (mp_thompson_aer.f90:2203-2226)
+        sca_on = rs > tt.r_s[0]
+        xDs_a = smoc / jnp.maximum(smob, R1)
+        vts_a = pp.av_s * xDs_a ** pp.bv_s
+        pna_sca = jnp.where(
+            sca_on, jnp.minimum(nwfa * odts, rhof * c.t1_qs_qc
+                                * _eff_aero(xDs_a, 0.04e-6, visco, rho,
+                                            temp, vts_a) * nwfa * smoe), 0.0)
+        pnd_scd = jnp.where(
+            sca_on, jnp.minimum(nifa * odts, rhof * c.t1_qs_qc
+                                * _eff_aero(xDs_a, 0.8e-6, visco, rho,
+                                            temp, vts_a) * nifa * smoe), 0.0)
+        gca_on = rg > tt.r_g[0]
+        vtg_a = pp.av_g * xDg ** pp.bv_g
+        pna_gca = jnp.where(
+            gca_on, jnp.minimum(nwfa * odts, rhof * c.t1_qg_qc
+                                * _eff_aero(xDg, 0.04e-6, visco, rho,
+                                            temp, vtg_a) * nwfa * N0_g
+                                * ilamg ** c.cge[8]), 0.0)
+        pnd_gcd = jnp.where(
+            gca_on, jnp.minimum(nifa * odts, rhof * c.t1_qg_qc
+                                * _eff_aero(xDg, 0.8e-6, visco, rho,
+                                            temp, vtg_a) * nifa * N0_g
+                                * ilamg ** c.cge[8]), 0.0)
 
     # ---- rain collecting snow / graupel via lookup tables --------------
     RS = _take_tables(T, _RACS_NAMES, (idx_s, idx_t, idx_r1, idx_r),
@@ -537,20 +705,43 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
                         jnp.minimum(rc * odts, CF["tpi_qcfz"] * odts),
                         jnp.where((rc > R1) & (temp < HGFR),
                                   rc * odts, 0.0)), 0.0)
+    nc_for_wfz = ncr if aer else pp.Nt_c
     pni_wfz = jnp.where(
         cold & wfz_tab,
-        jnp.minimum(jnp.minimum(pp.Nt_c * odts,
+        jnp.minimum(jnp.minimum(nc_for_wfz * odts,
                                 pri_wfz / (2. * XM0I)),
                     CF["tni_qcfz"] * odts), 0.0)
 
-    # ice nucleation (Cooper)
-    nuc_on = cold & ((ssati >= 0.25) | ((ssatw > EPS) & (temp < 261.15)))
-    xnc = jnp.minimum(250e3, pp.TNO * jnp.exp(ATO * (T_0 - temp)))
+    # ice nucleation: Cooper (1986), or DeMott (2010) from nifa when
+    # aerosol-aware (dustyIce branch, mp_thompson_aer.f90:2355-2366)
+    if aer:
+        nuc_on = cold & ((ssati >= 0.25)
+                         | ((ssatw > EPS) & (temp < 253.15)))
+        xnc = _ice_demott(tempc, rho, nifa)
+    else:
+        nuc_on = cold & ((ssati >= 0.25)
+                         | ((ssatw > EPS) & (temp < 261.15)))
+        xnc = jnp.minimum(250e3, pp.TNO * jnp.exp(ATO * (T_0 - temp)))
     xni_c = ni + (pni_rfz + pni_wfz) * DT
     pni_inu = jnp.where(nuc_on, jnp.maximum(0.0, xnc - xni_c) * odts, 0.0)
     pri_inu = jnp.where(nuc_on,
                         jnp.minimum(rate_max_i, XM0I * pni_inu), 0.0)
     pni_inu = pri_inu / XM0I
+
+    if aer:
+        # homogeneous freezing of deliquesced aerosols (Koop et al. 2001;
+        # homogIce branch, mp_thompson_aer.f90:2369-2377)
+        xni_k = smo0 + ni + (pni_rfz + pni_wfz + pni_inu) * DT
+        koop_on = (xni_k <= 500e3) & (temp < 238.0) & (ssati >= 0.4)
+        xnc_k = _ice_koop(temp, qv, qvs, nwfa, DT)
+        pni_iha = jnp.where(koop_on, xnc_k * odts, 0.0)
+        pri_iha = jnp.where(koop_on,
+                            jnp.minimum(rate_max_i, XM0I * 0.1 * pni_iha),
+                            0.0)
+        pni_iha = pri_iha / (XM0I * 0.1)
+    else:
+        pni_iha = zero
+        pri_iha = zero
 
     # ice deposition / sublimation
     lami = (AM_I * c.cig[1] * c.oig1 * ni / ri) ** c.obmi
@@ -744,13 +935,41 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     # ---- tendencies (mp_thompson.f90:2110-2240) ------------------------
     orho = 1.0 / rho
     lfus2 = LSUB - lvap
-    qvten = (-pri_inu - pri_ide - prs_ide - prs_sde - prg_gde) * orho
+    qvten = (-pri_inu - pri_iha - pri_ide - prs_ide - prs_sde
+             - prg_gde) * orho
     qcten = (-prr_wau - pri_wfz - prr_rcw - prs_scw - prg_scw
              - prg_gcw) * orho
-    qiten = (pri_inu + pri_ihm + pri_wfz + pri_rfz + pri_ide
+    qiten = (pri_inu + pri_iha + pri_ihm + pri_wfz + pri_rfz + pri_ide
              - prs_iau - prs_sci - pri_rci) * orho
-    niten = (pni_inu + pni_ihm + pni_wfz + pni_rfz + pni_ide
+    niten = (pni_inu + pni_iha + pni_ihm + pni_wfz + pni_rfz + pni_ide
              - pni_iau - pni_sci - pni_rci) * orho
+
+    if aer:
+        # aerosol number tendencies: wet scavenging + nucleation sinks
+        # (mp_thompson_aer.f90:2664-2674; dustyIce=.true.)
+        nwfaten = -(pna_rca + pna_sca + pna_gca + pni_iha) * orho
+        nifaten = -(pnd_rcd + pnd_scd + pnd_gcd + pni_inu) * orho
+        # droplet number tendency + mass/number balance keeping the mean
+        # size in [D0c, 2*D0r] and at most Nt_c_max drops
+        # (mp_thompson_aer.f90:2687-2716)
+        ncten = (-pnc_wau - pnc_rcw - pni_wfz - pnc_scw - pnc_gcw) * orho
+        xrc_b = jnp.maximum(R1, (qc1d + qcten * DT) * rho)
+        xnc_b = jnp.maximum(2.0, (nc1d + ncten * DT) * rho)
+        nu_cb = _nu_c_jnp(xnc_b)
+        g1b, _ = _g_ratios(nu_cb)
+        lamc_b = (xnc_b * AM_R * g1b / rc) ** c.obmr
+        xDc_b = (BM_R + nu_cb + 1.0) / lamc_b
+        cce2b = BM_R + nu_cb.astype(jnp.float32) + 1.0
+        lamc_cl = jnp.where(xDc_b < D0C, cce2b / D0C, cce2b / (D0R * 2.))
+        xnc_cl = xrc_b / (AM_R * g1b) * lamc_cl ** BM_R
+        ncten = jnp.where(
+            xrc_b > R1,
+            jnp.where((xDc_b < D0C) | (xDc_b > D0R * 2.),
+                      (xnc_cl - nc1d * rho) * odts * orho, ncten),
+            -nc1d * odts)
+        xnc_b = jnp.maximum(0.0, (nc1d + ncten * DT) * rho)
+        ncten = jnp.where(xnc_b > tt.NT_C_MAX,
+                          (tt.NT_C_MAX - nc1d * rho) * odts * orho, ncten)
 
     # ice number/mass balance
     xri = jnp.maximum(R1, (qi1d + qiten * DT) * rho)
@@ -796,7 +1015,8 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
 
     tten = jnp.where(
         cold,
-        (LSUB * ocp * (pri_inu + pri_ide + prs_ide + prs_sde + prg_gde)
+        (LSUB * ocp * (pri_inu + pri_iha + pri_ide + prs_ide + prs_sde
+                       + prg_gde)
          + lfus2 * ocp * (pri_wfz + pri_rfz + prg_rfz + prs_scw + prg_scw
                           + prg_gcw + prg_rcs + prs_rcs + prr_rci
                           + prg_rcg)) * orho,
@@ -838,6 +1058,9 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
         _snow_moments(rs, temp, c)
     ilamg, N0_g = _graupel_intercept(rg, temp, mvd_r, L_qr, c)
     ilamr, mvd_r, N0_r = _rain_slope(rr, nr, c)
+    if aer:
+        ncr = jnp.maximum(2.0, (nc1d + ncten * DT) * rho)
+        nwfa = jnp.maximum(11.1e6, (nwfa1d + nwfaten * DT) * rho)
 
     # ---- cloud water condensation/evaporation (Newton-Raphson) ---------
     cond_on = (ssatw > EPS) | ((ssatw < -EPS) & L_qc)
@@ -850,10 +1073,62 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     prw_vcd = jnp.where(cond_on,
                         jnp.where(xrc > 0.0, clap * odt,
                                   -rc / rho * odts), 0.0)
+    if aer:
+        # droplet NUCLEATION during condensation: activ_ncloud with the
+        # reference's activation table, whose file read is fully commented
+        # out (table_ccnAct, mp_thompson_aer.f90:956-971, 4542-4598)
+        # leaving tnccn_act == 1.0 everywhere, i.e. activated fraction = 1
+        # of nwfa (mp_thompson_aer.f90:3026-3034)
+        activating = cond_on & (xrc > 0.0) & (clap > EPS)
+        xnc_a = jnp.maximum(2.0, nwfa)
+        pnc_wcd = jnp.where(activating,
+                            jnp.maximum(0.0, xnc_a - ncr) * odts * orho,
+                            0.0)
+        # droplet EVAPORATION: number of drops smaller than D*-star lost
+        # per the tnc_wev lookup (mp_thompson_aer.f90:3037-3092)
+        evap_on = cond_on & (xrc > 0.0) & (clap < -EPS) & (ssatw < -1e-6)
+        otemp_c = 1.0 / temp
+        rvs_c = rho * qvs
+        rvs_p_c = rvs_c * otemp_c * (lvap * otemp_c * ORV - 1.)
+        rvs_pp_c = rvs_c * (otemp_c * (lvap * otemp_c * ORV - 1.)
+                            * otemp_c * (lvap * otemp_c * ORV - 1.)
+                            + (-2. * lvap * otemp_c ** 3 * ORV)
+                            + otemp_c * otemp_c)
+        gamsc_c = lvap * diffu / tcond * rvs_p_c
+        alphsc_c = jnp.maximum(1e-9, 0.5 * (gamsc_c / (1. + gamsc_c)) ** 2
+                               * rvs_pp_c / rvs_p_c * rvs_c / rvs_p_c)
+        xsat_c = jnp.where(jnp.abs(ssatw) < 1e-9, 0.0, ssatw)
+        t1_ev = 2. * PI * (1.0 - alphsc_c * xsat_c
+                           + 2. * alphsc_c ** 2 * xsat_c ** 2
+                           - 5. * alphsc_c ** 3 * xsat_c ** 3) \
+            / (1. + gamsc_c)
+        Dc_star = jnp.sqrt(jnp.maximum(
+            0.0, -2.0 * DT * t1_ev / (2. * PI)
+            * 4. * diffu * ssatw * rvs_c / RHO_W))
+        idx_d = jnp.clip((1e6 * Dc_star).astype(jnp.int32), 1, NBC) - 1
+        idx_n = jnp.clip(_nint(1.0 + NBC * jnp.log(ncr / tt.t_Nc[0])
+                               / tt.NIC1), 1, NBC) - 1
+        idx_c2 = jnp.where(rc > tt.r_c[0],
+                           _mantissa_idx(rc, c.nic2, NTB_C), 0)
+        flat_idx = (idx_d * NTB_C + idx_c2) * NBC + idx_n
+        tnc = jnp.take(tnc_wev_flat, flat_idx.ravel()).reshape(rc.shape)
+        pnc_wcd = jnp.where(
+            evap_on,
+            jnp.maximum(-ncr * 0.99 * orho * odt, -tnc * orho * odt),
+            pnc_wcd)
+        # total cloud evaporation removes all droplets
+        # (mp_thompson_aer.f90:3086-3089)
+        pnc_wcd = jnp.where(cond_on & ~(xrc > 0.0), -ncr * orho * odt,
+                            pnc_wcd)
+        ncten = ncten + pnc_wcd
+        nwfaten = nwfaten - pnc_wcd
     qcten = qcten + prw_vcd
     qvten = qvten - prw_vcd
     tten = tten + lvap * ocp * prw_vcd
     rc = jnp.where(cond_on, jnp.maximum(R1, (qc1d + DT * qcten) * rho), rc)
+    if aer:
+        ncr = jnp.where(cond_on,
+                        jnp.maximum(2.0, (nc1d + DT * ncten) * rho), ncr)
     qv = jnp.where(cond_on, jnp.maximum(1e-10, qv1d + DT * qvten), qv)
     temp = jnp.where(cond_on, t1d + DT * tten, temp)
     rho = 0.622 * pres / (RR2 * temp * (qv + 0.622))
@@ -897,6 +1172,10 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     qvten = qvten + prv_rev
     nrten = nrten - pnr_rev
     tten = tten - lvap * ocp * prv_rev
+    if aer:
+        # evaporated rain drops release their aerosol back to nwfa
+        # (mp_thompson_aer.f90:3178)
+        nwfaten = nwfaten + pnr_rev
 
     rr = jnp.where(rev_on, jnp.maximum(R1, (qr1d + DT * qrten) * rho), rr)
     qv = jnp.where(rev_on, jnp.maximum(1e-10, qv1d + DT * qvten), qv)
@@ -961,6 +1240,40 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
         rg, rg, vtgk, vtgk, rho, dzq, DT, False)
     qgten = qgten + d_q
 
+    if aer:
+        # cloud droplet (drizzle) settling within the lowest ~500 m AGL in
+        # weak vertical motion (mp_thompson_aer.f90:3252-3272, 3411-3424):
+        # a single explicit upstream pass of mass and number
+        rc_s = jnp.maximum(R1, (qc1d + qcten * DT) * rho)
+        nc_s = jnp.maximum(2.0, (nc1d + ncten * DT) * rho)
+        nu_cs = _nu_c_jnp(nc_s)
+        g1s, _ = _g_ratios(nu_cs)
+        nu_f = nu_cs.astype(jnp.float32)
+        lamc_s = (nc_s * AM_R * g1s / rc_s) ** c.obmr
+        ilamc_s = 1.0 / lamc_s
+        sed_ok = (rc_s > R1) & (w1d < 0.1)
+        vtck = jnp.where(sed_ok,
+                         rhof * tt.AV_C * (nu_f + 4.) * (nu_f + 5.)
+                         * ilamc_s ** tt.BV_C, 0.0)
+        vtnck = jnp.where(sed_ok,
+                          rhof * tt.AV_C * (nu_f + 1.) * (nu_f + 2.)
+                          * ilamc_s ** tt.BV_C, 0.0)
+        # only levels whose base is within 500 m of the surface and at or
+        # below the highest cloudy level in that layer (ksed1(5))
+        agl = jnp.cumsum(dzq, axis=0)
+        in_layer = (agl - dzq) < 500.0
+        elig = in_layer & (rc_s > R2)
+        below_top = jnp.flip(jnp.maximum.accumulate(
+            jnp.flip(elig.astype(jnp.int32), axis=0), axis=0),
+            axis=0) > 0
+        sed_c = vtck * rc_s
+        sed_nc = vtnck * nc_s
+        zf = jnp.zeros_like(sed_c[:1])
+        flux_c = jnp.concatenate([sed_c[1:], zf], axis=0) - sed_c
+        flux_n = jnp.concatenate([sed_nc[1:], zf], axis=0) - sed_nc
+        qcten = qcten + jnp.where(below_top, flux_c / dzq * orho, 0.0)
+        ncten = ncten + jnp.where(below_top, flux_n / dzq * orho, 0.0)
+
     # ---- instant melt / homogeneous freeze (mp_thompson.f90:2786-2810) -
     xri = jnp.maximum(0.0, qi1d + qiten * DT)
     melt = (temp > T_0) & (xri > 0.0)
@@ -1014,8 +1327,33 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     qv_out = jnp.maximum(qv_out, 1e-7)
 
     th_out = t_out / exner
+    if not aer:
+        return (th_out, qv_out, qc_out, qi_out, qr_out, qs_out, qg_out,
+                ni_out, nr_out, ppt_rain, ppt_ice, ppt_snow, ppt_graupel)
+
+    # final droplet-number and aerosol updates with size-consistency and
+    # concentration caps (mp_thompson_aer.f90:3540-3561)
+    nc_out = jnp.maximum(2.0 / rho, nc1d + ncten * DT)
+    nwfa_out = jnp.clip(nwfa1d + nwfaten * DT, 11.1e6 / rho,
+                        9999.0e6 / rho)
+    nifa_out = jnp.clip(nifa1d + nifaten * DT, tt.NA_IN1 * 0.01,
+                        9999.0e6 / rho)
+    gone_c = qc_out <= R1
+    nu_cf = _nu_c_jnp(jnp.maximum(2.0, nc_out * rho))
+    g1f, _ = _g_ratios(nu_cf)
+    lamc_f = (AM_R * g1f * nc_out / jnp.maximum(qc_out, R1)) ** c.obmr
+    xDc_f = (BM_R + nu_cf + 1.0) / lamc_f
+    cce2f = BM_R + nu_cf.astype(jnp.float32) + 1.0
+    lamc_f = jnp.where(xDc_f < D0C, cce2f / D0C,
+                       jnp.where(xDc_f > D0R * 2., cce2f / (D0R * 2.),
+                                 lamc_f))
+    nc_out = jnp.where(gone_c, 0.0,
+                       jnp.minimum(qc_out / (AM_R * g1f)
+                                   * lamc_f ** BM_R,
+                                   tt.NT_C_MAX / rho))
     return (th_out, qv_out, qc_out, qi_out, qr_out, qs_out, qg_out,
-            ni_out, nr_out, ppt_rain, ppt_ice, ppt_snow, ppt_graupel)
+            ni_out, nr_out, nc_out, nwfa_out, nifa_out,
+            ppt_rain, ppt_ice, ppt_snow, ppt_graupel)
 
 
 def mp_thompson(th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz, dt,
@@ -1038,6 +1376,50 @@ def mp_thompson(th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz, dt,
     return th, qv, qc, qi, qr, qs_, qg, ni, nr, rain, snow, graupel
 
 
+def mp_thompson_aer(th, qv, qc, qi, qr, qs_, qg, ni, nr, nc, nwfa, nifa,
+                    exner, p, dz, dt, rain, snow, graupel, w=None,
+                    params: ThompsonParams = None):
+    """One aerosol-aware Thompson-Eidhammer step (is_aerosol_aware=.true.
+    path of mp_thompson_aer.f90): prognostic cloud-droplet number nc and
+    water/ice-friendly aerosol numbers nwfa/nifa (all [kg^-1]) drive
+    droplet activation, DeMott (2010) dust ice nucleation, Koop (2001)
+    homogeneous freezing, and are wet-scavenged by precipitation.
+
+    Returns (th, qv, qc, qi, qr, qs, qg, ni, nr, nc, nwfa, nifa,
+    rain, snow, graupel)."""
+    params = params or ThompsonParams()
+    tables = _prep_tables(params)
+    key = tuple(sorted(vars(params).items()))
+    tnc_flat = jnp.asarray(tt.get_aer_tables()["tnc_wev"].ravel(), th.dtype)
+    (th, qv, qc, qi, qr, qs_, qg, ni, nr, nc, nwfa, nifa,
+     ppt_rain, ppt_ice, ppt_snow, ppt_graupel) = _mp_thompson_impl(
+        th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz,
+        jnp.asarray(dt, th.dtype), tables, key,
+        nc1d=nc, nwfa1d=nwfa, nifa1d=nifa, w1d=w, tnc_wev_flat=tnc_flat)
+    rain = rain + ppt_rain + ppt_snow + ppt_graupel + ppt_ice
+    snow = snow + ppt_snow + ppt_ice
+    graupel = graupel + ppt_graupel
+    return (th, qv, qc, qi, qr, qs_, qg, ni, nr, nc, nwfa, nifa,
+            rain, snow, graupel)
+
+
+def aer_init_profiles(z_agl, terrain):
+    """Default CCN/IN aerosol profiles for runs without aerosol input
+    data: exponential decay with a terrain-elevation-dependent scale
+    (thompson_aer_init, mp_thompson_aer.f90:454-516). ``z_agl`` is height
+    above ground (z, y, x) [m], ``terrain`` surface elevation (y, x) [m].
+    The reference assigns these concentrations directly to its [kg^-1]
+    aerosol arrays (no density division) — reproduced as-is."""
+    h_01 = np.where(terrain <= 1000.0, 0.8,
+                    np.where(terrain >= 2500.0, 0.01,
+                             0.8 * np.cos(terrain * 0.001 - 1.0)))[None]
+    niCCN3 = -1.0 * np.log(tt.NA_CCN1 / tt.NA_CCN0) / h_01
+    niIN3 = -1.0 * np.log(tt.NA_IN1 / tt.NA_IN0) / h_01
+    nwfa = tt.NA_CCN1 + tt.NA_CCN0 * np.exp(-(z_agl / 1000.0) * niCCN3)
+    nifa = tt.NA_IN1 + tt.NA_IN0 * np.exp(-(z_agl / 1000.0) * niIN3)
+    return nwfa, nifa
+
+
 # 1-indexed gamma ratios G(i+4)/G(i+1) = (i+1)(i+2)(i+3) for the cloud
 # droplet shape-parameter family (calc_effectRad g_ratio,
 # mp_thompson_aer.f90:5045-5046)
@@ -1046,19 +1428,22 @@ _G_RATIO = jnp.asarray([24., 60., 120., 210., 336., 504., 720., 990.,
 
 
 def calc_effect_rad(t, p, qv, qc, qi, ni, qs_, params: ThompsonParams
-                    = None):
+                    = None, nc=None):
     """Cloud/ice/snow effective radii [m] for radiation coupling
     (calc_effectRad, mp_thompson_aer.f90:5026-5127).
 
-    ICAR invokes the Thompson-Eidhammer scheme without aerosol fields
-    (mp_driver.f90:446-476 passes no nc/nwfa/nifa), so the scheme runs
-    with is_aerosol_aware=.false. and the droplet number here is the
-    constant Nt_c, exactly as in the reference fallback branch."""
+    ``nc`` is the prognostic droplet number [kg^-1] in aerosol-aware runs;
+    without it the droplet number is the constant Nt_c — the fallback the
+    reference driver always hits (mp_driver.f90:446-476 passes no
+    nc/nwfa/nifa)."""
     params = params or ThompsonParams()
     _, c = get_tables(params)
     rho = 0.622 * p / (RR2 * t * (qv + 0.622))
     rc = jnp.maximum(R1, qc * rho)
-    nc = jnp.full_like(rc, params.Nt_c)          # non-aerosol fallback
+    if nc is None:
+        nc = jnp.full_like(rc, params.Nt_c)      # non-aerosol fallback
+    else:
+        nc = jnp.maximum(2.0, nc * rho)
     ri = jnp.maximum(R1, qi * rho)
     ni_ = jnp.maximum(R2, ni * rho)
     rs = jnp.maximum(R1, qs_ * rho)

@@ -498,3 +498,67 @@ def get_tables(params: ThompsonParams = None):
     if key not in _CACHE:
         _CACHE[key] = build_tables(params)
     return _CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Thompson-Eidhammer aerosol-aware additions (mp_thompson_aer.f90)
+# ---------------------------------------------------------------------------
+
+# the rain fallspeed polynomial is pure arithmetic: usable on jnp arrays
+# inside the scheme (Eff_aero species 'r', mp_thompson_aer.f90:5003-5005)
+vr_poly_jnp = _vr_poly
+
+AV_C = 0.316946e8                 # cloud droplet fallspeed (aer :141-142)
+BV_C = 2.0
+NT_C_MAX = 1999.0e6               # aer :81
+# background CCN / IN profile constants (aer :83-89)
+NA_CCN0, NA_CCN1 = 300.0e6, 50.0e6
+NA_IN0, NA_IN1 = 1.5e6, 0.5e6
+RHO_NOT0 = 101325.0 / (287.05 * 273.15)   # iceDeMott rho_not0 (aer :4902)
+AR_VOLUME = 4.0 / 3.0 * PI * (2.5e-6) ** 3  # iceKoop aerosol vol (aer :192)
+
+# cloud droplet diameter bins, D0c..D0c+99 um (aer :779-784)
+Dc_bins = D0C + np.arange(NBC) * 1.0e-6
+dtc_bins = np.full(NBC, 1.0e-6)
+dtc_bins[0] = D0C
+# cloud droplet number bins, 1..3000 per cc geometric (aer :835-844)
+_xDx_nc = np.exp(np.linspace(np.log(1.0), np.log(3000.0), NBC + 1))
+t_Nc = np.sqrt(_xDx_nc[:-1] * _xDx_nc[1:]) * 1.0e6
+NIC1 = float(np.log(t_Nc[-1] / t_Nc[0]))
+
+
+def _nu_c_of(nc):
+    """Per-value cloud PSD shape parameter nu_c = MIN(15, NINT(1e9/nc)+2)
+    (aer :1655 and passim)."""
+    return np.minimum(15, np.rint(1000.0e6 / nc).astype(np.int64) + 2)
+
+
+def build_aer_tables():
+    """Cloud-droplet evaporation number table tnc_wev[i, j, k]: number of
+    droplets smaller than Dc(i) in a PSD with mass r_c(j) and number
+    t_Nc(k) (table_dropEvap, mp_thompson_aer.f90:4443-4480). Unlike the
+    CCN activation table (whose file read is fully commented out in the
+    reference, leaving an all-ones table — see mp_thompson.py
+    _activ_ncloud), this one IS computed at init."""
+    from scipy.special import gamma as _gamma
+    nu = _nu_c_of(t_Nc)                                       # (k,)
+    g1 = _gamma(nu + 1.0)
+    g2 = _gamma(BM_R + nu + 1.0)
+    lamc = (t_Nc[None, :] * AM_R * (g2 / g1)[None, :]
+            / r_c[:, None]) ** (1.0 / BM_R)                   # (j, k)
+    N0_c = t_Nc[None, :] / g1[None, :] * lamc ** (nu + 1.0)[None, :]
+    # N_c[i, j, k] then cumulative sum over i
+    N_c = (N0_c[None] * Dc_bins[:, None, None] ** nu[None, None, :]
+           * np.exp(-lamc[None] * Dc_bins[:, None, None])
+           * dtc_bins[:, None, None])
+    tnc_wev = np.cumsum(N_c, axis=0)
+    return {"tnc_wev": tnc_wev.astype(np.float32)}
+
+
+_AER_CACHE = {}
+
+
+def get_aer_tables():
+    if "t" not in _AER_CACHE:
+        _AER_CACHE["t"] = build_aer_tables()
+    return _AER_CACHE["t"]

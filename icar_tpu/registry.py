@@ -93,6 +93,10 @@ _SPECS = [
     _v("snow_number", units="kg-1"),
     _v("graupel_mass", units="kg kg-1", standard_name="mass_fraction_of_graupel_in_air"),
     _v("graupel_number", units="kg-1"),
+    # water/ice-friendly aerosol numbers (Thompson-Eidhammer aerosol-aware
+    # scheme, mp_thompson_aer.f90:417)
+    _v("nwfa", units="kg-1", standard_name="number_of_water_friendly_aerosols_in_air", forcing_name="nwfa"),
+    _v("nifa", units="kg-1", standard_name="number_of_ice_friendly_aerosols_in_air", forcing_name="nifa"),
     # effective radii for radiation coupling (Thompson-Eidhammer, mp=5)
     _v("re_cloud", units="m", standard_name="effective_radius_of_cloud_droplets", default=2.49e-6),
     _v("re_ice", units="m", standard_name="effective_radius_of_cloud_ice", default=4.99e-6),
@@ -313,6 +317,13 @@ def collect_requests(options) -> VarRequest:
             # mp_thompson_aer_var_request (mp_driver.f90:115-144)
             req.alloc_vars(["re_cloud", "re_ice", "re_snow"])
             req.restart_vars(["re_cloud", "re_ice", "re_snow"])
+            if getattr(options.mp, "use_aerosol_aware", False):
+                # prognostic droplet number + CCN/IN aerosols, advected
+                # like the hydrometeors (is_aerosol_aware=.true. path,
+                # mp_thompson_aer.f90:440,1188-1194)
+                req.alloc_vars(["cloud_number", "nwfa", "nifa"])
+                req.advect_vars(["cloud_number", "nwfa", "nifa"])
+                req.restart_vars(["cloud_number", "nwfa", "nifa"])
     elif phys.microphysics == C.MP_WSM3:
         # 3-class: qci doubles as cloud/ice, qrs as rain/snow
         # (mp_driver.f90:554-575)

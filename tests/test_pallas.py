@@ -44,14 +44,29 @@ def _fields(seed, nz=10, ny=9, nx=17):
     return f(p), f(t), f(qv), f(qc)
 
 
-def test_saturation_kernel_bit_exact(interpret_kernels):
+def test_saturation_inline_bit_exact(interpret_kernels):
+    """The fused kernel's saturation-adjustment stage equals the jnp
+    cloud_conversion (checked in isolation via a throwaway pallas_call)."""
+    import jax
+    from jax.experimental import pallas as pl
     from icar_tpu.physics import mp_simple
 
     p, t, qv, qc = _fields(3)
-    got = pk.saturation_adjust_tpu(p, t, qv, qc)
-    want = mp_simple.cloud_conversion(p, t, qv, qc, 40.0, use_pallas=False)
+
+    def kern(p_ref, t_ref, qv_ref, qc_ref, t_o, qv_o, qc_o, qvs_o):
+        out = pk._sat_adjust_inline(p_ref[:], t_ref[:], qv_ref[:], qc_ref[:])
+        t_o[:], qv_o[:], qc_o[:], qvs_o[:] = out
+
+    nz, ny, nx = p.shape
+    flat = lambda a: a.reshape(nz * ny, nx)
+    got = pl.pallas_call(
+        kern, interpret=True,
+        out_shape=[jax.ShapeDtypeStruct((nz * ny, nx), jnp.float32)] * 4,
+    )(flat(p), flat(t), flat(qv), flat(qc))
+    want = mp_simple.cloud_conversion(p, t, qv, qc, 40.0)
     for name, g, w in zip(("t", "qv", "qc", "qvsat"), got, want):
-        assert_ulp_equal(g, w, f"saturation kernel {name} != jnp path")
+        assert_ulp_equal(g.reshape(p.shape), w,
+                         f"saturation stage {name} != jnp path")
 
 
 def test_advect_kernel_bit_exact(interpret_kernels):
@@ -80,7 +95,11 @@ def test_advect_kernel_bit_exact(interpret_kernels):
 
 
 @pytest.mark.parametrize("snow", [False, True])
-def test_sediment_kernel_bit_exact(interpret_kernels, snow):
+def test_sediment_inline_bit_exact(interpret_kernels, snow):
+    """The fused kernel's sedimentation stage equals the jnp
+    _sediment_species (checked in isolation via a throwaway pallas_call)."""
+    import jax
+    from jax.experimental import pallas as pl
     from icar_tpu.physics import mp_simple
 
     r = np.random.default_rng(9)
@@ -100,12 +119,27 @@ def test_sediment_kernel_bit_exact(interpret_kernels, snow):
         if snow else \
         (lambda T: -(mp_simple.LH_VAPOR + (373.15 - T) * mp_simple.DLHVDT))
 
-    got = pk.sediment_species_tpu(q, qv, t, p, rho, dz, dt, evap_base, snow)
+    M = ny * nx
+    flat = lambda a: a.reshape(nz, M)
+
+    def kern(q_ref, qv_ref, t_ref, p_ref, rho_ref, dz_ref,
+             q_o, qv_o, t_o, pr_o):
+        out = pk._sediment_inline(q_ref[:], qv_ref[:], t_ref[:], p_ref[:],
+                                  rho_ref[:], dz_ref[:], dt, fall,
+                                  evap_base, snow)
+        q_o[:], qv_o[:], t_o[:], pr_o[:] = out
+
+    got = pl.pallas_call(
+        kern, interpret=True,
+        out_shape=[jax.ShapeDtypeStruct((nz, M), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((1, M), jnp.float32)],
+    )(flat(q), flat(qv), flat(t), flat(p), flat(rho), flat(dz))
     want = mp_simple._sediment_species(q, qv, t, p, rho, dz, dt, fall,
-                                       evap_base, l_heat, use_pallas=False)
-    for name, g, w in zip(("q", "qv", "t", "precip"), got, want):
-        assert_ulp_equal(g, w,
-                         f"sediment kernel {name} != jnp path (snow={snow})")
+                                       evap_base, l_heat)
+    shapes = ((nz, ny, nx),) * 3 + ((ny, nx),)
+    for name, g, w, s in zip(("q", "qv", "t", "precip"), got, want, shapes):
+        assert_ulp_equal(g.reshape(s), w,
+                         f"sediment stage {name} != jnp path (snow={snow})")
 
 
 def test_mp_simple_pallas_path_matches_jnp(interpret_kernels):
