@@ -151,14 +151,24 @@ def reduce_f(arr, band):
 
 
 def _read_nc_var(path, name):
+    """Read one variable and return it in FORTRAN declaration order.
+
+    The reference's io_read{1,2,3,4}d allocates its target with the
+    file's dimensions in Fortran order (io_routines.f90:407), so the
+    file's C/numpy layout is the REVERSE of the Fortran declaration
+    (e.g. kao(9,5,13,16) is stored as a (16,13,5,9) variable). Reversing
+    the axes here recovers the declaration order the flatteners below
+    index by. Contract enforced against reference-shaped fixtures from
+    tools/make_rrtmg_fixtures.py in tests/test_rrtmg_fixtures.py."""
     try:
         from scipy.io import netcdf_file
         with netcdf_file(path, mmap=False) as f:
-            return np.array(f.variables[name].data)
+            arr = np.array(f.variables[name].data)
     except Exception:
         import h5py
         with h5py.File(path, "r") as f:
-            return np.array(f[name])
+            arr = np.array(f[name])
+    return arr.transpose(tuple(reversed(range(arr.ndim))))
 
 
 def _band_tables_raw(support_dir, band):
@@ -179,11 +189,14 @@ def _band_tables_raw(support_dir, band):
     t["forrefo"] = rd("forrefo")
     for name, kind in MINOR_TABLES.get(band, []):
         if kind == "g":
-            t[name + "o"] = rd(name + "o") if os.path.exists(
-                os.path.join(support_dir, f"{name}o_{band}.nc")) else \
-                rd(name)
-        else:
+            # cross-section species: ccl4o_5.nc etc. (lw_kgb05 :13320+)
             t[name + "o"] = rd(name + "o")
+        else:
+            # minor-gas k tables: the reference names put the 'o' after
+            # ka/kb, e.g. kao_mn2_1.nc with variable kao_mn2
+            # (lw_kgb01, ra_rrtmg_lw.f90:13090-13091)
+            raw = name.replace("ka_", "kao_", 1).replace("kb_", "kbo_", 1)
+            t[name + "o"] = rd(raw)
     return t
 
 

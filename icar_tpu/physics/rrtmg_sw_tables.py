@@ -143,14 +143,24 @@ def reduce_f(arr, band):
 
 
 def _read_nc_var(path, name):
+    """Read one variable and return it in FORTRAN declaration order.
+
+    The reference's io_read{1,2,3,4}d allocates its target with the
+    file's dimensions in Fortran order (io_routines.f90:407), so the
+    file's C/numpy layout is the REVERSE of the Fortran declaration
+    (e.g. kao(9,5,13,16) is stored as a (16,13,5,9) variable). Reversing
+    the axes here recovers the declaration order the flatteners below
+    index by. Contract enforced against reference-shaped fixtures from
+    tools/make_rrtmg_fixtures.py in tests/test_rrtmg_fixtures.py."""
     try:
         from scipy.io import netcdf_file
         with netcdf_file(path, mmap=False) as f:
-            return np.array(f.variables[name].data)
+            arr = np.array(f.variables[name].data)
     except Exception:
         import h5py
         with h5py.File(path, "r") as f:
-            return np.array(f[name])
+            arr = np.array(f[name])
+    return arr.transpose(tuple(reversed(range(arr.ndim))))
 
 
 def _flatten_ka(kao, nsp):
@@ -210,7 +220,10 @@ def _band_files(band):
     """File-variable manifest for one band (sw_kgbNN read list)."""
     fb = band + 15
     names = ["sfluxrefo"]
-    names.append("kao")
+    if band != 11:
+        # band 26 has no gaseous absorption at all: only Rayleigh +
+        # solar source are read (sw_kgb26, ra_rrtmg_sw.f90:12140-12150)
+        names.append("kao")
     if band not in NO_KB:
         names.append("kbo")
     if band not in NO_SELFFOR:
@@ -249,8 +262,11 @@ def synthetic_sw_tables(seed=1, k_scale=1e-5):
         ng = NGC[b - 1]
         nspa, nspb = NSPA[b - 1], NSPB[b - 1]
         t = {}
-        t["absa"] = rng.gamma(1.0, k_scale,
-                              (13 * 5 * max(nspa, 1), ng)).astype(np.float32)
+        if b != 11:
+            # band 26 has no gaseous absorption tables (sw_kgb26)
+            t["absa"] = rng.gamma(
+                1.0, k_scale,
+                (13 * 5 * max(nspa, 1), ng)).astype(np.float32)
         if b not in NO_KB:
             t["absb"] = rng.gamma(
                 1.0, k_scale, (47 * 5 * max(nspb, 1), ng)).astype(np.float32)
