@@ -344,7 +344,7 @@ class Options:
             "conv": (C.CU_NONE, C.CU_TIEDTKE, C.CU_KF, C.CU_NSAS,
                      C.CU_BMJ),
         }
-        if self.output.engine not in ("netcdf4", "classic-async"):
+        if self.output.engine not in ("netcdf4", "classic-async", "sharded"):
             errs.append(f"unknown output engine {self.output.engine!r} "
                         f"(use 'netcdf4' or 'classic-async')")
         for name, (val, valid) in known.items():

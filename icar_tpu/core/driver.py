@@ -70,6 +70,10 @@ class ICARDriver:
             from ..io.output import AsyncStepWriter
             self.writer = AsyncStepWriter(options.output.output_file,
                                           self._output_names(), options)
+        elif options.output.engine == "sharded":
+            from ..io.output import ShardedOutputWriter
+            self.writer = ShardedOutputWriter(options.output.output_file,
+                                              self._output_names(), options)
         else:
             out_name = options.output.output_file + "run.nc"
             self.writer = OutputWriter(out_name, self._output_names(), options)

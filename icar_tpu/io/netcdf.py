@@ -117,6 +117,10 @@ class NCFile:
             return np.asarray(ds)
         return np.asarray(ds[step])
 
+    def attr_names(self, var: Optional[str] = None) -> List[str]:
+        src = self.f.attrs if var is None else self.f[var].attrs
+        return list(src.keys())
+
     def read_attr(self, var: Optional[str], name: str):
         src = self.f.attrs if var is None else self.f[var].attrs
         v = src[name]

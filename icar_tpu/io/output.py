@@ -140,6 +140,90 @@ class AsyncStepWriter:
         self._w.close()
 
 
+class ShardedOutputWriter:
+    """File-per-shard output — the TPU equivalent of the reference's
+    file-per-image NetCDF output (driver.f90:94-102): every addressable
+    shard of the device mesh writes its own file with the decomposition
+    recorded in global attrs (the ids/ide/jds/jde pattern of
+    output_obj.f90 add_global_attributes), and NO global array is ever
+    materialized on one host. On a multi-host slice each host writes only
+    its own shards. ``tools/aggregate_output.py`` stitches the domain
+    back together offline, exactly like the reference's
+    aggregate_parallel_files.py."""
+
+    def __init__(self, prefix: str, names: List[str], options=None):
+        self.prefix = prefix
+        self.names = names
+        self.options = options
+        self.paths: List[str] = []
+
+    @property
+    def path(self):
+        return self.paths[-1] if self.paths else self.prefix
+
+    def write_step(self, model, time_seconds: float):
+        names = [n for n in self.names if n in model.state]
+        natural = model._natural_shapes or {
+            n: tuple(model.state[n].shape) for n in names}
+        # one file per addressable shard; shard geometry from the first
+        # 3D field's sharding (all fields share the (y, x) mesh layout)
+        ref_arr = model.state[names[0]]
+        for shard in ref_arr.addressable_shards:
+            sid = shard.device.id
+            path = f"{self.prefix}img{sid:03d}_{int(time_seconds):08d}.nc"
+            idx = shard.index
+            ys, xs = idx[-2], idx[-1]
+            y0 = ys.start or 0
+            x0 = xs.start or 0
+            with NCFile(path, "w") as f:
+                wrote_any = False
+                for n in names:
+                    arr = model.state[n]
+                    sh = None
+                    for s_ in arr.addressable_shards:
+                        if s_.device.id == sid:
+                            sh = s_
+                            break
+                    if sh is None:
+                        continue
+                    nat = natural[n]
+                    data = np.asarray(sh.data)
+                    # trim the padded frame to this shard's slice of the
+                    # natural (unpadded) domain
+                    ny_keep = max(0, min(y0 + data.shape[-2], nat[-2]) - y0)
+                    nx_keep = max(0, min(x0 + data.shape[-1], nat[-1]) - x0)
+                    if ny_keep == 0 or nx_keep == 0:
+                        continue
+                    data = data[..., :ny_keep, :nx_keep]
+                    spec = REGISTRY[n]
+                    dims = _var_dims(spec, data)
+                    for d, size in zip(dims, data.shape):
+                        if d not in f._dims:
+                            f.create_dim(d, size)
+                    attrs = {"units": spec.units}
+                    if spec.standard_name:
+                        attrs["standard_name"] = spec.standard_name
+                    f.create_var(n, dims, data.astype(np.float32), attrs)
+                    wrote_any = True
+                g = model.geom
+                f.set_attrs({
+                    "source": f"icar_tpu {C.VERSION_STRING}",
+                    "model_time": float(time_seconds),
+                    "nx": g.nx, "ny": g.ny, "nz": g.nz, "dx": g.dx,
+                    # decomposition indices for the offline aggregator
+                    # (ids/ide analog, output_obj.f90 global attrs)
+                    "y_start": int(y0), "x_start": int(x0),
+                    "shard_id": int(sid),
+                })
+            if wrote_any:
+                self.paths.append(path)
+            else:
+                os.remove(path)
+
+    def wait(self) -> int:
+        return 0
+
+
 def write_restart(path: str, model, time_seconds: float):
     """Checkpoint all restart fields + wind-perturbation state
     (driver.f90:181-191 restart writes; improved: stores global fields so

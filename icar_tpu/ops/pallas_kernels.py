@@ -130,7 +130,7 @@ saturation_adjust_available = kernels_available
 # as HBM refs and the kernel DMAs halo windows into scratch.
 
 
-def _advect_kernel(ny_ref, qpad_ref, vpad_ref,
+def _advect_kernel(dims_ref, qpad_ref, vpad_ref,
                    u_ref, w_ref, dz_ref, jaco_ref, out_ref,
                    qwin, vwin, sems):
     i = pl.program_id(0)          # y tile; species index is grid dim 1
@@ -159,14 +159,20 @@ def _advect_kernel(ny_ref, qpad_ref, vpad_ref,
         vdma.wait()
     qdma.wait()
 
-    U = u_ref[:]                  # (nz, TY, nx-1) internal x faces
-    W = w_ref[:]                  # (nz, TY, nx)
+    U = u_ref[:]                  # (nz, TY, P-1) internal x faces
+    W = w_ref[:]                  # (nz, TY, P)
     dz = dz_ref[:]
     jaco = jaco_ref[:]
 
-    ny_real = ny_ref[0]
+    ny_real = dims_ref[0]
+    nx_real = dims_ref[1]
     gidx = i * TY + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
     interior_y = (gidx >= 1) & (gidx <= ny_real - 2)
+    # x runs over the 128-aligned padded width; mask the boundary columns
+    # AND the pad lanes
+    P = out_ref.shape[3]
+    xidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2)
+    interior_x = (xidx >= 1) & (xidx <= nx_real - 2)
 
     def flux(l, r, c):
         return ((c + jnp.abs(c)) * l + (c - jnp.abs(c)) * r) * 0.5
@@ -179,9 +185,9 @@ def _advect_kernel(ny_ref, qpad_ref, vpad_ref,
     Vb = vwin[:, 3:TY + 3]        # face below each row
     Va = vwin[:, 4:TY + 4]        # face above each row
     fx = flux(qc[:, :, :-1], qc[:, :, 1:], U)
-    xdiv = fx[:, :, 1:] - fx[:, :, :-1]              # cells 1..nx-2
+    xdiv = fx[:, :, 1:] - fx[:, :, :-1]              # cells 1..P-2
     ydiv = flux(qc, qu, Va) - flux(qd, qc, Vb)
-    fz = flux(qc[:-1], qc[1:], W[:-1])               # (nz-1, TY, nx)
+    fz = flux(qc[:-1], qc[1:], W[:-1])               # (nz-1, TY, P)
     vert = jnp.concatenate(
         [fz[:1], fz[1:] - fz[:-1],
          (qc[-1:] * W[-1:]) - fz[-1:]], axis=0)
@@ -189,11 +195,11 @@ def _advect_kernel(ny_ref, qpad_ref, vpad_ref,
                 + vert[:, :, 1:-1] / (dz[:, :, 1:-1] * jaco[:, :, 1:-1]))
     zcol = jnp.zeros_like(qc[:, :, :1])
     dq = jnp.concatenate([zcol, interior, zcol], axis=2)
-    dq = jnp.where(interior_y, dq, 0.0)
+    dq = jnp.where(interior_y & interior_x, dq, 0.0)
     out_ref[0] = qc - dq
 
 
-def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 32):
+def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 16):
     """Fused multi-species donor-cell update (same math as
     ops.advection.advect3d_upwind, advect.f90:107-178) as one Pallas pass.
 
@@ -208,23 +214,33 @@ def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 32):
     S, nz, ny, nx = stacked_q.shape
     ny_pad = pl.cdiv(ny, ty) * ty
     pad_y = ny_pad - ny
+    # DMA slice shapes must be 128-aligned in the lane (x) dim as well:
+    # pad the DMA'd arrays to the aligned width; pad lanes are masked out
+    # of the update (interior_x)
+    P = pl.cdiv(nx, 128) * 128
+    pad_x = P - nx
 
-    def rowpad(a, mode="edge", front=0):
+    def rowpad(a, mode="edge", w=None):
+        px = (w if w is not None else P) - a.shape[-1]
         return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
-                       + ((front, pad_y), (0, 0)), mode=mode)
+                       + ((0, pad_y), (0, px)), mode=mode)
 
     # q with ghost rows: padded row r = global row r-4 (4-row ghost bands
     # keep every DMA window 8-row aligned); ghost rows are read only as the
     # (masked-out) neighbors of boundary rows. XLA fuses this pad with the
     # species stack into a single copy, so it replaces (not adds to) the
     # stack materialization.
-    qpad = jnp.pad(stacked_q, ((0, 0), (0, 0), (4, pad_y + 4), (0, 0)),
+    qpad = jnp.pad(stacked_q,
+                   ((0, 0), (0, 0), (4, pad_y + 4), (0, pad_x)),
                    mode="edge")
     # V faces: padded row r = face r-4 (zero ghosts; the fluxes they
     # produce touch only masked boundary rows)
-    vpad = jnp.pad(V_m, ((0, 0), (4, pad_y + 5), (0, 0)), mode="constant")
-    up = rowpad(U_m, mode="constant")
+    vpad = jnp.pad(V_m, ((0, 0), (4, pad_y + 5), (0, pad_x)),
+                   mode="constant")
+    up = rowpad(U_m, mode="constant", w=P - 1)
     wp = rowpad(W_m, mode="constant")
+    # dz/jaco pad with edge values so the masked pad lanes never divide
+    # by zero
     dzp = rowpad(dz)
     jacop = rowpad(jaco)
 
@@ -233,7 +249,7 @@ def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 32):
     grid = (ny_pad // ty, S)
     spec3 = lambda w: pl.BlockSpec((nz, ty, w), lambda i, s: (0, i, 0),
                                    memory_space=pltpu.VMEM)
-    spec4 = pl.BlockSpec((1, nz, ty, nx), lambda i, s: (s, 0, i, 0),
+    spec4 = pl.BlockSpec((1, nz, ty, P), lambda i, s: (s, 0, i, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _advect_kernel,
@@ -242,14 +258,14 @@ def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 32):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY),
-                  spec3(nx - 1), spec3(nx), spec3(nx), spec3(nx)],
+                  spec3(P - 1), spec3(P), spec3(P), spec3(P)],
         out_specs=spec4,
-        out_shape=jax.ShapeDtypeStruct((S, nz, ny_pad, nx), stacked_q.dtype),
-        scratch_shapes=[pltpu.VMEM((nz, ty + 8, nx), stacked_q.dtype),
-                        pltpu.VMEM((nz, ty + 8, nx), stacked_q.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, nz, ny_pad, P), stacked_q.dtype),
+        scratch_shapes=[pltpu.VMEM((nz, ty + 8, P), stacked_q.dtype),
+                        pltpu.VMEM((nz, ty + 8, P), stacked_q.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
-    )(jnp.asarray([ny], jnp.int32), qpad, vpad, up, wp, dzp, jacop)
-    return out[:, :, :ny, :]
+    )(jnp.asarray([ny, nx], jnp.int32), qpad, vpad, up, wp, dzp, jacop)
+    return out[:, :, :ny, :nx]
 
 
 # ---------------------------------------------------------------------------

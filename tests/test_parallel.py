@@ -102,3 +102,43 @@ def test_sharded_convection_matches_single_device():
             np.testing.assert_allclose(
                 m1.field(n), m2.field(n), rtol=2e-5, atol=1e-4,
                 err_msg=f"conv={conv} sharded mismatch in {n}")
+
+
+def test_sharded_output_writer_roundtrip(tmp_path):
+    """File-per-shard output + offline aggregation reproduces the
+    global fields without any host gather (VERDICT r1 item #8;
+    the reference's file-per-image + aggregate_parallel_files.py,
+    driver.f90:94-102)."""
+    import os
+    import subprocess
+    import sys
+
+    from icar_tpu.io.output import ShardedOutputWriter
+
+    m = build()
+    mesh = make_mesh(m.geom.nx, m.geom.ny)
+    m.attach_mesh(mesh)
+    m.advance(300.0)
+
+    names = ["potential_temperature", "water_vapor", "u", "v",
+             "precipitation"]
+    w = ShardedOutputWriter(str(tmp_path) + "/out_", names)
+    w.write_step(m, 300.0)
+    assert len(w.paths) == 8, "expected one file per device shard"
+
+    # aggregate and compare against the gathered (natural-shape) fields
+    out = str(tmp_path / "combined.nc")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/aggregate_output.py"),
+         str(tmp_path) + "/out_*.nc", "-o", out],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    from icar_tpu.io.netcdf import NCFile
+    with NCFile(out) as f:
+        for n in names:
+            got = f.read(n)[0]
+            want = m.field(n)
+            np.testing.assert_allclose(got, want.astype(np.float32),
+                                       rtol=0, atol=0,
+                                       err_msg=f"aggregated {n} mismatch")

@@ -35,6 +35,85 @@ def read_classic(path):
     return variables, attrs
 
 
+def read_nc4(path):
+    """Read all variables + attrs of an h5py-backed NetCDF-4 file."""
+    from icar_tpu.io.netcdf import NCFile
+    with NCFile(path) as f:
+        variables = {}
+        for n in f.variables():
+            arr = f.read(n)
+            variables[n] = ((), arr)
+        attrs = {k: f.read_attr(None, k) for k in f.attr_names()}
+    return variables, attrs
+
+
+def aggregate_shards(paths, output):
+    """Stitch file-per-shard output (io/output.py ShardedOutputWriter)
+    back into one global time-series file using the y_start/x_start
+    decomposition attrs — the analog of the reference's
+    helpers/aggregate_parallel_files.py using ids/ide/jds/jde."""
+    from icar_tpu.io.netcdf import NCFile
+
+    # group by timestamp embedded in the filename suffix
+    by_time = {}
+    for p in paths:
+        stem = os.path.basename(p)
+        t = stem.rsplit("_", 1)[-1].replace(".nc", "")
+        by_time.setdefault(t, []).append(p)
+
+    times = []
+    frames = []          # list of dict name -> (dims, global array)
+    gattrs = {}
+    for t in sorted(by_time):
+        merged = {}
+        for p in sorted(by_time[t]):
+            variables, attrs = read_nc4(p)
+            gattrs = attrs
+            y0, x0 = int(attrs["y_start"]), int(attrs["x_start"])
+            for name, (_, arr) in variables.items():
+                if arr.ndim < 2:
+                    continue
+                if name not in merged:
+                    merged[name] = []
+                merged[name].append((y0, x0, arr))
+        times.append(float(gattrs.get("model_time", len(times))))
+        glob_f = {}
+        for name, pieces in merged.items():
+            ny = max(y0 + a.shape[-2] for y0, _, a in pieces)
+            nx = max(x0 + a.shape[-1] for _, x0, a in pieces)
+            lead = pieces[0][2].shape[:-2]
+            g = np.zeros(lead + (ny, nx), np.float32)
+            for y0, x0, a in pieces:
+                g[..., y0:y0 + a.shape[-2], x0:x0 + a.shape[-1]] = a
+            glob_f[name] = g
+        frames.append(glob_f)
+
+    with NCFile(output, "w") as out:
+        out.create_dim("time", len(frames), unlimited=True)
+        dims_seen = set()
+        first = frames[0]
+        for name, arr in first.items():
+            dims = tuple(f"d{name}_{i}_{n}" for i, n in
+                         enumerate(arr.shape))
+            # prefer canonical dim names where unambiguous
+            canon = (("lev", "lat", "lon") if arr.ndim == 3
+                     else ("lat", "lon"))
+            dims = tuple(f"{c}_{n}" for c, n in zip(canon, arr.shape))
+            for d, n in zip(dims, arr.shape):
+                if d not in dims_seen:
+                    dims_seen.add(d)
+                    out.create_dim(d, n)
+            stacked = np.stack([fr[name] for fr in frames], axis=0)
+            out.create_var(name, ("time",) + dims, stacked)
+        out.create_var("model_time", ("time",),
+                       np.asarray(times, np.float64))
+        out.set_attrs({k: v for k, v in gattrs.items()
+                       if k not in ("y_start", "x_start", "shard_id")})
+    print(f"wrote {output}: {len(frames)} steps from "
+          f"{len(paths)} shard files")
+    return 0
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("pattern", help="glob of per-step files (quote it)")
@@ -47,6 +126,15 @@ def main():
         return 1
 
     from icar_tpu.io.netcdf import NCFile
+
+    # shard files (ShardedOutputWriter) carry decomposition attrs;
+    # dispatch to spatial recombination
+    try:
+        _, attrs0 = read_nc4(paths[0])
+        if "shard_id" in attrs0:
+            return aggregate_shards(paths, args.output)
+    except Exception:
+        pass
 
     steps = []
     times = []
