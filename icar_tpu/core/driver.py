@@ -59,10 +59,16 @@ class ICARDriver:
             self.model.geom, self.forcing.lat, self.forcing.lon,
             raw0.get("z"), options, f_stag=self.forcing.stagger_coords)
 
-        self._install_initial_conditions(raw0)
-        self._install_external_conditions()
-        self._init_lake()
-        self._init_noahmp()
+        # all initial-condition math on the host CPU backend: eager op
+        # storms on a tunneled TPU cost ~0.4 s each and queue work the
+        # first jitted step would serialize on (core/state.host_setup);
+        # ICARModel.advance() bulk-transfers the finished state
+        from .state import host_setup
+        with host_setup():
+            self._install_initial_conditions(raw0)
+            self._install_external_conditions()
+            self._init_lake()
+            self._init_noahmp()
         if mesh is not None:
             self.model.attach_mesh(mesh)
 

@@ -9,6 +9,7 @@ jacobians, terrain...) lives in grid.Geometry, not in the state.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Dict, List
 
 import jax.numpy as jnp
@@ -53,3 +54,43 @@ def restart_names(options: Options) -> List[str]:
 
 def to_numpy(state: State) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v) for k, v in state.items()}
+
+
+def _cpu_device():
+    import jax
+    try:
+        devs = jax.local_devices(backend="cpu")
+    except RuntimeError:
+        return None
+    return devs[0] if devs else None
+
+
+@contextmanager
+def host_setup():
+    """Run model-setup math on the host CPU backend.
+
+    Setup (create_state, initial diagnostics, the first wind solve) is a
+    storm of ~90 small eager ops. Dispatched to a tunneled TPU each one
+    pays a synchronous ~0.4 s compile AND queues an async execution; the
+    first jitted step then serializes behind that queue (measured: ~35 s
+    client + ~50 s server backlog at ANY domain size). On the local CPU
+    the same ops compile in milliseconds. place_on_compute_device() ships
+    the finished pytree to the accelerator in one transfer afterwards."""
+    import jax
+    dev = _cpu_device()
+    if dev is None:
+        yield None
+        return
+    with jax.default_device(dev):
+        yield dev
+
+
+def place_on_compute_device(tree, device=None):
+    """One bulk transfer of a pytree onto the compute device (the
+    counterpart of host_setup). No-op when the session is CPU-only."""
+    import jax
+    if device is None:
+        device = jax.devices()[0]
+    if device.platform == "cpu":
+        return tree
+    return jax.device_put(tree, device)

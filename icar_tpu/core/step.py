@@ -16,6 +16,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as C
 from ..config import Options
@@ -37,11 +38,19 @@ LIMITED_FIELDS = (
 )
 
 
-def boundary_mask(ny: int, nx: int, dtype=jnp.float32):
-    """1 on the lateral domain boundary ring, 0 inside."""
-    m = jnp.zeros((ny, nx), dtype)
-    m = m.at[0, :].set(1.0).at[-1, :].set(1.0)
-    m = m.at[:, 0].set(1.0).at[:, -1].set(1.0)
+def boundary_mask(ny: int, nx: int, dtype=np.float32):
+    """1 on the lateral domain boundary ring, 0 inside.
+
+    Built in numpy: it is a trace-time constant of the step function, and
+    device-resident constants are poison for warmup — lowering fetches each
+    one back from the device (array._value), which serializes on every
+    eagerly-queued setup op still draining on the accelerator (measured
+    ~50 s per constant over the tunneled-TPU backend)."""
+    m = np.zeros((ny, nx), dtype)
+    m[0, :] = 1.0
+    m[-1, :] = 1.0
+    m[:, 0] = 1.0
+    m[:, -1] = 1.0
     return m
 
 
@@ -84,7 +93,10 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
     padded buffers at interval end.
     """
     phys = options.physics
-    dz_levels = jnp.asarray(geom.dz_levels, jnp.float32)
+    # make-time constants stay NUMPY (see boundary_mask): numpy constants
+    # embed into the lowered module locally; device arrays would each pay a
+    # blocking device fetch at lowering time
+    dz_levels = np.asarray(geom.dz_levels, np.float32)
     bmask = boundary_mask(geom.ny, geom.nx)
     adv_names = tuple(advect_names)
     # advected species ride the while_loop carry as ONE stacked array
@@ -93,13 +105,13 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
     # restacking + unstacking every advected field every substep
     use_stack = bool(adv_names) and phys.advection in (C.ADV_UPWIND,
                                                        C.ADV_MPDATA)
-    limit_floor = jnp.asarray(
-        [0.0 if k in LIMITED_FIELDS else -jnp.inf for k in adv_names],
-        jnp.float32)[:, None, None, None] if use_stack else None
-    sin_lat = jnp.sin(jnp.asarray(geom.lat) * (jnp.pi / 180.0))
-    cos_lat = jnp.cos(jnp.asarray(geom.lat) * (jnp.pi / 180.0))
-    lon2d = jnp.asarray(geom.lon)
-    z_atm = jnp.asarray(geom.z[0] - geom.terrain)
+    limit_floor = np.asarray(
+        [0.0 if k in LIMITED_FIELDS else -np.inf for k in adv_names],
+        np.float32)[:, None, None, None] if use_stack else None
+    sin_lat = np.sin(np.asarray(geom.lat) * (np.pi / 180.0))
+    cos_lat = np.cos(np.asarray(geom.lat) * (np.pi / 180.0))
+    lon2d = np.asarray(geom.lon)
+    z_atm = np.asarray(geom.z[0] - geom.terrain)
 
     if phys.radiation == C.RA_RRTMG:
         from ..physics import rrtmg_lw as rrtmg_mod
@@ -110,7 +122,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 options.rad.rrtmg_support_dir)
         from ..physics.ghg import ghg_for_options
         ghg = ghg_for_options(options)
-        dz3d = jnp.asarray(geom.dz_interface)
+        dz3d = np.asarray(geom.dz_interface)
 
     def physics_step(state, dt, t, aux, mp_elapsed, lsm_elapsed,
                      rad_elapsed):

@@ -17,7 +17,7 @@ import numpy as np
 from .. import constants as C
 from ..config import Options
 from ..core.diagnostics import diagnostic_update
-from ..core.state import advected_names, create_state
+from ..core.state import advected_names, create_state, host_setup
 from ..core.step import make_step_fn
 from ..forcing.ideal import IdealCase
 from ..grid import Geometry, build_geometry
@@ -33,7 +33,8 @@ class ICARModel:
         options.domain.ny, options.domain.nx = terrain.shape
         self.options = options.validate()
         self.geom = build_geometry(terrain, lat, lon, options)
-        self.state = create_state(options)
+        with host_setup():
+            self.state = create_state(options)
         self.advect_names = advected_names(options)
         if (options.physics.microphysics == C.MP_THOMPSON_AER
                 and "nwfa" in self.state):
@@ -45,8 +46,9 @@ class ICARModel:
                 - np.asarray(self.geom.terrain)[None]
             nwfa, nifa = aer_init_profiles(
                 z_agl, np.asarray(self.geom.terrain))
-            self.state["nwfa"] = jnp.asarray(nwfa, jnp.float32)
-            self.state["nifa"] = jnp.asarray(nifa, jnp.float32)
+            with host_setup():
+                self.state["nwfa"] = jnp.asarray(nwfa, jnp.float32)
+                self.state["nifa"] = jnp.asarray(nifa, jnp.float32)
         self.model_time = 0.0          # seconds since run start
         self._with_forcing = False
         self._dqdt: Dict[str, jnp.ndarray] = {}
@@ -249,7 +251,14 @@ class ICARModel:
 
     def set_initial_conditions(self, case: IdealCase, rotate: bool = True):
         """Install an ideal case as the initial state (get_initial_conditions
-        + first update_winds, init.f90:85-112)."""
+        + first update_winds, init.f90:85-112).
+
+        Runs under host_setup (all math on local CPU); advance() bulk-
+        transfers the finished state to the compute device."""
+        with host_setup():
+            self._set_initial_conditions(case, rotate)
+
+    def _set_initial_conditions(self, case: IdealCase, rotate: bool):
         s = dict(self.state)
         s["potential_temperature"] = jnp.asarray(case.theta)
         s["pressure"] = jnp.asarray(case.pressure)
@@ -330,11 +339,39 @@ class ICARModel:
         return {"day_of_year0": jnp.float32(now.mjd - year_start.mjd),
                 "year_length": jnp.float32(now.year_length())}
 
+    def _ensure_placed(self):
+        """One bulk transfer of any host-built (CPU-resident) arrays onto
+        the compute device before running (counterpart of host_setup)."""
+        if self.mesh is not None:
+            return
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return
+
+        def misplaced(v):
+            if isinstance(v, np.ndarray):
+                return True
+            return isinstance(v, jax.Array) and dev not in v.devices()
+
+        names = [k for k, v in self.state.items() if misplaced(v)]
+        if names:
+            placed = jax.device_put({k: self.state[k] for k in names}, dev)
+            self.state = {**self.state, **placed}
+        for attr in ("u_perturbation", "v_perturbation"):
+            v = getattr(self, attr)
+            if v is not None and misplaced(v):
+                setattr(self, attr, jax.device_put(v, dev))
+        if self._dqdt:
+            bad = {k: v for k, v in self._dqdt.items() if misplaced(v)}
+            if bad:
+                self._dqdt = {**self._dqdt, **jax.device_put(bad, dev)}
+
     def advance(self, seconds: float, rain_frac_month: Optional[int] = None):
         """Integrate the state forward by ``seconds`` (one forcing/output
         interval; step, time_step.f90:440-551). ``rain_frac_month`` selects
         the bias-correction scale applied to this interval's precipitation
         increment (requires a prior set_rain_fraction call)."""
+        self._ensure_placed()
         if self._step_fn is None:
             self._build_step()
         t0 = jnp.float32(0.0)
