@@ -393,3 +393,43 @@ def test_fix_time(tmp_path):
     np.testing.assert_allclose(tn, [0, 3600, 7200, 10800, 14400, 18000,
                                     21600])
     np.testing.assert_allclose(pr, [0, 1, 2, 6, 7, 8, 9])
+
+
+def test_get_merra_script_and_convert(tmp_path):
+    """get_merra emits the authenticated wget script and its --convert
+    mode flips lev surface-up and concatenates days (the reference's
+    helpers/get_merra.py + its nco ncpdq/ncrcat post-step)."""
+    r = _run("get_merra.py", "-s", "2010-01-01", "-e", "2010-01-03")
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stdout.splitlines() if l.startswith("wget")]
+    assert len(lines) == 2                      # one per day
+    assert "M2I3NVASM" in lines[0] and "20100101" in lines[0]
+    assert "MERRA2_300" in lines[0]             # decade stream number
+
+    # two synthetic daily files, MERRA layout: (time, lev, lat, lon),
+    # lev stored top-down
+    lev = np.arange(5, dtype=np.float64)
+    for day in ("20100101", "20100102"):
+        path = tmp_path / f"MERRA2_300.inst3_3d_asm_Nv.{day}.SUB.nc"
+        with NCFile(str(path), "w") as f:
+            f.create_var("time", ("time",), np.arange(0, 1440, 180.0))
+            f.create_var("lat", ("lat",), np.linspace(30, 40, 4))
+            f.create_var("lon", ("lon",), np.linspace(-110, -100, 6))
+            f.create_var("lev", ("lev",), lev)
+            t3 = np.arange(8 * 5 * 4 * 6, dtype=np.float32).reshape(8, 5, 4, 6)
+            f.create_var("T", ("time", "lev", "lat", "lon"), t3)
+            f.create_var("PS", ("time", "lat", "lon"),
+                         np.full((8, 4, 6), 1e5, np.float32))
+    out = str(tmp_path / "merra.nc")
+    r = _run("get_merra.py", "--convert",
+             str(tmp_path / "MERRA2_*.SUB.nc"), "-o", out)
+    assert r.returncode == 0, r.stderr
+    with NCFile(out) as f:
+        T = f.read("T")
+        t = f.read("time")
+        assert T.shape == (16, 5, 4, 6)         # 2 days concatenated
+        # lev flipped: converted level 0 == original top index 4
+        ref = np.arange(8 * 5 * 4 * 6, dtype=np.float32).reshape(8, 5, 4, 6)
+        np.testing.assert_array_equal(T[0, 0], ref[0, 4])
+        assert (np.diff(t) > 0).all()           # monotonic across days
+        assert f.read("PS").shape == (16, 4, 6)

@@ -1,15 +1,24 @@
 #!/usr/bin/env python
-"""Weak-scaling measurement on a virtual CPU device mesh.
+"""GSPMD partitioning-overhead measurement on a virtual CPU device mesh.
 
-Grows the domain proportionally with the device count (fixed work per
-device) and reports grid-points*steps/s and parallel efficiency vs the
-1-device run — the BASELINE.md >=80% weak-scaling criterion, measured the
-only way available without a multi-chip TPU slice: the same GSPMD
-programs XLA would partition over ICI, partitioned over N virtual CPU
-devices. Writes one JSON line per point plus a summary.
+BASELINE.md's >=80% weak-scaling criterion needs chips that add compute
+as the mesh grows; the only mesh available here is N *virtual* CPU
+devices time-slicing ONE machine, where a naive weak-scaling curve is an
+artifact (the 1-device baseline already uses every core via XLA:CPU
+intra-op threading, so "efficiency" trends to 1/N by construction —
+measured 0.10 at N=8, i.e. exactly the artifact).
 
-Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-       python tools/weak_scaling.py [--base 96x48x10] [--out FILE]
+What CAN be measured honestly on fixed hardware is the cost GSPMD adds:
+the same domain, on the same machine, sharded over N devices versus
+unsharded. That captures the partition-specific work — halo collectives
+(emulated in-process), the padded-frame slice/write-back, per-shard
+launch overhead — everything except real ICI latency, which only a real
+slice can show. overhead(N) = t_sharded / t_unsharded; 1.0 = free.
+
+Each point grows the domain with N (weak-scaling shapes), so the
+partitioned programs are the ones a real N-chip run would execute.
+
+Usage: python tools/weak_scaling.py [--base 96x48x10] [--out FILE]
 """
 
 import argparse
@@ -30,10 +39,12 @@ import numpy as np
 
 
 def run_point(n_dev, base_nx, ny, nz, interval, reps):
+    """Throughput of the (base_nx*n_dev, ny, nz) ridge domain, sharded
+    over n_dev devices (n_dev=0: unsharded single-device reference)."""
     from icar_tpu.models.icar import ideal_ridge_model
     from icar_tpu.parallel.mesh import make_mesh
 
-    nx = base_nx * n_dev          # grow along x: fixed gp per device
+    nx = base_nx * max(n_dev, 1)
     model = ideal_ridge_model(nx=nx, ny=ny, nz=nz, dx=1000.0,
                               hill_height=600.0, u_speed=10.0, rh=1.0)
     if n_dev > 1:
@@ -61,23 +72,29 @@ def main():
     bx, ny, nz = (int(s) for s in args.base.split("x"))
 
     points = []
-    thr1 = None
     for n in (1, 2, 4, 8):
         if n > len(jax.devices()):
             break
+        # unsharded reference for the SAME domain on the same machine
+        thr_ref, _ = run_point(0, bx * n, ny, nz, args.interval, args.reps)
         thr, steps = run_point(n, bx, ny, nz, args.interval, args.reps)
-        if thr1 is None:
-            thr1 = thr
-        eff = thr / (n * thr1)
+        overhead = thr_ref / thr if thr else float("inf")
         points.append({"devices": n, "nx": bx * n, "ny": ny, "nz": nz,
-                       "gp_steps_per_s": round(thr, 1), "substeps": steps,
-                       "efficiency": round(eff, 4)})
+                       "gp_steps_per_s_sharded": round(thr, 1),
+                       "gp_steps_per_s_unsharded": round(thr_ref, 1),
+                       "substeps": steps,
+                       "gspmd_overhead": round(overhead, 4)})
         print(json.dumps(points[-1]), flush=True)
 
-    summary = {"metric": "weak scaling efficiency (8 virtual CPU devices, "
-                         f"{bx}x{ny}x{nz} per device)",
-               "points": points,
-               "efficiency_8dev": points[-1]["efficiency"] if points else None}
+    summary = {
+        "metric": ("GSPMD partitioning overhead, sharded vs unsharded on "
+                   "fixed hardware (8 virtual CPU devices, "
+                   f"{bx}x{ny}x{nz} per device; real weak scaling needs "
+                   "real chips — see docstring)"),
+        "points": points,
+        "worst_overhead": max(p["gspmd_overhead"] for p in points)
+        if points else None,
+    }
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
