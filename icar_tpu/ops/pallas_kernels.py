@@ -357,22 +357,37 @@ def _sediment_inline(q, qv, t, p, rho, dz, dt, fall_rate, evap_base,
     return q, qv, t, precip
 
 
-def _mp_simple_kernel(scal_ref, p_ref, exner_ref, th_ref, rho_ref, dz_ref,
-                      qv_ref, qc_ref, qr_ref, qs_ref, rain_ref, snow_ref,
-                      th_out, qv_out, qc_out, qr_out, qs_out,
+def _mp_simple_kernel(scal_ref, m_ref, p_ref, exner_ref, th_ref, rho_ref,
+                      dz_ref, qv_ref, qc_ref, qr_ref, qs_ref, rain_ref,
+                      snow_ref, th_out, qv_out, qc_out, qr_out, qs_out,
                       rain_out, snow_out):
     dt = scal_ref[0]
     cloud2rain = scal_ref[1]
     cloud2snow = scal_ref[2]
-    p = p_ref[:]
-    exner = exner_ref[:]
-    t = th_ref[:] * exner
-    rho = rho_ref[:]
-    dz = dz_ref[:]
-    qv = qv_ref[:]
-    qc = qc_ref[:]
-    qr = qr_ref[:]
-    qs = qs_ref[:]
+    # the grid's tail block runs past the flattened column count: loads
+    # there return garbage and stores are dropped by Pallas. Mask every
+    # loaded field to neutral values on those lanes so the two cross-lane
+    # reductions in the fall loops (max CFL count, any-precipitate gate)
+    # and NaN propagation cannot be polluted — this replaces padding the
+    # inputs outside the kernel, which materialized a copy of all 11
+    # fields (and a slice-back of all 7 outputs) every call.
+    TX = th_out.shape[1]
+    lane = pl.program_id(0) * TX + jax.lax.broadcasted_iota(
+        jnp.int32, (1, TX), 1)
+    valid = lane < m_ref[0]
+
+    def ld(ref, neutral):
+        return jnp.where(valid, ref[:], neutral)
+
+    p = ld(p_ref, 1e5)
+    exner = ld(exner_ref, 1.0)
+    t = ld(th_ref, 300.0) * exner
+    rho = ld(rho_ref, 1.0)
+    dz = ld(dz_ref, 1e9)
+    qv = ld(qv_ref, 0.0)
+    qc = ld(qc_ref, 0.0)
+    qr = ld(qr_ref, 0.0)
+    qs = ld(qs_ref, 0.0)
 
     # latent heats from the PRE-adjustment temperature
     # (mp_conversions, mp_simple.f90:381-390)
@@ -428,8 +443,8 @@ def _mp_simple_kernel(scal_ref, p_ref, exner_ref, th_ref, rho_ref, dz_ref,
     qc_out[:] = qc
     qr_out[:] = qr
     qs_out[:] = qs
-    rain_out[:] = rain_ref[:] + sed_r + sed_s
-    snow_out[:] = snow_ref[:] + sed_s
+    rain_out[:] = jnp.where(valid, rain_ref[:], 0.0) + sed_r + sed_s
+    snow_out[:] = jnp.where(valid, snow_ref[:], 0.0) + sed_s
 
 
 def mp_simple_tpu(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
@@ -438,38 +453,43 @@ def mp_simple_tpu(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
     mp_simple.f90:595-646): (nz, ny, nx) fields + (ny, nx) accumulators ->
     (theta, qv, qc, qr, qs, rain, snow). Equivalent to the jnp driver
     physics/mp_simple.mp_simple within f32 fusion tolerance
-    (tests/test_pallas.py)."""
+    (tests/test_pallas.py).
+
+    Inputs are NOT padded to the tile width: the (zero-cost) reshape to
+    (nz, ny*nx) feeds the kernel directly, the grid's tail block runs
+    partially out of bounds, and the kernel masks those lanes itself —
+    an XLA pad before a custom call materializes a full copy of every
+    operand (and the slice after, of every result), which cost ~720 MB
+    of pure copy traffic per substep on the 500x500x20 bench domain."""
     nz, ny, nx = pressure.shape
     M = ny * nx
-    Mp = pl.cdiv(M, tx) * tx
 
-    def flat(a, pad_val):
+    def flat(a):
         a = a.reshape(a.shape[:-2] + (M,))
-        if a.ndim == 1:
-            a = a[None]
-        return jnp.pad(a, ((0, 0), (0, Mp - M)), constant_values=pad_val)
+        return a[None] if a.ndim == 1 else a
 
     scal = jnp.stack([jnp.float32(dt), jnp.float32(cloud2rain),
                       jnp.float32(cloud2snow)])
+    m_arr = jnp.asarray([M], jnp.int32)
     spec = pl.BlockSpec((nz, tx), lambda i: (0, i), memory_space=pltpu.VMEM)
     spec1 = pl.BlockSpec((1, tx), lambda i: (0, i), memory_space=pltpu.VMEM)
     acc_dtype = rain.dtype
     th2, qv2, qc2, qr2, qs2, rain2, snow2 = pl.pallas_call(
         _mp_simple_kernel,
-        grid=(Mp // tx,),
+        grid=(pl.cdiv(M, tx),),
         interpret=_INTERPRET,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [spec] * 9 + [spec1] * 2,
         out_specs=[spec] * 5 + [spec1] * 2,
-        out_shape=[jax.ShapeDtypeStruct((nz, Mp), qv.dtype)] * 5
-        + [jax.ShapeDtypeStruct((1, Mp), acc_dtype)] * 2,
-    )(scal, flat(pressure, 1e5), flat(exner, 1.0), flat(theta, 300.0),
-      flat(rho, 1.0), flat(dz, 1e9), flat(qv, 0.0), flat(qc, 0.0),
-      flat(qr, 0.0), flat(qs, 0.0), flat(rain.astype(jnp.float32), 0.0),
-      flat(snow.astype(jnp.float32), 0.0))
+        out_shape=[jax.ShapeDtypeStruct((nz, M), qv.dtype)] * 5
+        + [jax.ShapeDtypeStruct((1, M), acc_dtype)] * 2,
+    )(scal, m_arr, flat(pressure), flat(exner), flat(theta),
+      flat(rho), flat(dz), flat(qv), flat(qc),
+      flat(qr), flat(qs), flat(rain.astype(jnp.float32)),
+      flat(snow.astype(jnp.float32)))
     shape3 = (nz, ny, nx)
-    return (th2[:, :M].reshape(shape3), qv2[:, :M].reshape(shape3),
-            qc2[:, :M].reshape(shape3), qr2[:, :M].reshape(shape3),
-            qs2[:, :M].reshape(shape3),
-            rain2[0, :M].reshape(ny, nx).astype(acc_dtype),
-            snow2[0, :M].reshape(ny, nx).astype(acc_dtype))
+    return (th2.reshape(shape3), qv2.reshape(shape3),
+            qc2.reshape(shape3), qr2.reshape(shape3),
+            qs2.reshape(shape3),
+            rain2.reshape(ny, nx).astype(acc_dtype),
+            snow2.reshape(ny, nx).astype(acc_dtype))
