@@ -157,9 +157,15 @@ def run_config(config, nx, ny, nz, sharded=False, n_timed=3,
     b_fit = a_fit = None
     if n_long > n_short:
         b_fit = (elapsed / n_timed - t_short) / (n_long - n_short)
-        a_fit = max(t_short - b_fit * n_short, 0.0)
-        detail["per_substep_ms"] = round(b_fit * 1e3, 3)
-        detail["interval_overhead_ms"] = round(a_fit * 1e3, 3)
+        if b_fit <= 0:
+            # timing noise made the short interval slower than the long
+            # ones; a negative slope would record negative per_substep_ms
+            # and roofline_pct — fall back to the naive accounting
+            b_fit = None
+        else:
+            a_fit = max(t_short - b_fit * n_short, 0.0)
+            detail["per_substep_ms"] = round(b_fit * 1e3, 3)
+            detail["interval_overhead_ms"] = round(a_fit * 1e3, 3)
     ba = step_bytes_accessed(model, interval)
     if ba:
         # XLA's bytes-accessed counts ONE execution of the compiled
