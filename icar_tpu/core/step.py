@@ -78,7 +78,7 @@ def enforce_limits(state):
 
 
 def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
-                 physics_extra=None, natural_shapes=None):
+                 physics_extra=None, natural_shapes=None, fast_path=None):
     """Build the jitted interval-step function.
 
     Returns ``step(state, dqdt, t0, end_time) -> (state, t, n_substeps)``
@@ -105,9 +105,43 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
     # restacking + unstacking every advected field every substep
     use_stack = bool(adv_names) and phys.advection in (C.ADV_UPWIND,
                                                        C.ADV_MPDATA)
-    limit_floor = np.asarray(
+    limit_floor_1d = np.asarray(
         [0.0 if k in LIMITED_FIELDS else -np.inf for k in adv_names],
-        np.float32)[:, None, None, None] if use_stack else None
+        np.float32) if use_stack else None
+    limit_floor = (limit_floor_1d[:, None, None, None]
+                   if use_stack else None)
+
+    # ------------------------------------------------------------------
+    # the padded-stack fast path: for intervals whose physics is exactly
+    # SB04 mp + upwind advection (the reference's "fast" configuration,
+    # run/short_icar_options.nml mp=2 adv=1), the advected-species stack
+    # rides the while_loop carry in the Pallas kernels' OWN padded layout
+    # (ops/pallas_kernels.padded_geometry) for the whole interval. Per
+    # substep this removes every pad/slice/restack pass the general path
+    # pays: XLA materializes each stack slice feeding a custom call as an
+    # async copy, restacks via 5 full-stack dynamic-update-slices, and
+    # tuples the stack through the limits lax.cond (~1 GB/substep of pure
+    # copy traffic at 500^2 — measured via cost_analysis, commit history).
+    from ..ops import pallas_kernels as pk
+    fast_capable = (
+        fast_path is not False
+        and natural_shapes is None and use_stack
+        and phys.advection == C.ADV_UPWIND
+        and phys.microphysics == C.MP_SIMPLE
+        and phys.radiation == C.RA_NONE
+        and phys.landsurface == C.LSM_NONE
+        and phys.watersurface == C.WATER_NONE
+        and phys.boundarylayer == C.PBL_NONE
+        and phys.convection == C.CU_NONE
+        and not physics_extra
+        and not options.run.advect_density
+        and float(options.mp.update_interval) <= 0
+        and pk.kernels_available()
+        and sorted(adv_names) == ["cloud_water", "potential_temperature",
+                                  "rain_mass", "snow_mass", "water_vapor"])
+    if fast_path is True and not fast_capable:
+        raise ValueError("fast_path requested but the configuration is "
+                         "not fast-path capable")
     sin_lat = np.sin(np.asarray(geom.lat) * (np.pi / 180.0))
     cos_lat = np.cos(np.asarray(geom.lat) * (np.pi / 180.0))
     lon2d = np.asarray(geom.lon)
@@ -125,7 +159,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         dz3d = np.asarray(geom.dz_interface)
 
     def physics_step(state, dt, t, aux, mp_elapsed, lsm_elapsed,
-                     rad_elapsed):
+                     rad_elapsed, advect_clamp=None):
         from ..physics import pbl_simple as pbl_mod
         from ..physics import ra_simple as ra_mod
         from ..physics import surface as sfc_mod
@@ -955,9 +989,17 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                       jnp.asarray(geom.jacobian_w), jnp.asarray(geom.jacobian),
                       s.get("density"), jnp.asarray(geom.advection_dz))
             if phys.advection == C.ADV_UPWIND:
+                # the near-end enforce_limits clamp on the stack folds into
+                # the advection epilogue when nothing later in the substep
+                # (i.e. forcing) touches the stack — this replaces the
+                # whole-stack lax.cond, whose identity branch copied the
+                # stack every substep
                 out = advection.advect_upwind(
                     stacked, *common, options.run.advect_density,
-                    use_pallas=(natural_shapes is None))
+                    use_pallas=(natural_shapes is None),
+                    floors=(limit_floor_1d if advect_clamp is not None
+                            else None),
+                    near_end=advect_clamp)
             else:
                 from ..ops import mpdata
                 out = mpdata.advect_mpdata(
@@ -1021,7 +1063,112 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             needs.add("uv_mass")
         return frozenset(needs)
 
+    def quantized_dt(u, v, w):
+        dt = compute_dt(u, v, w, dz_levels, geom.dx,
+                        options.run.cfl_reduction_factor,
+                        options.run.cfl_strictness)
+        dt = jnp.minimum(dt, C.MAX_DT)
+        # quantize dt to 1/64 s (exact in f32) so the substep count is
+        # identical run-to-run and sharding-to-sharding: different mesh
+        # layouts fuse the CFL arithmetic differently, and an ulp-level
+        # dt difference would flip while_loop trip counts (the
+        # reference's co_min is exact because max/min reductions are
+        # order-independent; the elementwise CFL sums feeding it are
+        # not). Mirrors the determinism of time_step.f90:413 co_min.
+        return jnp.maximum(jnp.floor(dt * 64.0) / 64.0, 1.0 / 64.0)
+
+    def fast_step(state, dqdt, t0, end_time, aux):
+        """One interval on the padded-stack carry (see fast_capable)."""
+        from ..physics.mp_simple import (RAIN_FORMATION_TC,
+                                         SNOW_FORMATION_TC)
+        ny, nx = geom.ny, geom.nx
+        ty = 16
+        ny_pad, P, R, front = pk.padded_geometry(ny, nx, ty)
+        if "rain_frac" in aux:
+            precip0 = state["precipitation"]
+
+        state = diagnostic_update(state, geom, full=False)
+        dt_static = quantized_dt(state["u"], state["v"], state["w"])
+
+        pad3 = lambda a: pk.pad_to_stack_layout(a, ny, nx, ty)
+        qpad = pad3(jnp.stack([state[k] for k in adv_names]))
+        p_pad = pad3(state["pressure"])
+        exner_pad = pad3(state["exner"])
+        dzmp_pad = pad3(jnp.asarray(geom.dz_interface))
+        winds_padded = pk.prepare_advect_winds(
+            state["u"], state["v"], state["w"], geom.dx,
+            jnp.asarray(geom.jacobian_u), jnp.asarray(geom.jacobian_v),
+            jnp.asarray(geom.jacobian_w), jnp.asarray(geom.advection_dz),
+            jnp.asarray(geom.jacobian), ny, nx, ty)
+        valid_mask = jnp.asarray(pk.stack_valid_mask(ny, nx, ty))
+        species_idx = tuple(adv_names.index(k) for k in (
+            "potential_temperature", "water_vapor", "cloud_water",
+            "rain_mass", "snow_mass"))
+        i_th = species_idx[0]
+
+        tend_pad = None
+        if with_forcing and any(k in dqdt for k in adv_names):
+            zero = jnp.zeros_like(state[adv_names[0]])
+            tend_pad = pad3(jnp.stack([dqdt.get(k, zero)
+                                       for k in adv_names]))
+            # boundary-ring mask in the padded frame (zeros on ghost/pad)
+            bmask_pad = np.zeros((R, P), np.float32)
+            bmask_pad[front:front + ny, :nx] = bmask
+
+        def cond(carry):
+            return carry[3] < end_time - 1e-3
+
+        def body(carry):
+            qpad, rain, snow, t, n = carry
+            dt = jnp.minimum(dt_static, end_time - t)
+            near_end = ((end_time - t) < dt * 2).astype(jnp.float32)
+            # density refresh directly in the padded layout (the only
+            # per-substep diagnostic this configuration consumes)
+            rho_pad = p_pad / (C.RD * (qpad[i_th] * exner_pad))
+            qpad, rain, snow = pk.mp_simple_padded(
+                qpad, p_pad, exner_pad, rho_pad, dzmp_pad, rain, snow,
+                valid_mask, dt, jnp.exp(-RAIN_FORMATION_TC * dt),
+                jnp.exp(-SNOW_FORMATION_TC * dt), species_idx)
+            qpad = pk.advect_upwind_padded(
+                qpad, winds_padded, dt, limit_floor_1d,
+                near_end if tend_pad is None else jnp.float32(0.0),
+                ny, nx, ty)
+            if tend_pad is not None:
+                # boundary-ring forcing relaxation, with the near-end
+                # enforce_limits clamp folded in (it must follow forcing,
+                # matching the reference's operator order)
+                floor_b = jnp.where(near_end > 0,
+                                    jnp.asarray(limit_floor), -jnp.inf)
+                qpad = jnp.maximum(
+                    qpad + tend_pad * (dt * bmask_pad)[None, None],
+                    floor_b)
+            return qpad, rain, snow, t + dt, n + 1
+
+        rain0 = jnp.zeros((R, P), jnp.float32)
+        qpad, rain, snow, t, n = jax.lax.while_loop(
+            cond, body, (qpad, rain0, rain0, t0, jnp.int32(0)))
+
+        state = dict(state)
+        for i, k in enumerate(adv_names):
+            state[k] = qpad[i, :, front:front + ny, :nx]
+        # precip accumulated as an f32 interval DELTA inside the kernel and
+        # added to the float64 accumulators here — at least as precise as
+        # the general path's per-substep f64->f32->f64 round trip
+        state["precipitation"] = (state["precipitation"]
+                                  + rain[front:front + ny, :nx])
+        state["snowfall"] = (state["snowfall"]
+                             + snow[front:front + ny, :nx])
+        state = diagnostic_update(state, geom, full=True)
+        if "rain_frac" in aux:
+            rf = aux["rain_frac"].astype(state["precipitation"].dtype)
+            state["precipitation"] = precip0 + (
+                state["precipitation"] - precip0) * rf
+        return state, t, n
+
     def step(state, dqdt, t0, end_time, aux):
+        if fast_capable and (not with_forcing
+                             or set(dqdt) <= set(adv_names)):
+            return fast_step(state, dqdt, t0, end_time, aux)
         if natural_shapes is not None:
             state_padded = state
             state = _slice_natural(state)
@@ -1041,20 +1188,6 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         full_each = (phys.boundarylayer == C.PBL_YSU)
         w_real_cfg = (phys.microphysics == C.MP_WSM3
                       or phys.convection != C.CU_NONE)
-
-        def quantized_dt(u, v, w):
-            dt = compute_dt(u, v, w, dz_levels, geom.dx,
-                            options.run.cfl_reduction_factor,
-                            options.run.cfl_strictness)
-            dt = jnp.minimum(dt, C.MAX_DT)
-            # quantize dt to 1/64 s (exact in f32) so the substep count is
-            # identical run-to-run and sharding-to-sharding: different mesh
-            # layouts fuse the CFL arithmetic differently, and an ulp-level
-            # dt difference would flip while_loop trip counts (the
-            # reference's co_min is exact because max/min reductions are
-            # order-independent; the elementwise CFL sums feeding it are
-            # not). Mirrors the determinism of time_step.f90:413 co_min.
-            return jnp.maximum(jnp.floor(dt * 64.0) / 64.0, 1.0 / 64.0)
 
         # establish every derived field once before the loop; the body then
         # refreshes only the `needs` subset
@@ -1079,13 +1212,14 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 state[k] = qstack[i]
             return state
 
-        def limits_fn(state):
-            state = enforce_limits(state)
-            if use_stack:
-                state = dict(state)
-                state["_qstack"] = jnp.maximum(state["_qstack"],
-                                               limit_floor)
-            return state
+        # limited fields NOT riding the stack (clamped through a small
+        # lax.cond; usually empty — every limited field is advected in
+        # every stock configuration, so the old whole-state cond tupled
+        # 25 fields for nothing)
+        limited_rest = tuple(k for k in LIMITED_FIELDS
+                             if k in state and k not in adv_names)
+        clamp_in_advect = (use_stack and tend_stack is None
+                           and phys.advection == C.ADV_UPWIND)
 
         def cond(carry):
             t = carry[1]
@@ -1100,6 +1234,9 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             else:
                 dt = dt_static
             dt = jnp.minimum(dt, end_time - t)
+            # clamp over-shot negatives in the last couple of substeps
+            # (enforce_limits near the interval end, time_step.f90:537-539)
+            near_end = (end_time - t) < dt * 2
 
             # YSU consumes the 10m-wind/ustar diagnostics every substep
             # (a fused Pallas "prologue" for diagnostics+CFL was measured
@@ -1110,22 +1247,38 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                                       with_w_real=(w_real_cfg and winds_vary),
                                       needs=None if full_each else needs)
             state, mp_el, lsm_el, rad_el = physics_step(
-                state, dt, t, aux, mp_el, lsm_el, rad_el)
+                state, dt, t, aux, mp_el, lsm_el, rad_el,
+                advect_clamp=(near_end.astype(jnp.float32)
+                              if clamp_in_advect else None))
             if with_forcing:
                 state = apply_forcing(state, dqdt, dt, bmask)
                 if tend_stack is not None:
                     # boundary-ring relaxation of the advected species on
                     # the stacked carry (apply_forcing,
-                    # domain_obj.f90:2400-2428)
+                    # domain_obj.f90:2400-2428), with the near-end clamp
+                    # fused in (it must follow forcing)
                     state = dict(state)
-                    state["_qstack"] = (state["_qstack"]
-                                        + tend_stack * (dt * bmask)[None, None])
-            # clamp over-shot negatives in the last couple of substeps
-            # (time_step.f90:537-539); a lax.cond so the clamp pass over
-            # the whole state costs nothing until the interval end
-            near_end = (end_time - t) < dt * 2
-            state = jax.lax.cond(near_end, limits_fn,
-                                 lambda s: s, state)
+                    floor_b = jnp.where(near_end,
+                                        jnp.asarray(limit_floor), -jnp.inf)
+                    state["_qstack"] = jnp.maximum(
+                        state["_qstack"]
+                        + tend_stack * (dt * bmask)[None, None], floor_b)
+            if use_stack and tend_stack is None and not clamp_in_advect:
+                # MPDATA path: fused masked clamp on the stack
+                state = dict(state)
+                state["_qstack"] = jnp.where(
+                    near_end,
+                    jnp.maximum(state["_qstack"], jnp.asarray(limit_floor)),
+                    state["_qstack"])
+            if limited_rest:
+                sub = {k: state[k] for k in limited_rest}
+                sub = jax.lax.cond(
+                    near_end,
+                    lambda d: {k: jnp.maximum(v, 0.0)
+                               for k, v in d.items()},
+                    lambda d: d, sub)
+                state = dict(state)
+                state.update(sub)
             return state, t + dt, n + 1, mp_el, lsm_el, rad_el
 
         # counters start at their intervals so the first substep runs the

@@ -92,20 +92,30 @@ def advect3d_upwind(q, winds: CourantWinds, rho, dz, jaco,
 
 def advect_upwind(stacked_q, u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
                   jaco, rho, dz, advect_density: bool = False,
-                  use_pallas: bool = True):
+                  use_pallas: bool = True, floors=None, near_end=None):
     """Advect all species at once: ``stacked_q`` is (nq, nz, ny, nx)
     (upwind, advect.f90:380-418). On TPU (and without density advection)
     the fused Pallas stencil kernel is used; the vmapped jnp path is the
-    reference implementation."""
-    winds = setup_courant_winds(u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
-                                rho, advect_density)
+    reference implementation.
+
+    ``floors``/``near_end``: optional per-species enforce_limits clamp
+    folded into the kernel epilogue (applied only when near_end > 0);
+    the jnp path applies the same clamp explicitly."""
     if use_pallas and not advect_density:
         from . import pallas_kernels as pk
         if pk.kernels_available():
-            return pk.advect_upwind_tpu(stacked_q, winds.U_m, winds.V_m,
-                                        winds.W_m, dz, jaco)
+            return pk.advect_upwind_tpu(stacked_q, u, v, w, dx, jaco_u,
+                                        jaco_v, jaco_w, dz, jaco, dt,
+                                        floors=floors, near_end=near_end)
+    winds = setup_courant_winds(u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
+                                rho, advect_density)
     fn = lambda q: advect3d_upwind(q, winds, rho, dz, jaco, advect_density)
-    return jax.vmap(fn)(stacked_q)
+    out = jax.vmap(fn)(stacked_q)
+    if floors is not None and near_end is not None:
+        floor = jnp.where(near_end > 0,
+                          jnp.asarray(floors, out.dtype), -jnp.inf)
+        out = jnp.maximum(out, floor[:, None, None, None])
+    return out
 
 
 def divergence_check(winds: CourantWinds, dz):

@@ -128,9 +128,32 @@ saturation_adjust_available = kernels_available
 # field, one write of each output. q and the y-face winds need a 1-row halo,
 # which regular (non-overlapping) BlockSpecs cannot express, so those arrive
 # as HBM refs and the kernel DMAs halo windows into scratch.
+#
+# The species stack lives in the kernels' PADDED layout (S, nz, R, P) with
+# R = ty + ny_pad + ty (a ty-row ghost band in front keeps every DMA window
+# and output block 8-row aligned) and P = 128-aligned nx. The fast interval
+# path (core/step.py) carries this layout across the whole while loop —
+# ghost/pad cells hold arbitrary finite garbage that every kernel masks —
+# so no per-substep pad/slice/restack traffic exists. padded_geometry() is
+# the single source of truth for the layout.
 
 
-def _advect_kernel(dims_ref, qpad_ref, vpad_ref,
+def padded_geometry(ny: int, nx: int, ty: int = 16):
+    """(ny_pad, P, R, FRONT) for the padded stack layout. Data rows live at
+    padded rows [FRONT, FRONT+ny); data cols at [0, nx)."""
+    ny_pad = pl.cdiv(ny, ty) * ty
+    P = pl.cdiv(nx, 128) * 128
+    return ny_pad, P, ny_pad + 2 * ty, ty
+
+
+def pad_to_stack_layout(a, ny: int, nx: int, ty: int = 16, mode="edge"):
+    """Pad the trailing (ny, nx) dims of ``a`` into the (R, P) frame."""
+    ny_pad, P, R, front = padded_geometry(ny, nx, ty)
+    return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
+                   + ((front, R - front - ny), (0, P - nx)), mode=mode)
+
+
+def _advect_kernel(dims_ref, scal_ref, floor_ref, qpad_ref, vpad_ref,
                    u_ref, w_ref, dz_ref, jaco_ref, out_ref,
                    qwin, vwin, sems):
     i = pl.program_id(0)          # y tile; species index is grid dim 1
@@ -138,15 +161,18 @@ def _advect_kernel(dims_ref, qpad_ref, vpad_ref,
     TY = out_ref.shape[2]
 
     # the y stencil needs a 1-row halo, which non-overlapping BlockSpecs
-    # cannot express: DMA a (TY+8)-row window of this species (and, once
+    # cannot express: DMA a (TY+16)-row window of this species (and, once
     # per tile, of the y-face winds) from HBM into scratch. Mosaic requires
-    # DMA slice offsets AND sizes 8-aligned in the sublane dim, so the
-    # window is 8 rows (not 2) taller than the tile, with a 4-row ghost
-    # band in front: padded row r holds global row r-4, and the window for
-    # rows [i*TY, i*TY+TY) starts at padded row i*TY (aligned when TY is a
-    # multiple of 8).
+    # DMA slice offsets AND sizes 8-aligned in the sublane dim: with the
+    # TY-row front ghost band, the window for data rows [i*TY, (i+1)*TY)
+    # starts at padded row (i+1)*TY - 8 (8-aligned for TY % 8 == 0), and
+    # data row i*TY + l sits at window row l + 8 regardless of i.
+    # the start row (i+1)*TY - 8 is a multiple of 8 for TY % 8 == 0, but
+    # Mosaic's divisibility prover cannot show it — assert it
+    row0 = pl.multiple_of((i + 1) * TY - 8, 8)
     qdma = pltpu.make_async_copy(
-        qpad_ref.at[s, :, pl.ds(i * TY, TY + 8), :], qwin, sems.at[0])
+        qpad_ref.at[s, :, pl.ds(row0, TY + 16), :], qwin,
+        sems.at[0])
     qdma.start()
 
     @pl.when(s == 0)
@@ -154,13 +180,19 @@ def _advect_kernel(dims_ref, qpad_ref, vpad_ref,
         # V window depends only on the tile, and species is the inner grid
         # dim: fetch once per tile, reuse from scratch for the rest
         vdma = pltpu.make_async_copy(
-            vpad_ref.at[:, pl.ds(i * TY, TY + 8), :], vwin, sems.at[1])
+            vpad_ref.at[:, pl.ds(row0, TY + 16), :], vwin,
+            sems.at[1])
         vdma.start()
         vdma.wait()
     qdma.wait()
 
-    U = u_ref[:]                  # (nz, TY, P-1) internal x faces
-    W = w_ref[:]                  # (nz, TY, P)
+    # winds are stored UNSCALED (u*jaco/dx form, loop-invariant); the
+    # per-substep dt scaling happens here, in VMEM, instead of
+    # materializing three scaled wind fields in HBM every substep
+    dt = scal_ref[0]
+    near_end = scal_ref[1]
+    U = u_ref[:] * dt             # (nz, TY, P-1) internal x faces
+    W = w_ref[:] * dt             # (nz, TY, P)
     dz = dz_ref[:]
     jaco = jaco_ref[:]
 
@@ -177,13 +209,13 @@ def _advect_kernel(dims_ref, qpad_ref, vpad_ref,
     def flux(l, r, c):
         return ((c + jnp.abs(c)) * l + (c - jnp.abs(c)) * r) * 0.5
 
-    # window row j = global row i*TY + j - 4 (4-row front ghost band)
-    qd = qwin[:, 3:TY + 3]        # row below (y-1)
-    qc = qwin[:, 4:TY + 4]        # this tile's rows
-    qu = qwin[:, 5:TY + 5]        # row above (y+1)
-    # window row j = face i*TY + j - 4; row g needs faces g-1 and g
-    Vb = vwin[:, 3:TY + 3]        # face below each row
-    Va = vwin[:, 4:TY + 4]        # face above each row
+    # window row l+8 = data row i*TY + l (see DMA comment above)
+    qd = qwin[:, 7:TY + 7]        # row below (y-1)
+    qc = qwin[:, 8:TY + 8]        # this tile's rows
+    qu = qwin[:, 9:TY + 9]        # row above (y+1)
+    # vpad row r = face r-FRONT; data row g needs faces g-1 and g
+    Vb = vwin[:, 7:TY + 7] * dt   # face below each row
+    Va = vwin[:, 8:TY + 8] * dt   # face above each row
     fx = flux(qc[:, :, :-1], qc[:, :, 1:], U)
     xdiv = fx[:, :, 1:] - fx[:, :, :-1]              # cells 1..P-2
     ydiv = flux(qc, qu, Va) - flux(qd, qc, Vb)
@@ -196,76 +228,103 @@ def _advect_kernel(dims_ref, qpad_ref, vpad_ref,
     zcol = jnp.zeros_like(qc[:, :, :1])
     dq = jnp.concatenate([zcol, interior, zcol], axis=2)
     dq = jnp.where(interior_y & interior_x, dq, 0.0)
-    out_ref[0] = qc - dq
+    # enforce_limits folded in: near the interval end, clamp this species
+    # to its floor (time_step.f90:537-539 + domain_obj.f90:2228). With
+    # near_end=0 the clamp is max(x, -inf) == x.
+    floor = jnp.where(near_end > 0, floor_ref[s], -jnp.inf)
+    out_ref[0] = jnp.maximum(qc - dq, floor)
 
 
-def advect_upwind_tpu(stacked_q, U_m, V_m, W_m, dz, jaco, ty: int = 16):
-    """Fused multi-species donor-cell update (same math as
-    ops.advection.advect3d_upwind, advect.f90:107-178) as one Pallas pass.
-
-    The species stack is padded by one ghost row in front (plus tile
-    padding behind) and the kernel DMAs each tile's (ty+2)-row halo window
-    from HBM — one read of each field per substep, instead of the three
-    materialized shifted copies a BlockSpec-only formulation needs (which
-    tripled the q read traffic and added two full-stack writes).
-
-    stacked_q: (S, nz, ny, nx); U_m (nz, ny, nx-1); V_m (nz, ny-1, nx);
-    W_m/dz/jaco (nz, ny, nx). Density advection not supported (rho=1)."""
-    S, nz, ny, nx = stacked_q.shape
-    ny_pad = pl.cdiv(ny, ty) * ty
-    pad_y = ny_pad - ny
-    # DMA slice shapes must be 128-aligned in the lane (x) dim as well:
-    # pad the DMA'd arrays to the aligned width; pad lanes are masked out
-    # of the update (interior_x)
-    P = pl.cdiv(nx, 128) * 128
-    pad_x = P - nx
-
-    def rowpad(a, mode="edge", w=None):
-        px = (w if w is not None else P) - a.shape[-1]
-        return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
-                       + ((0, pad_y), (0, px)), mode=mode)
-
-    # q with ghost rows: padded row r = global row r-4 (4-row ghost bands
-    # keep every DMA window 8-row aligned); ghost rows are read only as the
-    # (masked-out) neighbors of boundary rows. XLA fuses this pad with the
-    # species stack into a single copy, so it replaces (not adds to) the
-    # stack materialization.
-    qpad = jnp.pad(stacked_q,
-                   ((0, 0), (0, 0), (4, pad_y + 4), (0, pad_x)),
-                   mode="edge")
-    # V faces: padded row r = face r-4 (zero ghosts; the fluxes they
-    # produce touch only masked boundary rows)
-    vpad = jnp.pad(V_m, ((0, 0), (4, pad_y + 5), (0, pad_x)),
-                   mode="constant")
-    up = rowpad(U_m, mode="constant", w=P - 1)
-    wp = rowpad(W_m, mode="constant")
-    # dz/jaco pad with edge values so the masked pad lanes never divide
-    # by zero
-    dzp = rowpad(dz)
-    jacop = rowpad(jaco)
+def _advect_call(qpad, vpad, up, wp, dzp, jacop, dt, floors, near_end,
+                 ny, nx, ty):
+    """Invoke the advect kernel on padded-layout operands; returns the
+    padded-layout result (ghost blocks unwritten/garbage by design)."""
+    S, nz, R, P = qpad.shape
+    ny_pad = R - 2 * ty
+    if floors is None:
+        floors = jnp.full((S,), -jnp.inf, jnp.float32)
+    if near_end is None:
+        near_end = jnp.float32(0.0)
+    scal = jnp.stack([jnp.asarray(dt, jnp.float32),
+                      jnp.asarray(near_end, jnp.float32)])
 
     # species is the INNER grid dim: the shared wind/metric blocks keep the
     # same index across species so the pipeline does not re-fetch them
     grid = (ny_pad // ty, S)
     spec3 = lambda w: pl.BlockSpec((nz, ty, w), lambda i, s: (0, i, 0),
                                    memory_space=pltpu.VMEM)
-    spec4 = pl.BlockSpec((1, nz, ty, P), lambda i, s: (s, 0, i, 0),
+    spec4 = pl.BlockSpec((1, nz, ty, P), lambda i, s: (s, 0, i + 1, 0),
                          memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _advect_kernel,
         grid=grid,
         interpret=_INTERPRET,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  spec3(P - 1), spec3(P), spec3(P), spec3(P)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.ANY),
+           pl.BlockSpec(memory_space=pltpu.ANY),
+           spec3(P - 1), spec3(P), spec3(P), spec3(P)],
         out_specs=spec4,
-        out_shape=jax.ShapeDtypeStruct((S, nz, ny_pad, P), stacked_q.dtype),
-        scratch_shapes=[pltpu.VMEM((nz, ty + 8, P), stacked_q.dtype),
-                        pltpu.VMEM((nz, ty + 8, P), stacked_q.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, nz, R, P), qpad.dtype),
+        scratch_shapes=[pltpu.VMEM((nz, ty + 16, P), qpad.dtype),
+                        pltpu.VMEM((nz, ty + 16, P), qpad.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
-    )(jnp.asarray([ny, nx], jnp.int32), qpad, vpad, up, wp, dzp, jacop)
-    return out[:, :, :ny, :nx]
+    )(jnp.asarray([ny, nx], jnp.int32), scal, jnp.asarray(floors), qpad,
+      vpad, up, wp, dzp, jacop)
+
+
+def prepare_advect_winds(u, v, w, dx, jaco_u, jaco_v, jaco_w, dz, jaco,
+                         ny: int, nx: int, ty: int = 16):
+    """Loop-invariant padded-layout operands for the advect kernel:
+    unscaled metric winds (the kernel multiplies by dt in VMEM) plus the
+    dz/jacobian metrics (setup_module_winds, advect.f90:306-351, minus the
+    dt factor)."""
+    ny_pad, P, R, front = padded_geometry(ny, nx, ty)
+
+    def rowpad(a, mode="edge", w=None):
+        px = (w if w is not None else P) - a.shape[-1]
+        return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
+                       + ((0, ny_pad - a.shape[-2]), (0, px)), mode=mode)
+
+    # V faces in the ghost frame: padded row r = face r-front (zero ghosts;
+    # the fluxes they produce touch only masked boundary rows)
+    VJ = v[:, 1:-1, :] * jaco_v[:, 1:-1, :] * (1.0 / dx)
+    vpad = jnp.pad(VJ, ((0, 0), (front, R - front - (ny - 1)), (0, P - nx)),
+                   mode="constant")
+    up = rowpad(u[:, :, 1:-1] * jaco_u[:, :, 1:-1] * (1.0 / dx),
+                mode="constant", w=P - 1)
+    wp = rowpad(w * jaco_w, mode="constant")
+    # dz/jaco pad with edge values so the masked pad lanes never divide
+    # by zero
+    dzp = rowpad(dz)
+    jacop = rowpad(jaco)
+    return vpad, up, wp, dzp, jacop
+
+
+def advect_upwind_padded(qpad, winds_padded, dt, floors, near_end,
+                         ny: int, nx: int, ty: int = 16):
+    """Fast-path advection: stack already in padded layout; output stays in
+    padded layout (carried across the interval loop by core/step.py)."""
+    vpad, up, wp, dzp, jacop = winds_padded
+    return _advect_call(qpad, vpad, up, wp, dzp, jacop, dt, floors,
+                        near_end, ny, nx, ty)
+
+
+def advect_upwind_tpu(stacked_q, u, v, w, dx, jaco_u, jaco_v, jaco_w,
+                      dz, jaco, dt, floors=None, near_end=None,
+                      ty: int = 16):
+    """Fused multi-species donor-cell update (same math as
+    ops.advection.advect3d_upwind, advect.f90:107-178) as one Pallas pass,
+    for a natural-shape (S, nz, ny, nx) stack. The pad into the kernel
+    layout fuses with the stack build (one copy); winds arrive raw and are
+    metric-scaled here (loop-invariant, hoisted by XLA) with the dt factor
+    applied inside the kernel. Density advection not supported (rho=1)."""
+    S, nz, ny, nx = stacked_q.shape
+    qpad = pad_to_stack_layout(stacked_q, ny, nx, ty)
+    winds = prepare_advect_winds(u, v, w, dx, jaco_u, jaco_v, jaco_w,
+                                 dz, jaco, ny, nx, ty)
+    out = _advect_call(qpad, *winds, dt, floors, near_end, ny, nx, ty)
+    front = ty
+    return out[:, :, front:front + ny, :nx]
 
 
 # ---------------------------------------------------------------------------
@@ -357,37 +416,27 @@ def _sediment_inline(q, qv, t, p, rho, dz, dt, fall_rate, evap_base,
     return q, qv, t, precip
 
 
-def _mp_simple_kernel(scal_ref, m_ref, p_ref, exner_ref, th_ref, rho_ref,
-                      dz_ref, qv_ref, qc_ref, qr_ref, qs_ref, rain_ref,
-                      snow_ref, th_out, qv_out, qc_out, qr_out, qs_out,
-                      rain_out, snow_out):
-    dt = scal_ref[0]
-    cloud2rain = scal_ref[1]
-    cloud2snow = scal_ref[2]
-    # the grid's tail block runs past the flattened column count: loads
-    # there return garbage and stores are dropped by Pallas. Mask every
-    # loaded field to neutral values on those lanes so the two cross-lane
-    # reductions in the fall loops (max CFL count, any-precipitate gate)
-    # and NaN propagation cannot be polluted — this replaces padding the
-    # inputs outside the kernel, which materialized a copy of all 11
-    # fields (and a slice-back of all 7 outputs) every call.
-    TX = th_out.shape[1]
-    lane = pl.program_id(0) * TX + jax.lax.broadcasted_iota(
-        jnp.int32, (1, TX), 1)
-    valid = lane < m_ref[0]
+def _mp_tile(dt, cloud2rain, cloud2snow, valid, p, exner, th, rho, dz,
+             qv, qc, qr, qs):
+    """The full SB04 column update on one in-VMEM tile. ``valid`` masks
+    lanes holding garbage (flattened tail / ghost+pad cells of the padded
+    stack layout): loads are replaced by neutral values there so the
+    cross-lane reductions in the fall loops (max CFL count, any-
+    precipitate gate) and NaN propagation cannot be polluted. Returns
+    (t, qv, qc, qr, qs, sed_rain, sed_snow) with t the REAL temperature."""
 
-    def ld(ref, neutral):
-        return jnp.where(valid, ref[:], neutral)
+    def ld(v, neutral):
+        return jnp.where(valid, v, neutral)
 
-    p = ld(p_ref, 1e5)
-    exner = ld(exner_ref, 1.0)
-    t = ld(th_ref, 300.0) * exner
-    rho = ld(rho_ref, 1.0)
-    dz = ld(dz_ref, 1e9)
-    qv = ld(qv_ref, 0.0)
-    qc = ld(qc_ref, 0.0)
-    qr = ld(qr_ref, 0.0)
-    qs = ld(qs_ref, 0.0)
+    p = ld(p, 1e5)
+    exner = ld(exner, 1.0)
+    t = ld(th, 300.0) * exner
+    rho = ld(rho, 1.0)
+    dz = ld(dz, 1e9)
+    qv = ld(qv, 0.0)
+    qc = ld(qc, 0.0)
+    qr = ld(qr, 0.0)
+    qs = ld(qs, 0.0)
 
     # latent heats from the PRE-adjustment temperature
     # (mp_conversions, mp_simple.f90:381-390)
@@ -437,6 +486,26 @@ def _mp_simple_kernel(scal_ref, m_ref, p_ref, exner_ref, th_ref, rho_ref,
                                         RAIN_FALL_RATE, cloud2rain, False)
     qs, qv, t, sed_s = _sediment_inline(qs, qv, t, p, rho, dz, dt,
                                         SNOW_FALL_RATE, cloud2snow, True)
+    return t, qv, qc, qr, qs, sed_r, sed_s
+
+
+def _mp_simple_kernel(scal_ref, m_ref, p_ref, exner_ref, th_ref, rho_ref,
+                      dz_ref, qv_ref, qc_ref, qr_ref, qs_ref, rain_ref,
+                      snow_ref, th_out, qv_out, qc_out, qr_out, qs_out,
+                      rain_out, snow_out):
+    dt = scal_ref[0]
+    # the grid's tail block runs past the flattened column count: mask
+    # those lanes — this replaces padding the inputs outside the kernel,
+    # which materialized a copy of all 11 fields (and a slice-back of all
+    # 7 outputs) every call.
+    TX = th_out.shape[1]
+    lane = pl.program_id(0) * TX + jax.lax.broadcasted_iota(
+        jnp.int32, (1, TX), 1)
+    valid = lane < m_ref[0]
+    exner = jnp.where(valid, exner_ref[:], 1.0)
+    t, qv, qc, qr, qs, sed_r, sed_s = _mp_tile(
+        dt, scal_ref[1], scal_ref[2], valid, p_ref[:], exner, th_ref[:],
+        rho_ref[:], dz_ref[:], qv_ref[:], qc_ref[:], qr_ref[:], qs_ref[:])
 
     th_out[:] = t / exner
     qv_out[:] = qv
@@ -493,3 +562,119 @@ def mp_simple_tpu(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
             qs2.reshape(shape3),
             rain2.reshape(ny, nx).astype(acc_dtype),
             snow2.reshape(ny, nx).astype(acc_dtype))
+
+
+# ---------------------------------------------------------------------------
+# SB04 on the padded species stack (the fast interval path)
+# ---------------------------------------------------------------------------
+#
+# Identical physics to _mp_simple_kernel, but reading/writing the advected
+# species directly from the padded (S, nz, R, P) stack that rides the
+# interval while_loop carry: one ANY-memory operand + per-tile DMA windows,
+# instead of five sliced operands — XLA materializes every slice feeding a
+# custom call as an async device copy (~190 MB/substep on the 500^2 bench).
+# The stack operand is aliased to the stack output, so species update
+# in place.
+
+
+def _mp_padded_kernel(ith, iqv, iqc, iqr, iqs, tr, tc,
+                      scal_ref, stack_ref, p_ref, exner_ref, rho_ref,
+                      dz_ref, rain_ref, snow_ref, mask_ref,
+                      stack_out, rain_out, snow_out,
+                      sth, sqv, sqc, sqr, sqs, sems):
+    ir = pl.program_id(0)
+    ic = pl.program_id(1)
+    bufs = ((sth, ith), (sqv, iqv), (sqc, iqc), (sqr, iqr), (sqs, iqs))
+    # window the (tr, tc) row/lane tile of each species out of the 4D
+    # stack: the sliced dims are the TILED (R, P) pair, so offsets/sizes
+    # stay (8, 128)-aligned (a flattened (nz, R*P) view would put nz in
+    # the sublane dim, which Mosaic cannot slice for nz % 8 != 0)
+    dmas = []
+    for k, (buf, si) in enumerate(bufs):
+        d = pltpu.make_async_copy(
+            stack_ref.at[si, :, pl.ds(ir * tr, tr), pl.ds(ic * tc, tc)],
+            buf, sems.at[k])
+        d.start()
+        dmas.append(d)
+    for d in dmas:
+        d.wait()
+
+    valid = mask_ref[:] > 0
+    exner = jnp.where(valid, exner_ref[:], 1.0)
+    t, qv, qc, qr, qs, sed_r, sed_s = _mp_tile(
+        scal_ref[0], scal_ref[1], scal_ref[2], valid, p_ref[:], exner,
+        sth[:], rho_ref[:], dz_ref[:], sqv[:], sqc[:], sqr[:], sqs[:])
+
+    # stage results back into the scratch windows and DMA them out
+    sth[:] = t / exner
+    sqv[:] = qv
+    sqc[:] = qc
+    sqr[:] = qr
+    sqs[:] = qs
+    outs = []
+    for k, (buf, si) in enumerate(bufs):
+        d = pltpu.make_async_copy(
+            buf, stack_out.at[si, :, pl.ds(ir * tr, tr),
+                              pl.ds(ic * tc, tc)], sems.at[k])
+        d.start()
+        outs.append(d)
+    rain_out[:] = jnp.where(valid, rain_ref[:], 0.0) + sed_r[0] + sed_s[0]
+    snow_out[:] = jnp.where(valid, snow_ref[:], 0.0) + sed_s[0]
+    for d in outs:
+        d.wait()
+
+
+def stack_valid_mask(ny: int, nx: int, ty: int = 16):
+    """Numpy (R, P) mask of the data cells of the padded stack layout
+    (1 = real cell, 0 = ghost/pad). Trace-time constant — keep numpy."""
+    import numpy as np
+    ny_pad, P, R, front = padded_geometry(ny, nx, ty)
+    m = np.zeros((R, P), np.float32)
+    m[front:front + ny, :nx] = 1.0
+    return m
+
+
+def mp_simple_padded(qpad, p_pad, exner_pad, rho_pad, dz_pad, rain_pad,
+                     snow_pad, valid_mask, dt, cloud2rain, cloud2snow,
+                     species_idx, tr: int = 8, tc: int = 512):
+    """SB04 on the padded stack. qpad (S, nz, R, P); p/exner/rho/dz_pad
+    (nz, R, P); rain/snow_pad (R, P) f32 interval accumulators;
+    valid_mask from stack_valid_mask; species_idx = (ith, iqv, iqc, iqr,
+    iqs) positions in the stack (must cover every species — SB04 updates
+    all five). The stack input is aliased to the stack output (species
+    update in place, tile-local). Returns (qpad, rain_pad, snow_pad)."""
+    S, nz, R, P = qpad.shape
+    assert sorted(species_idx) == list(range(S)), \
+        "padded SB04 requires the stack to be exactly its five species"
+    # widest lane tile that divides P and keeps the kernel's ~60 live
+    # (nz, tr, tc) temporaries inside the 16 MB scoped-VMEM stack
+    # ((20, 8, 512) measured at ~10.6 MB; (20, 16, 512) rejected at 21.3)
+    budget = 20 * 8 * 512
+    cands = [c for c in (512, 384, 256, 128)
+             if c <= P and P % c == 0 and nz * tr * c <= budget]
+    tc = max(cands) if cands else 128
+    scal = jnp.stack([jnp.asarray(dt, jnp.float32),
+                      jnp.asarray(cloud2rain, jnp.float32),
+                      jnp.asarray(cloud2snow, jnp.float32)])
+    spec = pl.BlockSpec((nz, tr, tc), lambda ir, ic: (0, ir, ic),
+                        memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((tr, tc), lambda ir, ic: (ir, ic),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_mp_padded_kernel, *species_idx, tr, tc)
+    stack2, rain2, snow2 = pl.pallas_call(
+        kernel,
+        grid=(R // tr, P // tc),
+        interpret=_INTERPRET,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  spec, spec, spec, spec, spec2, spec2, spec2],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY), spec2, spec2],
+        out_shape=[jax.ShapeDtypeStruct((S, nz, R, P), qpad.dtype),
+                   jax.ShapeDtypeStruct((R, P), jnp.float32),
+                   jax.ShapeDtypeStruct((R, P), jnp.float32)],
+        input_output_aliases={1: 0},
+        scratch_shapes=[pltpu.VMEM((nz, tr, tc), jnp.float32)] * 5
+        + [pltpu.SemaphoreType.DMA((5,))],
+    )(scal, qpad, p_pad, exner_pad, rho_pad, dz_pad, rain_pad, snow_pad,
+      jnp.asarray(valid_mask))
+    return stack2, rain2, snow2

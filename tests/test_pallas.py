@@ -85,13 +85,71 @@ def test_advect_kernel_bit_exact(interpret_kernels):
     jaco_w = jnp.asarray(r.uniform(0.8, 1.2, (nz, ny, nx)), jnp.float32)
     dt, dx = np.float32(20.0), np.float32(1000.0)
 
-    winds = advection.setup_courant_winds(u, v, w, dt, dx, jaco_u, jaco_v,
-                                          jaco_w, None, False)
-    got = pk.advect_upwind_tpu(q, winds.U_m, winds.V_m, winds.W_m, dz, jaco)
+    got = pk.advect_upwind_tpu(q, u, v, w, dx, jaco_u, jaco_v, jaco_w,
+                               dz, jaco, dt)
     want = advection.advect_upwind(q, u, v, w, dt, dx, jaco_u, jaco_v,
                                    jaco_w, jaco, None, dz, False,
                                    use_pallas=False)
     assert_ulp_equal(got, want, "advect kernel != jnp path", atol=1e-7)
+
+    # with the enforce_limits clamp folded in (near_end=1), both paths
+    # clamp identically
+    floors = np.asarray([0.0, -np.inf, 1e-1], np.float32)
+    got_c = pk.advect_upwind_tpu(q, u, v, w, dx, jaco_u, jaco_v, jaco_w,
+                                 dz, jaco, dt, floors=floors,
+                                 near_end=jnp.float32(1.0))
+    want_c = advection.advect_upwind(q, u, v, w, dt, dx, jaco_u, jaco_v,
+                                     jaco_w, jaco, None, dz, False,
+                                     use_pallas=False, floors=floors,
+                                     near_end=jnp.float32(1.0))
+    assert_ulp_equal(got_c, want_c, "advect kernel clamp != jnp clamp",
+                     atol=1e-7)
+
+
+def test_mp_padded_stack_matches_flat(interpret_kernels):
+    """The padded-stack SB04 kernel (fast interval path) equals the
+    flat-operand kernel on the data cells, with garbage in the ghost/pad
+    cells unable to pollute them."""
+    p, t, qv, qc = _fields(21)
+    r = np.random.default_rng(22)
+    shape = p.shape
+    nz, ny, nx = shape
+    qr = jnp.asarray(np.where(r.uniform(size=shape) < 0.4,
+                              r.uniform(0, 5e-4, shape), 0.0), jnp.float32)
+    qs = jnp.asarray(np.where(r.uniform(size=shape) < 0.4,
+                              r.uniform(0, 5e-4, shape), 0.0), jnp.float32)
+    exner = (p / 100000.0) ** np.float32(0.2857)
+    theta = t / exner
+    rho = p / (np.float32(287.0) * t)
+    rain = jnp.asarray(r.uniform(0, 3, (ny, nx)), jnp.float32)
+    snow = jnp.asarray(r.uniform(0, 1, (ny, nx)), jnp.float32)
+    dz = jnp.asarray(np.full(shape, 250.0), jnp.float32)
+    dt = np.float32(50.0)
+    c2r, c2s = np.float32(0.905), np.float32(0.975)
+
+    want = pk.mp_simple_tpu(p, theta, exner, rho, qv, qc, qr, qs,
+                            rain, snow, dt, dz, c2r, c2s)
+
+    pad = lambda a: pk.pad_to_stack_layout(a, ny, nx)
+    qpad = pad(jnp.stack([theta, qv, qc, qr, qs]))
+    # poison the ghost/pad cells: results on data cells must not change
+    ny_pad, P, R, front = pk.padded_geometry(ny, nx)
+    mask = pk.stack_valid_mask(ny, nx).reshape(R, P) > 0
+    qpad = jnp.where(mask[None, None], qpad, jnp.inf)
+    rain_p = jnp.zeros((R, P), jnp.float32)
+    rain_p = rain_p.at[front:front + ny, :nx].set(rain)
+    snow_p = jnp.zeros((R, P), jnp.float32)
+    snow_p = snow_p.at[front:front + ny, :nx].set(snow)
+    out_q, out_r, out_s = pk.mp_simple_padded(
+        qpad, pad(p), pad(exner), pad(rho), pad(dz), rain_p, snow_p,
+        jnp.asarray(pk.stack_valid_mask(ny, nx)), dt, c2r, c2s,
+        (0, 1, 2, 3, 4))
+    got = [out_q[i, :, front:front + ny, :nx] for i in range(5)] \
+        + [out_r[front:front + ny, :nx], out_s[front:front + ny, :nx]]
+    for name, g, w in zip(("theta", "qv", "qc", "qr", "qs", "rain", "snow"),
+                          got, want):
+        assert_ulp_equal(g, w, f"padded mp kernel vs flat: {name}",
+                         rtol=1e-5, atol=1e-8)
 
 
 @pytest.mark.parametrize("snow", [False, True])
