@@ -53,8 +53,18 @@ def build_model(config: str, nx, ny, nz):
         return ideal_ridge_model(mp=C.MP_THOMPSON, adv=C.ADV_MPDATA,
                                  windtype=C.WIND_NONE, **common)
     if config == "linear":
+        # LUT dims right-sized for one chip: the reference defaults
+        # (10x36x10) need 144 GB at 500^2x20 — the reference itself only
+        # runs that distributed across many images (it prints the
+        # per-image footprint, linear_winds.f90:682). 5x8x3 entries =
+        # 4.8 GB, inside the enforced max_lut_gb budget; a multi-chip
+        # mesh shards the spatial dims for bigger tables.
+        def lut_cb(o):
+            o.lt.n_spd_values = 5
+            o.lt.n_dir_values = 8
+            o.lt.n_nsq_values = 3
         return ideal_ridge_model(mp=C.MP_SIMPLE, windtype=C.WIND_LINEAR,
-                                 **common)
+                                 options_cb=lut_cb, **common)
     if config == "fullphys":
         return ideal_ridge_model(
             mp=C.MP_THOMPSON, windtype=C.WIND_CONSERVE_MASS,

@@ -57,6 +57,10 @@ class LtOptions:
     read_lut: bool = False
     write_lut: bool = False
     lut_filename: str = "linear_theory_lut.nc"
+    # per-device budget for the spatial LUT (the reference prints the
+    # per-image footprint and leaves the user to right-size
+    # n_spd/n_dir/n_nsq — linear_winds.f90:664-682; we enforce it)
+    max_lut_gb: float = 6.0
 
 
 @dataclass

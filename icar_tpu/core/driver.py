@@ -133,9 +133,18 @@ class ICARDriver:
         for name in ("potential_temperature", "water_vapor", "pressure",
                      "cloud_water", "cloud_ice",
                      "sst", "shortwave", "longwave",
-                     "sensible_heat", "latent_heat", "hpbl"):
+                     "sensible_heat", "latent_heat", "hpbl",
+                     "nwfa", "nifa"):
             if name in target and name in s:
                 s[name] = target[name]
+        if "nwfa" in target and "nwfa2d" in s:
+            # the CCN replenishment flux derives from the ACTUAL initial
+            # surface nwfa (thompson_aer_init runs after ingest in the
+            # reference; mp_thompson_aer.f90:536-549)
+            from ..physics.mp_thompson import aer_surface_flux
+            s["nwfa2d"] = jnp.asarray(
+                aer_surface_flux(np.asarray(target["nwfa"])[0], m.geom.dx),
+                jnp.float32)
         from .diagnostics import diagnostic_update
         m.state = diagnostic_update(s, m.geom)
         u, v, w = m.compute_winds(target["u"], target["v"], rotate=True)

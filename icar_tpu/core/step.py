@@ -872,13 +872,18 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 aerosol = (phys.microphysics == C.MP_THOMPSON_AER
                            and "nwfa" in s)
                 if aerosol:
+                    nwfa_in = s["nwfa"]
+                    if "nwfa2d" in s:
+                        # surface CCN replenishment applied to the lowest
+                        # level each mp call (mp_thompson_aer.f90:1233)
+                        nwfa_in = nwfa_in.at[0].add(s["nwfa2d"] * dt)
                     (theta, qv, qc, qi, qr, qs, qg, ni, nr, nc, nwfa,
                      nifa, rain, snow, graupel) = \
                         mp_thompson.mp_thompson_aer(
                         s["potential_temperature"], s["water_vapor"],
                         s["cloud_water"], s["cloud_ice"], s["rain_mass"],
                         s["snow_mass"], s["graupel_mass"], s["ice_number"],
-                        s["rain_number"], s["cloud_number"], s["nwfa"],
+                        s["rain_number"], s["cloud_number"], nwfa_in,
                         s["nifa"], s["exner"], s["pressure"],
                         jnp.asarray(geom.dz_mass), dt, s["precipitation"],
                         s["snowfall"], s["graupel"],
@@ -1104,7 +1109,6 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         species_idx = tuple(adv_names.index(k) for k in (
             "potential_temperature", "water_vapor", "cloud_water",
             "rain_mass", "snow_mass"))
-        i_th = species_idx[0]
 
         tend_pad = None
         if with_forcing and any(k in dqdt for k in adv_names):
@@ -1122,11 +1126,10 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             qpad, rain, snow, t, n = carry
             dt = jnp.minimum(dt_static, end_time - t)
             near_end = ((end_time - t) < dt * 2).astype(jnp.float32)
-            # density refresh directly in the padded layout (the only
-            # per-substep diagnostic this configuration consumes)
-            rho_pad = p_pad / (C.RD * (qpad[i_th] * exner_pad))
+            # density — the only per-substep diagnostic this
+            # configuration consumes — is computed inside the kernel
             qpad, rain, snow = pk.mp_simple_padded(
-                qpad, p_pad, exner_pad, rho_pad, dzmp_pad, rain, snow,
+                qpad, p_pad, exner_pad, dzmp_pad, rain, snow,
                 valid_mask, dt, jnp.exp(-RAIN_FORMATION_TC * dt),
                 jnp.exp(-SNOW_FORMATION_TC * dt), species_idx)
             qpad = pk.advect_upwind_padded(

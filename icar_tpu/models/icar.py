@@ -41,14 +41,21 @@ class ICARModel:
             # default CCN/IN profiles when no aerosol data is supplied
             # (thompson_aer_init, mp_thompson_aer.f90:442-516); forcing
             # ingest overwrites these when nwfa/nifa exist in the files
-            from ..physics.mp_thompson import aer_init_profiles
+            from ..physics.mp_thompson import (aer_init_profiles,
+                                               aer_surface_flux)
             z_agl = np.asarray(self.geom.z) \
                 - np.asarray(self.geom.terrain)[None]
             nwfa, nifa = aer_init_profiles(
                 z_agl, np.asarray(self.geom.terrain))
+            # CCN replenishment flux from the INITIAL surface nwfa
+            # (thompson_aer_init is_start path); recomputed by the
+            # driver if forcing files supply their own nwfa
+            nwfa2d = aer_surface_flux(nwfa[0], self.geom.dx)
             with host_setup():
                 self.state["nwfa"] = jnp.asarray(nwfa, jnp.float32)
                 self.state["nifa"] = jnp.asarray(nifa, jnp.float32)
+                if "nwfa2d" in self.state:
+                    self.state["nwfa2d"] = jnp.asarray(nwfa2d, jnp.float32)
         self.model_time = 0.0          # seconds since run start
         self._with_forcing = False
         self._dqdt: Dict[str, jnp.ndarray] = {}
@@ -62,6 +69,7 @@ class ICARModel:
         self._lut_values = None
         self.u_perturbation = None
         self.v_perturbation = None
+        self._z_sharded = None
         # flow-blocking LUT + terrain heights (initialize_blocking)
         self._blocking = None
         # monthly precipitation bias-correction scale, device-resident
@@ -97,6 +105,24 @@ class ICARModel:
             self._pad_and_shard_dqdt()
         if self._rain_frac_months is not None:
             self._place_rain_fraction()
+        if self._lut is not None:
+            # re-place an already-built LUT (and the persistent
+            # perturbation state) into the padded sharded frame
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import pad_field as _pf
+            sh4 = NamedSharding(mesh, P(None, None, "y", "x"))
+            sh3 = NamedSharding(mesh, P(None, "y", "x"))
+            self._lut = tuple(
+                jax.device_put(jnp.asarray(_pf(np.asarray(a), nyp, nxp)),
+                               sh4) for a in self._lut)
+            self.u_perturbation = jax.device_put(
+                jnp.asarray(_pf(np.asarray(self.u_perturbation),
+                                nyp, nxp)), sh3)
+            self.v_perturbation = jax.device_put(
+                jnp.asarray(_pf(np.asarray(self.v_perturbation),
+                                nyp, nxp)), sh3)
+        self._z_sharded = None
         self._step_fn = None
         self._wind_fn = None
 
@@ -113,11 +139,21 @@ class ICARModel:
 
     def _setup_linear_winds(self):
         """Build (or load) the spatial linear-theory LUT
-        (setup_linwinds / initialize_spatial_winds, linear_winds.f90)."""
+        (setup_linwinds / initialize_spatial_winds, linear_winds.f90).
+
+        Under a mesh the LUT's spatial dims are sharded exactly like the
+        state — the reference's design, where each image holds only its
+        local slice of hi_u_LUT/hi_v_LUT (linear_winds.f90:596-830,
+        alloc :664-665) — so the per-device footprint is total/n_devices.
+        A hard budget check replaces the reference's size printout + OOM."""
         from ..ops import linear_winds as lw
 
         lt = self.options.lt
-        dz = np.asarray(self.options.domain.dz_levels[:self.geom.nz], np.float32)
+        nz, ny, nx = self.geom.nz, self.geom.ny, self.geom.nx
+        n_dev = (len(self.mesh.devices.flat)
+                 if self.mesh is not None else 1)
+        lw.check_lut_budget(lt, nz, ny, nx, n_dev)
+        dz = np.asarray(self.options.domain.dz_levels[:nz], np.float32)
         cached = None
         if lt.read_lut:
             cached = lw.load_lut(lt.lut_filename, dz, lt)
@@ -129,10 +165,25 @@ class ICARModel:
                 np.asarray(self.geom.terrain, np.float64), self.geom.dx, dz, lt)
             if lt.write_lut:
                 lw.save_lut(lt.lut_filename, lut_u, lut_v, dz, lt)
-        self._lut = (lut_u, lut_v)
-        nz, ny, nx = self.geom.nz, self.geom.ny, self.geom.nx
-        self.u_perturbation = jnp.zeros((nz, ny, nx + 1), jnp.float32)
-        self.v_perturbation = jnp.zeros((nz, ny + 1, nx), jnp.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import pad_field
+            nyp, nxp = self._padded_sizes
+            sh4 = NamedSharding(self.mesh, P(None, None, "y", "x"))
+            sh3 = NamedSharding(self.mesh, P(None, "y", "x"))
+            self._lut = tuple(
+                jax.device_put(jnp.asarray(pad_field(np.asarray(a),
+                                                     nyp, nxp)), sh4)
+                for a in (lut_u, lut_v))
+            self.u_perturbation = jax.device_put(
+                jnp.zeros((nz, nyp, nxp), jnp.float32), sh3)
+            self.v_perturbation = jax.device_put(
+                jnp.zeros((nz, nyp, nxp), jnp.float32), sh3)
+        else:
+            self._lut = (lut_u, lut_v)
+            self.u_perturbation = jnp.zeros((nz, ny, nx + 1), jnp.float32)
+            self.v_perturbation = jnp.zeros((nz, ny + 1, nx), jnp.float32)
 
     def _apply_linear_perturbation(self, u, v):
         """One application of the spatial linear wind field (linear_perturb
@@ -192,11 +243,18 @@ class ICARModel:
         solver's stencil slices compile to XLA halo collectives — the TPU
         equivalent of the per-iteration staggered exchange_u/exchange_v of
         the reference's iterative solver (wind.f90:406-407, 482-483;
-        exchangeable_obj.f90:164-232). Returns natural-shape (u, v, w)."""
+        exchangeable_obj.f90:164-232). For wind=1/5 the spatially-sharded
+        LUT lookup runs in the same SPMD program (the trilinear gather's
+        batch dims align with the operand sharding, so it stays
+        shard-local). Returns natural-shape (u, v, w)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.mesh import pad_field
         nyp, nxp = self._padded_sizes
+        windtype = self.options.physics.windtype
+        linear = windtype in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE)
+        if linear and self._lut is None:
+            self._setup_linear_winds()
         sh = NamedSharding(self.mesh, P(None, "y", "x"))
         up = jax.device_put(jnp.asarray(pad_field(np.asarray(u), nyp, nxp)),
                             sh)
@@ -204,35 +262,92 @@ class ICARModel:
                             sh)
         if self._wind_fn is None:
             geom = self.geom
+            lt = self.options.lt
             nz, ny, nx = geom.nz, geom.ny, geom.nx
-            windtype = self.options.physics.windtype
             iters = self.options.run.wind_iterations
             utd = self.options.run.use_terrain_difference
             sin_t = jnp.asarray(geom.sintheta)
             cos_t = jnp.asarray(geom.costheta)
+            if linear:
+                spd, dirv, nsqv = self._lut_values
 
-            def wind_fn(up, vp, do_rotate):
+            def wind_fn(up, vp, aux, do_rotate):
                 u = up[:, :ny, :nx + 1]
                 v = vp[:, :ny + 1, :nx]
                 if do_rotate:
                     u, v = wind_ops.make_winds_grid_relative(u, v,
                                                              sin_t, cos_t)
-                return wind_ops.update_winds(u, v, geom, windtype, iters,
-                                             utd)
+                extra = {}
+                if linear:
+                    from ..ops import linear_winds as lw
+                    sl3 = lambda a: a[:, :ny, :nx]
+                    nsq_log = lw.compute_nsquared(
+                        sl3(aux["theta"]), sl3(aux["exner"]),
+                        sl3(aux["z"]), sl3(aux["qv"]), sl3(aux["hydro"]),
+                        lt.vert_smooth, lt.variable_n, lt.n_squared,
+                        lt.min_stability, lt.max_stability, lt.smooth_nsq,
+                        lt.stability_window_size)
+                    u, v, pu, pv = lw.apply_spatial_winds(
+                        u, v, nsq_log,
+                        aux["pert_u"][:, :ny, :nx + 1],
+                        aux["pert_v"][:, :ny + 1, :nx],
+                        aux["lut_u"][:, :, :ny, :nx + 1],
+                        aux["lut_v"][:, :, :ny + 1, :nx],
+                        spd, dirv, nsqv, lt.vert_smooth,
+                        lt.linear_update_fraction, lt.linear_contribution)
+                    extra["pert_u"] = aux["pert_u"].at[
+                        :, :ny, :nx + 1].set(pu)
+                    extra["pert_v"] = aux["pert_v"].at[
+                        :, :ny + 1, :nx].set(pv)
+                    extra["nsq"] = jnp.exp(nsq_log)
+                u, v, w = wind_ops.update_winds(u, v, geom, windtype,
+                                                iters, utd)
+                return u, v, w, extra
 
-            self._wind_fn = jax.jit(wind_fn, static_argnums=2)
-        return self._wind_fn(up, vp, rotate)
+            self._wind_fn = jax.jit(wind_fn, static_argnums=3)
+        aux = {}
+        if linear:
+            s = self.state
+            hydro = jnp.zeros_like(s["water_vapor"])
+            for k in ("cloud_water", "cloud_ice", "rain_mass", "snow_mass"):
+                if k in s:
+                    hydro = hydro + s[k]
+            aux = {"theta": s["potential_temperature"], "exner": s["exner"],
+                   "qv": s["water_vapor"], "hydro": hydro,
+                   "z": self._wind_z_sharded(), "pert_u": self.u_perturbation,
+                   "pert_v": self.v_perturbation,
+                   "lut_u": self._lut[0], "lut_v": self._lut[1]}
+        u, v, w, extra = self._wind_fn(up, vp, aux, rotate)
+        if "pert_u" in extra:
+            self.u_perturbation = extra["pert_u"]
+            self.v_perturbation = extra["pert_v"]
+        if "nsq" in extra and "nsquared" in self.state:
+            ns = self.state["nsquared"]
+            self.state = dict(self.state)
+            self.state["nsquared"] = ns.at[:, :extra["nsq"].shape[1],
+                                           :extra["nsq"].shape[2]].set(
+                extra["nsq"].astype(ns.dtype))
+        return u, v, w
+
+    def _wind_z_sharded(self):
+        if getattr(self, "_z_sharded", None) is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import pad_field
+            nyp, nxp = self._padded_sizes
+            self._z_sharded = jax.device_put(
+                jnp.asarray(pad_field(np.asarray(self.geom.z), nyp, nxp)),
+                NamedSharding(self.mesh, P(None, "y", "x")))
+        return self._z_sharded
 
     def compute_winds(self, u, v, rotate: bool = False):
         """Run the configured wind solver on (u, v); returns balanced
         (u, v, w) (update_winds, wind.f90:289-369)."""
         if self.mesh is not None \
-                and self.options.physics.windtype not in (
-                    C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE) \
                 and not self.options.block.block_flow:
-            # pure solvers (balance / conserve-mass / iterative) run SPMD;
-            # the linear-theory LUT and blocking paths keep host-side state
-            # and stay on the single-device path for now
+            # all solvers (balance / conserve-mass / iterative / linear
+            # LUT) run SPMD; the blocking path keeps host-side state and
+            # stays on the single-device path for now
             return self._compute_winds_sharded(u, v, rotate)
         if rotate:
             u, v = wind_ops.make_winds_grid_relative(

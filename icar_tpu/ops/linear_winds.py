@@ -160,6 +160,39 @@ def perturbation_layer(u, v, nsq, z_bottom, z_top, n_steps, fzs, k, l, kl):
 # ---------------------------------------------------------------------------
 
 
+def lut_size_bytes(lt, nz: int, ny: int, nx: int) -> int:
+    """Total spatial-LUT footprint in bytes (both wind components), f32.
+    Mirrors the reference's per-image size arithmetic
+    (linear_winds.f90:664-682: 4*n_dir*n_spd*n_nsq*nx*nz*ny per
+    component)."""
+    E = lt.n_spd_values * lt.n_dir_values * lt.n_nsq_values
+    return 4 * E * nz * (ny * (nx + 1) + (ny + 1) * nx)
+
+
+def check_lut_budget(lt, nz: int, ny: int, nx: int, n_devices: int = 1):
+    """Print the LUT footprint (the reference prints 'Local Look up Table
+    size: ... MB', linear_winds.f90:682) and raise when the per-device
+    share exceeds lt.max_lut_gb.
+
+    The reference distributes exactly this table across images — each
+    image holds only its local spatial slice (linear_winds.f90:596-830);
+    here a device mesh shards the (ny, nx) dims the same way, so the
+    per-device share is total/n_devices."""
+    total = lut_size_bytes(lt, nz, ny, nx)
+    per_dev = total / max(n_devices, 1)
+    print(f"Linear-theory spatial LUT: {total / 2**20:.1f} MB total "
+          f"({lt.n_spd_values}x{lt.n_dir_values}x{lt.n_nsq_values} "
+          f"entries), {per_dev / 2**20:.1f} MB per device "
+          f"across {n_devices} device(s)")
+    if per_dev > lt.max_lut_gb * 2**30:
+        raise ValueError(
+            f"linear-theory spatial LUT needs {per_dev / 2**30:.1f} GB per "
+            f"device (> max_lut_gb={lt.max_lut_gb}); reduce n_spd_values/"
+            f"n_dir_values/n_nsq_values (lt_parameters), shard over more "
+            f"devices, or raise max_lut_gb if the device memory allows")
+    return total
+
+
 def table_values(lt):
     """(spd, dir, nsq) axis values (linear_space calls,
     linear_winds.f90:655-661)."""

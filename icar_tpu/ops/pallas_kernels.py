@@ -25,6 +25,7 @@ except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
 # constants duplicated from physics.mp_simple (kernel-local)
+RD = 287.058
 LH_VAPOR = 2.26e6
 DLHVDT = 2400.0
 HEAT_CAPACITY = 1006.0
@@ -72,11 +73,11 @@ def _sat_adjust_inline(p, t0, qv0, qc0):
     vapor2temp = (LH_VAPOR + (373.15 - t0) * DLHVDT) / HEAT_CAPACITY
 
     def cond(carry):
-        t, qv, qc, qvsat, lastqv, niter, it = carry
+        t, qv, qc, qvsat, lastqv, pact, it = carry
         return (it < N_SAT_ITERS) & jnp.any(jnp.abs(lastqv - qv) > MAXERR)
 
     def body(carry):
-        t, qv, qc, qvsat, lastqv, niter, it = carry
+        t, qv, qc, qvsat, lastqv, pact, it = carry
         active = jnp.abs(lastqv - qv) > MAXERR
         lastqv = jnp.where(active, qv, lastqv)
         qvs = _sat_mr(t, p)
@@ -97,14 +98,19 @@ def _sat_adjust_inline(p, t0, qv0, qc0):
         t = jnp.where(active, t_new, t)
         qv = jnp.where(active, qv_new, qv)
         qc = jnp.where(active, qc_new, qc)
-        niter = niter + active.astype(jnp.int32)
-        return t, qv, qc, qvsat, lastqv, niter, it + 1
+        return t, qv, qc, qvsat, lastqv, active, it + 1
 
     init = (t0, qv0, qc0, jnp.zeros_like(qv0), qv0 + 2 * MAXERR,
-            jnp.zeros(qv0.shape, jnp.int32), jnp.int32(0))
-    t, qv, qc, qvsat, lastqv, niter, _ = jax.lax.while_loop(cond, body, init)
+            qv0 > -jnp.inf, jnp.int32(0))
+    t, qv, qc, qvsat, lastqv, pact, it = jax.lax.while_loop(cond, body,
+                                                            init)
 
-    failed = niter >= N_SAT_ITERS
+    # the diverging-iteration revert (mp_simple.f90:264-276): a cell
+    # fails iff it was still active DURING the final (15th) iteration —
+    # inactivity is permanent, so the last body's active mask (a cheap
+    # predicate carry, replacing the int32 per-cell counter) plus the
+    # shared iteration count decide it exactly
+    failed = pact & (it >= N_SAT_ITERS)
     t = jnp.where(failed, t0, t)
     qv = jnp.where(failed, _sat_mr(t0, p), qv)
     qc = jnp.where(failed, qc0, qc)
@@ -431,7 +437,14 @@ def _mp_tile(dt, cloud2rain, cloud2snow, valid, p, exner, th, rho, dz,
     p = ld(p, 1e5)
     exner = ld(exner, 1.0)
     t = ld(th, 300.0) * exner
-    rho = ld(rho, 1.0)
+    if rho is None:
+        # the fast path's only per-substep diagnostic, computed here in
+        # VMEM with the exact op sequence of core/diagnostics
+        # (density = p / (Rd * (theta*exner))) instead of a separate
+        # whole-field HBM pass
+        rho = p / (RD * t)
+    else:
+        rho = ld(rho, 1.0)
     dz = ld(dz, 1e9)
     qv = ld(qv, 0.0)
     qc = ld(qc, 0.0)
@@ -578,7 +591,7 @@ def mp_simple_tpu(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
 
 
 def _mp_padded_kernel(ith, iqv, iqc, iqr, iqs, tr, tc,
-                      scal_ref, stack_ref, p_ref, exner_ref, rho_ref,
+                      scal_ref, stack_ref, p_ref, exner_ref,
                       dz_ref, rain_ref, snow_ref, mask_ref,
                       stack_out, rain_out, snow_out,
                       sth, sqv, sqc, sqr, sqs, sems):
@@ -603,7 +616,7 @@ def _mp_padded_kernel(ith, iqv, iqc, iqr, iqs, tr, tc,
     exner = jnp.where(valid, exner_ref[:], 1.0)
     t, qv, qc, qr, qs, sed_r, sed_s = _mp_tile(
         scal_ref[0], scal_ref[1], scal_ref[2], valid, p_ref[:], exner,
-        sth[:], rho_ref[:], dz_ref[:], sqv[:], sqc[:], sqr[:], sqs[:])
+        sth[:], None, dz_ref[:], sqv[:], sqc[:], sqr[:], sqs[:])
 
     # stage results back into the scratch windows and DMA them out
     sth[:] = t / exner
@@ -634,15 +647,17 @@ def stack_valid_mask(ny: int, nx: int, ty: int = 16):
     return m
 
 
-def mp_simple_padded(qpad, p_pad, exner_pad, rho_pad, dz_pad, rain_pad,
+def mp_simple_padded(qpad, p_pad, exner_pad, dz_pad, rain_pad,
                      snow_pad, valid_mask, dt, cloud2rain, cloud2snow,
                      species_idx, tr: int = 8, tc: int = 512):
-    """SB04 on the padded stack. qpad (S, nz, R, P); p/exner/rho/dz_pad
+    """SB04 on the padded stack. qpad (S, nz, R, P); p/exner/dz_pad
     (nz, R, P); rain/snow_pad (R, P) f32 interval accumulators;
     valid_mask from stack_valid_mask; species_idx = (ith, iqv, iqc, iqr,
     iqs) positions in the stack (must cover every species — SB04 updates
-    all five). The stack input is aliased to the stack output (species
-    update in place, tile-local). Returns (qpad, rain_pad, snow_pad)."""
+    all five). Density is computed in-kernel from p and theta*exner
+    (the diagnostics formula). The stack input is aliased to the stack
+    output (species update in place, tile-local).
+    Returns (qpad, rain_pad, snow_pad)."""
     S, nz, R, P = qpad.shape
     assert sorted(species_idx) == list(range(S)), \
         "padded SB04 requires the stack to be exactly its five species"
@@ -667,7 +682,7 @@ def mp_simple_padded(qpad, p_pad, exner_pad, rho_pad, dz_pad, rain_pad,
         interpret=_INTERPRET,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY),
-                  spec, spec, spec, spec, spec2, spec2, spec2],
+                  spec, spec, spec, spec2, spec2, spec2],
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY), spec2, spec2],
         out_shape=[jax.ShapeDtypeStruct((S, nz, R, P), qpad.dtype),
                    jax.ShapeDtypeStruct((R, P), jnp.float32),
@@ -675,6 +690,6 @@ def mp_simple_padded(qpad, p_pad, exner_pad, rho_pad, dz_pad, rain_pad,
         input_output_aliases={1: 0},
         scratch_shapes=[pltpu.VMEM((nz, tr, tc), jnp.float32)] * 5
         + [pltpu.SemaphoreType.DMA((5,))],
-    )(scal, qpad, p_pad, exner_pad, rho_pad, dz_pad, rain_pad, snow_pad,
+    )(scal, qpad, p_pad, exner_pad, dz_pad, rain_pad, snow_pad,
       jnp.asarray(valid_mask))
     return stack2, rain2, snow2

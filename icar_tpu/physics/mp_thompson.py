@@ -1403,6 +1403,24 @@ def mp_thompson_aer(th, qv, qc, qi, qr, qs_, qg, ni, nr, nc, nwfa, nifa,
             rain, snow, graupel)
 
 
+def aer_surface_flux(nwfa_sfc, dx, dy=None):
+    """CCN surface-emission rate nwfa2d [kg^-1 s^-1] derived from the
+    INITIAL lowest-level nwfa (thompson_aer_init,
+    mp_thompson_aer.f90:536-549): a first-order replenishment that emits
+    more where aerosols are already plentiful (0.875e4 /kg/s at
+    50 /cc, x10 per decade), scaled down for grids finer than 20 km.
+    Applied to the lowest level every microphysics call
+    (mp_gt_driver, mp_thompson_aer.f90:1233) so long runs do not
+    scavenge nwfa to the floor."""
+    dy = dx if dy is None else dy
+    s = float(np.sqrt(dx * dy))
+    if s / 20000.0 >= 1.0:
+        h_01 = 0.875
+    else:
+        h_01 = (0.875 + 0.125 * ((20000.0 - s) / 16000.0)) * s / 20000.0
+    return 10.0 ** (np.log10(nwfa_sfc * 1e-6) - 3.69897) * h_01 * 1e6
+
+
 def aer_init_profiles(z_agl, terrain):
     """Default CCN/IN aerosol profiles for runs without aerosol input
     data: exponential decay with a terrain-elevation-dependent scale

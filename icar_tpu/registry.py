@@ -97,6 +97,9 @@ _SPECS = [
     # scheme, mp_thompson_aer.f90:417)
     _v("nwfa", units="kg-1", standard_name="number_of_water_friendly_aerosols_in_air", forcing_name="nwfa"),
     _v("nifa", units="kg-1", standard_name="number_of_ice_friendly_aerosols_in_air", forcing_name="nifa"),
+    # CCN surface-emission rate derived at init from the lowest-level
+    # nwfa (thompson_aer_init, mp_thompson_aer.f90:536-549)
+    _v("nwfa2d", dims="2d", units="kg-1 s-1"),
     # effective radii for radiation coupling (Thompson-Eidhammer, mp=5)
     _v("re_cloud", units="m", standard_name="effective_radius_of_cloud_droplets", default=2.49e-6),
     _v("re_ice", units="m", standard_name="effective_radius_of_cloud_ice", default=4.99e-6),
@@ -321,9 +324,10 @@ def collect_requests(options) -> VarRequest:
                 # prognostic droplet number + CCN/IN aerosols, advected
                 # like the hydrometeors (is_aerosol_aware=.true. path,
                 # mp_thompson_aer.f90:440,1188-1194)
-                req.alloc_vars(["cloud_number", "nwfa", "nifa"])
+                req.alloc_vars(["cloud_number", "nwfa", "nifa", "nwfa2d"])
                 req.advect_vars(["cloud_number", "nwfa", "nifa"])
-                req.restart_vars(["cloud_number", "nwfa", "nifa"])
+                req.restart_vars(["cloud_number", "nwfa", "nifa",
+                                  "nwfa2d"])
     elif phys.microphysics == C.MP_WSM3:
         # 3-class: qci doubles as cloud/ice, qrs as rain/snow
         # (mp_driver.f90:554-575)

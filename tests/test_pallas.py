@@ -120,7 +120,9 @@ def test_mp_padded_stack_matches_flat(interpret_kernels):
                               r.uniform(0, 5e-4, shape), 0.0), jnp.float32)
     exner = (p / 100000.0) ** np.float32(0.2857)
     theta = t / exner
-    rho = p / (np.float32(287.0) * t)
+    # the padded kernel computes rho in-kernel as p/(RD*(theta*exner));
+    # feed the flat kernel the identical value
+    rho = p / (np.float32(287.058) * (theta * exner))
     rain = jnp.asarray(r.uniform(0, 3, (ny, nx)), jnp.float32)
     snow = jnp.asarray(r.uniform(0, 1, (ny, nx)), jnp.float32)
     dz = jnp.asarray(np.full(shape, 250.0), jnp.float32)
@@ -141,7 +143,7 @@ def test_mp_padded_stack_matches_flat(interpret_kernels):
     snow_p = jnp.zeros((R, P), jnp.float32)
     snow_p = snow_p.at[front:front + ny, :nx].set(snow)
     out_q, out_r, out_s = pk.mp_simple_padded(
-        qpad, pad(p), pad(exner), pad(rho), pad(dz), rain_p, snow_p,
+        qpad, pad(p), pad(exner), pad(dz), rain_p, snow_p,
         jnp.asarray(pk.stack_valid_mask(ny, nx)), dt, c2r, c2s,
         (0, 1, 2, 3, 4))
     got = [out_q[i, :, front:front + ny, :nx] for i in range(5)] \

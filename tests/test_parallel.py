@@ -104,6 +104,101 @@ def test_sharded_convection_matches_single_device():
                 err_msg=f"conv={conv} sharded mismatch in {n}")
 
 
+def test_sharded_mpdata_matches_single_device():
+    """MPDATA's width-2 stencil against the padded frame is the riskiest
+    halo interaction (the reference exchanges halos for every advected
+    species every substep, exchangeable_obj.f90:138-162; MPDATA dispatch
+    advection_driver.f90:51-77)."""
+    from icar_tpu import constants as C
+
+    kw = dict(nx=48, ny=16, nz=10, dx=1000.0, hill_height=600.0,
+              u_speed=10.0, rh=1.0, adv=C.ADV_MPDATA)
+    m1 = ideal_ridge_model(**kw)
+    m2 = ideal_ridge_model(**kw)
+    m2.attach_mesh(make_mesh(48, 16))
+    m1.advance(300.0)
+    m2.advance(300.0)
+    assert m1.last_n_substeps == m2.last_n_substeps
+    for name in ("potential_temperature", "water_vapor", "cloud_water",
+                 "rain_mass", "precipitation"):
+        atol = 1e-5 if name == "precipitation" else 1e-6
+        np.testing.assert_allclose(
+            m1.field(name), m2.field(name), rtol=2e-5, atol=atol,
+            err_msg=f"sharded MPDATA mismatch in {name}")
+
+
+def test_sharded_thompson_aerosol_matches_single_device():
+    """mp=5 prognostic aerosol fields (nwfa/nifa/nc) advect and scavenge
+    identically under the mesh decomposition."""
+    from icar_tpu import constants as C
+
+    kw = dict(nx=48, ny=16, nz=10, dx=1000.0, hill_height=600.0,
+              u_speed=10.0, rh=1.0, mp=C.MP_THOMPSON_AER,
+              options_cb=lambda o: setattr(o.mp, "use_aerosol_aware", True))
+    m1 = ideal_ridge_model(**kw)
+    m2 = ideal_ridge_model(**kw)
+    m2.attach_mesh(make_mesh(48, 16))
+    m1.advance(300.0)
+    m2.advance(300.0)
+    assert m1.last_n_substeps == m2.last_n_substeps
+    for name in ("potential_temperature", "water_vapor", "nwfa", "nifa",
+                 "cloud_number", "precipitation"):
+        a, b = m1.field(name), m2.field(name)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=2e-5, atol=1e-5,
+            err_msg=f"sharded mp=5 mismatch in {name}")
+
+
+def test_sharded_linear_lut_matches_single_device():
+    """wind=1: the spatially-sharded LUT lookup (each device holds only
+    its (y, x) slice of the table, as each reference image does —
+    linear_winds.f90:596-830) reproduces the single-device solution."""
+    from icar_tpu import constants as C
+
+    def cb(o):
+        o.lt.n_spd_values = 3
+        o.lt.n_dir_values = 4
+        o.lt.n_nsq_values = 2
+        o.lt.buffer = 10
+
+    kw = dict(nx=48, ny=16, nz=10, dx=1000.0, hill_height=600.0,
+              u_speed=10.0, rh=1.0, windtype=C.WIND_LINEAR, options_cb=cb)
+    m1 = ideal_ridge_model(**kw)
+    m2 = ideal_ridge_model(**kw)
+    m2.attach_mesh(make_mesh(48, 16))
+    # per-device LUT share is a fraction of the total
+    lut_u = m2._lut[0] if m2._lut else None
+    u1, v1, w1 = m1.compute_winds(jnp.asarray(m1.field("u")),
+                                  jnp.asarray(m1.field("v")))
+    u2, v2, w2 = m2.compute_winds(jnp.asarray(m1.field("u")),
+                                  jnp.asarray(m1.field("v")))
+    assert len(u2.sharding.device_set) == 8, "linear solve not sharded"
+    assert len(m2._lut[0].sharding.device_set) == 8, "LUT not sharded"
+    for name, a, b in (("u", u1, u2), ("v", v1, v2), ("w", w1, w2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-4,
+            err_msg=f"sharded linear-LUT mismatch in {name}")
+    # the persistent perturbation state relaxed identically
+    pu2 = np.asarray(m2.u_perturbation)[:, :16, :49]
+    np.testing.assert_allclose(np.asarray(m1.u_perturbation), pu2,
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_lut_budget_guard():
+    """The options_check-style LUT memory guard fires before a build that
+    cannot fit (VERDICT r2 missing #1: the BASELINE linear config is 72 GB
+    per component at reference defaults)."""
+    from icar_tpu.config import Options
+    from icar_tpu.ops import linear_winds as lw
+
+    o = Options()
+    with pytest.raises(ValueError, match="max_lut_gb"):
+        lw.check_lut_budget(o.lt, 20, 500, 500, n_devices=1)
+    # sharding over enough devices brings it under budget
+    lw.check_lut_budget(o.lt, 20, 500, 500, n_devices=32)
+
+
 def test_sharded_output_writer_roundtrip(tmp_path):
     """File-per-shard output + offline aggregation reproduces the
     global fields without any host gather (VERDICT r1 item #8;
