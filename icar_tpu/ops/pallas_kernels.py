@@ -98,19 +98,20 @@ def _sat_adjust_inline(p, t0, qv0, qc0):
         t = jnp.where(active, t_new, t)
         qv = jnp.where(active, qv_new, qv)
         qc = jnp.where(active, qc_new, qc)
-        return t, qv, qc, qvsat, lastqv, active, it + 1
+        # carried as f32: Mosaic cannot yield a bool-vector loop carry
+        return t, qv, qc, qvsat, lastqv, active.astype(t.dtype), it + 1
 
     init = (t0, qv0, qc0, jnp.zeros_like(qv0), qv0 + 2 * MAXERR,
-            qv0 > -jnp.inf, jnp.int32(0))
+            jnp.ones_like(qv0), jnp.int32(0))
     t, qv, qc, qvsat, lastqv, pact, it = jax.lax.while_loop(cond, body,
                                                             init)
 
     # the diverging-iteration revert (mp_simple.f90:264-276): a cell
     # fails iff it was still active DURING the final (15th) iteration —
     # inactivity is permanent, so the last body's active mask (a cheap
-    # predicate carry, replacing the int32 per-cell counter) plus the
-    # shared iteration count decide it exactly
-    failed = pact & (it >= N_SAT_ITERS)
+    # mask carry, replacing the int32 per-cell counter) plus the shared
+    # iteration count decide it exactly
+    failed = (pact > 0) & (it >= N_SAT_ITERS)
     t = jnp.where(failed, t0, t)
     qv = jnp.where(failed, _sat_mr(t0, p), qv)
     qc = jnp.where(failed, qc0, qc)
