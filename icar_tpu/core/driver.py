@@ -295,11 +295,12 @@ class ICARDriver:
             if o.run.restart_in_file:
                 pick = o.run.restart_in_file
             else:
-                cands = sorted(glob.glob(self.restart_base + "*.npz"))
+                cands = sorted(glob.glob(self.restart_base + "*.nc")
+                               + glob.glob(self.restart_base + "*.npz"))
                 if not cands:
                     raise FileNotFoundError(
                         f"restart requested but no checkpoint matches "
-                        f"{self.restart_base}*.npz")
+                        f"{self.restart_base}*.nc|npz")
                 pick = cands[-1]
                 if o.run.restart_date:
                     from ..utils.calendar import Time
@@ -308,8 +309,10 @@ class ICARDriver:
                             - o.start_time()).seconds()
 
                     def t_of(p):
+                        import os as _os
+                        stem = _os.path.splitext(p)[0]
                         try:
-                            return int(p[-12:-4])
+                            return int(stem[-8:])
                         except ValueError:
                             return -1
                     eligible = [p for p in cands if 0 <= t_of(p) <= want + 1]
@@ -317,7 +320,7 @@ class ICARDriver:
                         raise FileNotFoundError(
                             f"no checkpoint at or before restart_date "
                             f"{o.run.restart_date} (t={want:.0f}s) in "
-                            f"{self.restart_base}*.npz")
+                            f"{self.restart_base}*.nc|npz")
                     pick = max(eligible, key=t_of)
             t = read_restart(pick, self.model)
             n_outputs = int(round(t / output_dt))
@@ -366,7 +369,7 @@ class ICARDriver:
                     next_output += output_dt
                     if n_outputs % restart_every == 0:
                         write_restart(
-                            f"{self.restart_base}{int(t):08d}.npz",
+                            f"{self.restart_base}{int(t):08d}.nc",
                             self.model, t)
                     self.timers["output"].stop()
         if hasattr(self.writer, "wait"):

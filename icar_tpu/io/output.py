@@ -151,11 +151,21 @@ class ShardedOutputWriter:
     back together offline, exactly like the reference's
     aggregate_parallel_files.py."""
 
-    def __init__(self, prefix: str, names: List[str], options=None):
+    def __init__(self, prefix: str, names: List[str], options=None,
+                 use_async: bool = True):
         self.prefix = prefix
         self.names = names
         self.options = options
         self.paths: List[str] = []
+        # per-shard writes go through the native async CDF-2 engine
+        # (csrc/ncwriter.cpp) when available: write_step only assembles
+        # the per-shard dicts and the C++ worker thread does the disk IO,
+        # so sharded output leaves the model's critical path
+        self._async = None
+        if use_async:
+            from . import async_writer
+            if async_writer.available():
+                self._async = async_writer.AsyncNCWriter()
 
     @property
     def path(self):
@@ -165,69 +175,68 @@ class ShardedOutputWriter:
         names = [n for n in self.names if n in model.state]
         natural = model._natural_shapes or {
             n: tuple(model.state[n].shape) for n in names}
+        # ONE pass building the device->shard map per field (the previous
+        # per-shard rescan of addressable_shards was O(shards^2 * fields))
+        shard_map = {n: {s.device.id: s
+                         for s in model.state[n].addressable_shards}
+                     for n in names}
+        g = model.geom
         # one file per addressable shard; shard geometry from the first
-        # 3D field's sharding (all fields share the (y, x) mesh layout)
-        ref_arr = model.state[names[0]]
-        for shard in ref_arr.addressable_shards:
+        # field's sharding (all fields share the (y, x) mesh layout)
+        for shard in model.state[names[0]].addressable_shards:
             sid = shard.device.id
             path = f"{self.prefix}img{sid:03d}_{int(time_seconds):08d}.nc"
             idx = shard.index
-            ys, xs = idx[-2], idx[-1]
-            y0 = ys.start or 0
-            x0 = xs.start or 0
-            with NCFile(path, "w") as f:
-                wrote_any = False
-                for n in names:
-                    arr = model.state[n]
-                    sh = None
-                    for s_ in arr.addressable_shards:
-                        if s_.device.id == sid:
-                            sh = s_
-                            break
-                    if sh is None:
-                        continue
-                    nat = natural[n]
-                    data = np.asarray(sh.data)
-                    # trim the padded frame to this shard's slice of the
-                    # natural (unpadded) domain
-                    ny_keep = max(0, min(y0 + data.shape[-2], nat[-2]) - y0)
-                    nx_keep = max(0, min(x0 + data.shape[-1], nat[-1]) - x0)
-                    if ny_keep == 0 or nx_keep == 0:
-                        continue
-                    data = data[..., :ny_keep, :nx_keep]
-                    spec = REGISTRY[n]
-                    dims = _var_dims(spec, data)
-                    for d, size in zip(dims, data.shape):
-                        if d not in f._dims:
-                            f.create_dim(d, size)
-                    attrs = {"units": spec.units}
-                    if spec.standard_name:
-                        attrs["standard_name"] = spec.standard_name
-                    f.create_var(n, dims, data.astype(np.float32), attrs)
-                    wrote_any = True
-                g = model.geom
-                f.set_attrs({
-                    "source": f"icar_tpu {C.VERSION_STRING}",
-                    "model_time": float(time_seconds),
-                    "nx": g.nx, "ny": g.ny, "nz": g.nz, "dx": g.dx,
-                    # decomposition indices for the offline aggregator
-                    # (ids/ide analog, output_obj.f90 global attrs)
-                    "y_start": int(y0), "x_start": int(x0),
-                    "shard_id": int(sid),
-                })
-            if wrote_any:
-                self.paths.append(path)
+            y0 = idx[-2].start or 0
+            x0 = idx[-1].start or 0
+            variables = {}
+            for n in names:
+                sh = shard_map[n].get(sid)
+                if sh is None:
+                    continue
+                nat = natural[n]
+                data = np.asarray(sh.data)
+                # trim the padded frame to this shard's slice of the
+                # natural (unpadded) domain
+                ny_keep = max(0, min(y0 + data.shape[-2], nat[-2]) - y0)
+                nx_keep = max(0, min(x0 + data.shape[-1], nat[-1]) - x0)
+                if ny_keep == 0 or nx_keep == 0:
+                    continue
+                data = data[..., :ny_keep, :nx_keep].astype(np.float32)
+                variables[n] = (_var_dims(REGISTRY[n], data), data)
+            if not variables:
+                continue
+            # decomposition indices for the offline aggregator
+            # (ids/ide analog, output_obj.f90 global attrs)
+            attrs = {"source": f"icar_tpu {C.VERSION_STRING}",
+                     "model_time": float(time_seconds),
+                     "nx": g.nx, "ny": g.ny, "nz": g.nz, "dx": g.dx,
+                     "y_start": int(y0), "x_start": int(x0),
+                     "shard_id": int(sid)}
+            if self._async is not None:
+                self._async.write(path, variables,
+                                  {k: str(v) for k, v in attrs.items()})
             else:
-                os.remove(path)
+                with NCFile(path, "w") as f:
+                    for n, (dims, data) in variables.items():
+                        for d, size in zip(dims, data.shape):
+                            if d not in f._dims:
+                                f.create_dim(d, size)
+                        spec = REGISTRY[n]
+                        vattrs = {"units": spec.units}
+                        if spec.standard_name:
+                            vattrs["standard_name"] = spec.standard_name
+                        f.create_var(n, dims, data, vattrs)
+                    f.set_attrs(attrs)
+            self.paths.append(path)
 
     def wait(self) -> int:
+        if self._async is not None:
+            return self._async.wait()
         return 0
 
 
-def write_restart(path: str, model, time_seconds: float):
-    """Checkpoint all restart fields + wind-perturbation state
-    (driver.f90:181-191 restart writes; improved: stores global fields so
-    any future decomposition can resume)."""
+def _restart_payload(model, time_seconds: float):
     from ..core.state import restart_names
 
     data = {"__time__": np.float64(time_seconds)}
@@ -237,29 +246,171 @@ def write_restart(path: str, model, time_seconds: float):
     if model.u_perturbation is not None:
         data["__u_perturbation__"] = np.asarray(model.u_perturbation)
         data["__v_perturbation__"] = np.asarray(model.v_perturbation)
-    np.savez_compressed(path, **data)
+    return data
+
+
+def write_restart(path: str, model, time_seconds: float):
+    """Checkpoint all restart fields + wind-perturbation state
+    (driver.f90:181-191 restart writes; improved: stores global
+    decomposition-independent fields so any future mesh can resume).
+
+    Format is NetCDF-4 for tool interop (the reference's restarts are
+    per-image NetCDF, restart.f90:12-89); the legacy .npz format is
+    still readable and is written when ``path`` ends in .npz."""
+    data = _restart_payload(model, time_seconds)
+    if path.endswith(".npz"):
+        np.savez_compressed(path, **data)
+        return
+    with NCFile(path, "w") as f:
+        for n, arr in data.items():
+            if n == "__time__":
+                continue
+            arr = np.asarray(arr)
+            dims = tuple(f"d{arr.shape[i]}_{i}" for i in range(arr.ndim))
+            for d, size in zip(dims, arr.shape):
+                if d not in f._dims:
+                    f.create_dim(d, size)
+            f.create_var(n, dims, arr)      # native dtype (f64 precip)
+        f.set_attrs({"restart_time_seconds": float(time_seconds),
+                     "source": f"icar_tpu {C.VERSION_STRING}"})
 
 
 def read_restart(path: str, model):
-    """Resume model state from a checkpoint (restart_model, restart.f90:12-89).
+    """Resume model state from a checkpoint (restart_model,
+    restart.f90:12-89). Accepts NetCDF (default) or legacy .npz.
     Returns the restart time in seconds since run start."""
     import jax.numpy as jnp
 
-    d = np.load(path)
+    if path.endswith(".npz"):
+        d = np.load(path)
+        fields = {n: d[n] for n in d.files if not n.startswith("__")}
+        pert = ({"u": d["__u_perturbation__"],
+                 "v": d["__v_perturbation__"]}
+                if "__u_perturbation__" in d.files else None)
+        t = float(d["__time__"])
+    else:
+        with NCFile(path) as f:
+            fields = {}
+            pert = {}
+            for n in f.variables():
+                arr = f.read(n)
+                if n == "__u_perturbation__":
+                    pert["u"] = arr
+                elif n == "__v_perturbation__":
+                    pert["v"] = arr
+                else:
+                    fields[n] = arr
+            pert = pert or None
+            t = float(f.read_attr(None, "restart_time_seconds"))
     s = dict(model.state)
-    for n in d.files:
-        if n.startswith("__"):
-            continue
+    for n, arr in fields.items():
         if n not in s:
             continue
-        if tuple(d[n].shape) != tuple(s[n].shape):
+        if tuple(arr.shape) != tuple(s[n].shape):
             raise ValueError(
-                f"restart field {n} has shape {d[n].shape}, expected "
+                f"restart field {n} has shape {arr.shape}, expected "
                 f"{tuple(s[n].shape)}: domain configuration changed")
-        s[n] = jnp.asarray(d[n])
+        s[n] = jnp.asarray(arr)
     model.state = s
-    if "__u_perturbation__" in d.files:
-        model.u_perturbation = jnp.asarray(d["__u_perturbation__"])
-        model.v_perturbation = jnp.asarray(d["__v_perturbation__"])
-    model.model_time = float(d["__time__"])
+    if pert is not None:
+        model.u_perturbation = jnp.asarray(pert["u"])
+        model.v_perturbation = jnp.asarray(pert["v"])
+    model.model_time = t
     return model.model_time
+
+
+def write_restart_sharded(prefix: str, model, time_seconds: float):
+    """Per-shard NetCDF restart: every addressable shard writes its own
+    checkpoint file with decomposition attrs and NO global array is ever
+    gathered — the sharded analog of the reference's per-image restarts
+    (restart.f90:12-89). Fields keep their native dtype (the float64
+    precipitation accumulators stay float64). Returns the written paths."""
+    from ..core.state import restart_names
+
+    names = [n for n in restart_names(model.options) if n in model.state]
+    state = dict(model.state)
+    if model.u_perturbation is not None and hasattr(
+            model.u_perturbation, "addressable_shards"):
+        state["__u_perturbation__"] = model.u_perturbation
+        state["__v_perturbation__"] = model.v_perturbation
+        names += ["__u_perturbation__", "__v_perturbation__"]
+    shard_map = {n: {s.device.id: s
+                     for s in state[n].addressable_shards}
+                 for n in names}
+    paths = []
+    for shard in state[names[0]].addressable_shards:
+        sid = shard.device.id
+        idx = shard.index
+        y0 = idx[-2].start or 0
+        x0 = idx[-1].start or 0
+        path = f"{prefix}img{sid:03d}_{int(time_seconds):08d}.nc"
+        with NCFile(path, "w") as f:
+            for n in names:
+                sh = shard_map[n].get(sid)
+                if sh is None:
+                    continue
+                arr = np.asarray(sh.data)     # padded shard, native dtype
+                dims = tuple(f"d{arr.shape[i]}_{i}"
+                             for i in range(arr.ndim))
+                for d, size in zip(dims, arr.shape):
+                    if d not in f._dims:
+                        f.create_dim(d, size)
+                f.create_var(n, dims, arr)
+            f.set_attrs({"restart_time_seconds": float(time_seconds),
+                         "y_start": int(y0), "x_start": int(x0),
+                         "shard_id": int(sid),
+                         "source": f"icar_tpu {C.VERSION_STRING}"})
+        paths.append(path)
+    return paths
+
+
+def read_restart_sharded(paths, model):
+    """Resume a sharded model from per-shard checkpoints written by
+    write_restart_sharded under the SAME mesh decomposition: each shard's
+    piece is placed directly on its device and the global jax.Array is
+    assembled from the single-device buffers — no host gather, mirroring
+    the reference's same-decomposition restart (restart.f90:119-129).
+    For a different decomposition, aggregate the shards offline first."""
+    import jax
+    import jax.numpy as jnp
+
+    by_sid = {}
+    t = None
+    for p in paths:
+        with NCFile(p) as f:
+            sid = int(f.read_attr(None, "shard_id"))
+            by_sid[sid] = {n: f.read(n) for n in f.variables()}
+            t = float(f.read_attr(None, "restart_time_seconds"))
+    s = dict(model.state)
+    targets = dict(s)
+    if model.u_perturbation is not None:
+        targets["__u_perturbation__"] = model.u_perturbation
+        targets["__v_perturbation__"] = model.v_perturbation
+    placed = {}
+    for n, cur in targets.items():
+        if not hasattr(cur, "addressable_shards"):
+            continue
+        if n not in next(iter(by_sid.values())):
+            continue
+        bufs = []
+        for shard in cur.addressable_shards:
+            piece = by_sid.get(shard.device.id, {}).get(n)
+            if piece is None or tuple(piece.shape) != tuple(
+                    shard.data.shape):
+                raise ValueError(
+                    f"restart shard for {n} does not match the current "
+                    f"mesh decomposition; aggregate the checkpoint files "
+                    f"and use read_restart instead")
+            bufs.append(jax.device_put(jnp.asarray(piece), shard.device))
+        placed[n] = jax.make_array_from_single_device_arrays(
+            cur.shape, cur.sharding, bufs)
+    for n, arr in placed.items():
+        if n == "__u_perturbation__":
+            model.u_perturbation = arr
+        elif n == "__v_perturbation__":
+            model.v_perturbation = arr
+        else:
+            s[n] = arr
+    model.state = s
+    model.model_time = t
+    return t

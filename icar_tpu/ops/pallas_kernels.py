@@ -591,51 +591,28 @@ def mp_simple_tpu(pressure, theta, exner, rho, qv, qc, qr, qs, rain, snow,
 # in place.
 
 
-def _mp_padded_kernel(ith, iqv, iqc, iqr, iqs, tr, tc,
+def _mp_padded_kernel(ith, iqv, iqc, iqr, iqs,
                       scal_ref, stack_ref, p_ref, exner_ref,
                       dz_ref, rain_ref, snow_ref, mask_ref,
-                      stack_out, rain_out, snow_out,
-                      sth, sqv, sqc, sqr, sqs, sems):
-    ir = pl.program_id(0)
-    ic = pl.program_id(1)
-    bufs = ((sth, ith), (sqv, iqv), (sqc, iqc), (sqr, iqr), (sqs, iqs))
-    # window the (tr, tc) row/lane tile of each species out of the 4D
-    # stack: the sliced dims are the TILED (R, P) pair, so offsets/sizes
-    # stay (8, 128)-aligned (a flattened (nz, R*P) view would put nz in
-    # the sublane dim, which Mosaic cannot slice for nz % 8 != 0)
-    dmas = []
-    for k, (buf, si) in enumerate(bufs):
-        d = pltpu.make_async_copy(
-            stack_ref.at[si, :, pl.ds(ir * tr, tr), pl.ds(ic * tc, tc)],
-            buf, sems.at[k])
-        d.start()
-        dmas.append(d)
-    for d in dmas:
-        d.wait()
-
+                      stack_out, rain_out, snow_out):
+    # the stack arrives as a BLOCKED (S, nz, tr, tc) operand — Pallas
+    # double-buffers the block DMA against compute (the earlier manual
+    # per-species make_async_copy serialized ~10 DMA waits per tile);
+    # species are static indexes into the in-VMEM block
     valid = mask_ref[:] > 0
     exner = jnp.where(valid, exner_ref[:], 1.0)
     t, qv, qc, qr, qs, sed_r, sed_s = _mp_tile(
         scal_ref[0], scal_ref[1], scal_ref[2], valid, p_ref[:], exner,
-        sth[:], None, dz_ref[:], sqv[:], sqc[:], sqr[:], sqs[:])
+        stack_ref[ith], None, dz_ref[:], stack_ref[iqv], stack_ref[iqc],
+        stack_ref[iqr], stack_ref[iqs])
 
-    # stage results back into the scratch windows and DMA them out
-    sth[:] = t / exner
-    sqv[:] = qv
-    sqc[:] = qc
-    sqr[:] = qr
-    sqs[:] = qs
-    outs = []
-    for k, (buf, si) in enumerate(bufs):
-        d = pltpu.make_async_copy(
-            buf, stack_out.at[si, :, pl.ds(ir * tr, tr),
-                              pl.ds(ic * tc, tc)], sems.at[k])
-        d.start()
-        outs.append(d)
+    stack_out[ith] = t / exner
+    stack_out[iqv] = qv
+    stack_out[iqc] = qc
+    stack_out[iqr] = qr
+    stack_out[iqs] = qs
     rain_out[:] = jnp.where(valid, rain_ref[:], 0.0) + sed_r[0] + sed_s[0]
     snow_out[:] = jnp.where(valid, snow_ref[:], 0.0) + sed_s[0]
-    for d in outs:
-        d.wait()
 
 
 def stack_valid_mask(ny: int, nx: int, ty: int = 16):
@@ -663,34 +640,34 @@ def mp_simple_padded(qpad, p_pad, exner_pad, dz_pad, rain_pad,
     assert sorted(species_idx) == list(range(S)), \
         "padded SB04 requires the stack to be exactly its five species"
     # widest lane tile that divides P and keeps the kernel's ~60 live
-    # (nz, tr, tc) temporaries inside the 16 MB scoped-VMEM stack
-    # ((20, 8, 512) measured at ~10.6 MB; (20, 16, 512) rejected at 21.3)
-    budget = 20 * 8 * 512
+    # (nz, tr, tc) temporaries PLUS the double-buffered stack blocks
+    # inside the 16 MB scoped-VMEM stack ((20, 8, 512) measured 16.13 MB
+    # — 132 KB over; (20, 8, 256) comfortably fits)
+    budget = 20 * 8 * 384
     cands = [c for c in (512, 384, 256, 128)
              if c <= P and P % c == 0 and nz * tr * c <= budget]
     tc = max(cands) if cands else 128
     scal = jnp.stack([jnp.asarray(dt, jnp.float32),
                       jnp.asarray(cloud2rain, jnp.float32),
                       jnp.asarray(cloud2snow, jnp.float32)])
+    spec4 = pl.BlockSpec((S, nz, tr, tc), lambda ir, ic: (0, 0, ir, ic),
+                         memory_space=pltpu.VMEM)
     spec = pl.BlockSpec((nz, tr, tc), lambda ir, ic: (0, ir, ic),
                         memory_space=pltpu.VMEM)
     spec2 = pl.BlockSpec((tr, tc), lambda ir, ic: (ir, ic),
                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_mp_padded_kernel, *species_idx, tr, tc)
+    kernel = functools.partial(_mp_padded_kernel, *species_idx)
     stack2, rain2, snow2 = pl.pallas_call(
         kernel,
         grid=(R // tr, P // tc),
         interpret=_INTERPRET,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  spec, spec, spec, spec2, spec2, spec2],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY), spec2, spec2],
+                  spec4, spec, spec, spec, spec2, spec2, spec2],
+        out_specs=[spec4, spec2, spec2],
         out_shape=[jax.ShapeDtypeStruct((S, nz, R, P), qpad.dtype),
                    jax.ShapeDtypeStruct((R, P), jnp.float32),
                    jax.ShapeDtypeStruct((R, P), jnp.float32)],
         input_output_aliases={1: 0},
-        scratch_shapes=[pltpu.VMEM((nz, tr, tc), jnp.float32)] * 5
-        + [pltpu.SemaphoreType.DMA((5,))],
     )(scal, qpad, p_pad, exner_pad, dz_pad, rain_pad, snow_pad,
       jnp.asarray(valid_mask))
     return stack2, rain2, snow2

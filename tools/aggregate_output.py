@@ -67,7 +67,12 @@ def aggregate_shards(paths, output):
     for t in sorted(by_time):
         merged = {}
         for p in sorted(by_time[t]):
-            variables, attrs = read_nc4(p)
+            # shard files are NetCDF-4 (h5py) from the sync writer or
+            # CDF-2 classic from the native async engine
+            with open(p, "rb") as fh:
+                magic = fh.read(3)
+            reader = read_classic if magic == b"CDF" else read_nc4
+            variables, attrs = reader(p)
             gattrs = attrs
             y0, x0 = int(attrs["y_start"]), int(attrs["x_start"])
             for name, (_, arr) in variables.items():
@@ -128,9 +133,14 @@ def main():
     from icar_tpu.io.netcdf import NCFile
 
     # shard files (ShardedOutputWriter) carry decomposition attrs;
-    # dispatch to spatial recombination
+    # dispatch to spatial recombination. Shards may be NetCDF-4 (sync
+    # writer) or CDF-2 classic (native async engine) — pick the reader
+    # by magic bytes.
     try:
-        _, attrs0 = read_nc4(paths[0])
+        with open(paths[0], "rb") as fh:
+            magic = fh.read(3)
+        reader = read_classic if magic == b"CDF" else read_nc4
+        _, attrs0 = reader(paths[0])
         if "shard_id" in attrs0:
             return aggregate_shards(paths, args.output)
     except Exception:

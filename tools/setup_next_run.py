@@ -6,7 +6,7 @@ TPU-repo equivalent of the reference's restart-chaining helper
 verify a restart checkpoint exists for its configured restart_file
 prefix and rewrite the namelist with ``restart = .True.`` so the next
 ``python -m icar_tpu options.nml`` resumes from the latest checkpoint
-(the driver auto-selects the newest ``<restart_file>*.npz``;
+(the driver auto-selects the newest ``<restart_file>*.nc``;
 core/driver.py). With ``-s N``, the N newest checkpoints are deleted
 first, stepping the resume point backwards (e.g. past a corrupted tail).
 
@@ -35,14 +35,15 @@ def main():
     from icar_tpu.config import Options
     o = Options.from_namelist(args.options_file)
 
-    checkpoints = sorted(glob.glob(o.output.restart_file + "*.npz"))
+    checkpoints = sorted(glob.glob(o.output.restart_file + "*.nc")
+                         + glob.glob(o.output.restart_file + "*.npz"))
     if args.skip:
         for path in checkpoints[len(checkpoints) - args.skip:]:
             print(f"removing {path}")
             os.remove(path)
         checkpoints = checkpoints[:len(checkpoints) - args.skip]
     if not checkpoints:
-        print(f"no restart checkpoints match {o.output.restart_file}*.npz",
+        print(f"no restart checkpoints match {o.output.restart_file}*.nc|npz",
               file=sys.stderr)
         return 1
     print(f"will resume from {checkpoints[-1]}")
