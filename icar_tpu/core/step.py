@@ -38,6 +38,24 @@ LIMITED_FIELDS = (
 )
 
 
+def geom_array_fields(geom):
+    """Names of the Geometry arrays passed to the jitted step as
+    ARGUMENTS rather than trace-time constants: each 3D metric embedded
+    as an MLIR constant costs ~40 MB of serialized module at 500^2 (the
+    full-physics step reached 775 MB and exceeded the compile-transport
+    limit). 1D/scalar members stay closure constants."""
+    import dataclasses
+    return tuple(
+        f.name for f in dataclasses.fields(geom)
+        if isinstance(getattr(geom, f.name), np.ndarray)
+        and getattr(geom, f.name).ndim >= 2)
+
+
+def geom_arguments(geom):
+    """The numpy geometry-argument dict for the jitted step."""
+    return {k: np.asarray(getattr(geom, k)) for k in geom_array_fields(geom)}
+
+
 def boundary_mask(ny: int, nx: int, dtype=np.float32):
     """1 on the lateral domain boundary ring, 0 inside.
 
@@ -156,7 +174,6 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 options.rad.rrtmg_support_dir)
         from ..physics.ghg import ghg_for_options
         ghg = ghg_for_options(options)
-        dz3d = np.asarray(geom.dz_interface)
 
     def physics_step(state, dt, t, aux, mp_elapsed, lsm_elapsed,
                      rad_elapsed, advect_clamp=None):
@@ -166,6 +183,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
 
         s = state
         zeros3 = lambda: jnp.zeros_like(s["potential_temperature"])
+        dz3d = jnp.asarray(geom.dz_interface)
 
         # --- radiation (rad, time_step.f90:488)
         if phys.radiation == C.RA_SIMPLE:
@@ -1082,6 +1100,25 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         # not). Mirrors the determinism of time_step.f90:413 co_min.
         return jnp.maximum(jnp.floor(dt * 64.0) / 64.0, 1.0 / 64.0)
 
+    geom_np = geom
+    gfields = geom_array_fields(geom)
+
+    def _bind_geometry(gvals):
+        """Swap the closed-over geometry for the traced argument arrays
+        (sliced back to natural shapes under the padded sharded frame).
+        Every helper below closes over ``geom`` by name, so rebinding it
+        at trace time routes all metric reads through the arguments."""
+        import dataclasses
+        nonlocal geom
+        g = {}
+        for k in gfields:
+            nat = getattr(geom_np, k).shape
+            v = gvals[k]
+            if v.shape != nat:
+                v = v[..., :nat[-2], :nat[-1]]
+            g[k] = v
+        geom = dataclasses.replace(geom_np, **g)
+
     def fast_step(state, dqdt, t0, end_time, aux):
         """One interval on the padded-stack carry (see fast_capable)."""
         from ..physics.mp_simple import (RAIN_FORMATION_TC,
@@ -1168,7 +1205,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 state["precipitation"] - precip0) * rf
         return state, t, n
 
-    def step(state, dqdt, t0, end_time, aux):
+    def step(state, dqdt, t0, end_time, aux, gvals):
+        _bind_geometry(gvals)
         if fast_capable and (not with_forcing
                              or set(dqdt) <= set(adv_names)):
             return fast_step(state, dqdt, t0, end_time, aux)

@@ -70,6 +70,11 @@ class ICARModel:
         self.u_perturbation = None
         self.v_perturbation = None
         self._z_sharded = None
+        # device-resident geometry arguments for the jitted step (one
+        # bulk placement; passing them as args instead of trace-time
+        # constants keeps the lowered module small — see
+        # core/step.geom_array_fields)
+        self._geom_device = None
         # flow-blocking LUT + terrain heights (initialize_blocking)
         self._blocking = None
         # monthly precipitation bias-correction scale, device-resident
@@ -123,6 +128,7 @@ class ICARModel:
                 jnp.asarray(_pf(np.asarray(self.v_perturbation),
                                 nyp, nxp)), sh3)
         self._z_sharded = None
+        self._geom_device = None
         self._step_fn = None
         self._wind_fn = None
 
@@ -238,28 +244,39 @@ class ICARModel:
             bo.blocking_contribution, bo.block_fr_max, bo.block_fr_min)
 
     def _compute_winds_sharded(self, u, v, rotate: bool):
-        """Run the wind solver SPMD over the attached mesh: inputs are
-        padded into the uniform frame and sharded P(None, 'y', 'x'); the
-        solver's stencil slices compile to XLA halo collectives — the TPU
-        equivalent of the per-iteration staggered exchange_u/exchange_v of
-        the reference's iterative solver (wind.f90:406-407, 482-483;
-        exchangeable_obj.f90:164-232). For wind=1/5 the spatially-sharded
-        LUT lookup runs in the same SPMD program (the trilinear gather's
-        batch dims align with the operand sharding, so it stays
-        shard-local). Returns natural-shape (u, v, w)."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        """Run the wind solver as ONE jitted program — SPMD over the
+        attached mesh, or single-device when no mesh is attached.
 
-        from ..parallel.mesh import pad_field
-        nyp, nxp = self._padded_sizes
+        Sharded: inputs are padded into the uniform frame and sharded
+        P(None, 'y', 'x'); the solver's stencil slices compile to XLA
+        halo collectives — the TPU equivalent of the per-iteration
+        staggered exchange_u/exchange_v of the reference's iterative
+        solver (wind.f90:406-407, 482-483; exchangeable_obj.f90:164-232).
+        For wind=1/5 the spatially-sharded LUT lookup runs in the same
+        SPMD program (the trilinear gather's batch dims align with the
+        operand sharding, so it stays shard-local).
+
+        Single-device (linear paths): the same function, minus padding —
+        one compiled program instead of an eager op-storm (each eager op
+        costs a ~0.4 s compile on the tunneled backend).
+        Returns natural-shape (u, v, w)."""
         windtype = self.options.physics.windtype
         linear = windtype in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE)
         if linear and self._lut is None:
             self._setup_linear_winds()
-        sh = NamedSharding(self.mesh, P(None, "y", "x"))
-        up = jax.device_put(jnp.asarray(pad_field(np.asarray(u), nyp, nxp)),
-                            sh)
-        vp = jax.device_put(jnp.asarray(pad_field(np.asarray(v), nyp, nxp)),
-                            sh)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import pad_field
+            nyp, nxp = self._padded_sizes
+            sh = NamedSharding(self.mesh, P(None, "y", "x"))
+            up = jax.device_put(
+                jnp.asarray(pad_field(np.asarray(u), nyp, nxp)), sh)
+            vp = jax.device_put(
+                jnp.asarray(pad_field(np.asarray(v), nyp, nxp)), sh)
+        else:
+            up = jnp.asarray(u)
+            vp = jnp.asarray(v)
         if self._wind_fn is None:
             geom = self.geom
             lt = self.options.lt
@@ -331,23 +348,30 @@ class ICARModel:
 
     def _wind_z_sharded(self):
         if getattr(self, "_z_sharded", None) is None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import pad_field
-            nyp, nxp = self._padded_sizes
-            self._z_sharded = jax.device_put(
-                jnp.asarray(pad_field(np.asarray(self.geom.z), nyp, nxp)),
-                NamedSharding(self.mesh, P(None, "y", "x")))
+                from ..parallel.mesh import pad_field
+                nyp, nxp = self._padded_sizes
+                self._z_sharded = jax.device_put(
+                    jnp.asarray(pad_field(np.asarray(self.geom.z),
+                                          nyp, nxp)),
+                    NamedSharding(self.mesh, P(None, "y", "x")))
+            else:
+                self._z_sharded = jnp.asarray(self.geom.z)
         return self._z_sharded
 
     def compute_winds(self, u, v, rotate: bool = False):
         """Run the configured wind solver on (u, v); returns balanced
         (u, v, w) (update_winds, wind.f90:289-369)."""
-        if self.mesh is not None \
-                and not self.options.block.block_flow:
-            # all solvers (balance / conserve-mass / iterative / linear
-            # LUT) run SPMD; the blocking path keeps host-side state and
-            # stays on the single-device path for now
+        wt = self.options.physics.windtype
+        if not self.options.block.block_flow \
+                and (self.mesh is not None
+                     or wt in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE)):
+            # all solvers run as one jitted program under a mesh; the
+            # single-device linear-LUT path also goes through it (per-
+            # forcing-interval lookups must not be eager op-storms); the
+            # blocking path keeps host-side state and stays eager
             return self._compute_winds_sharded(u, v, rotate)
         if rotate:
             u, v = wind_ops.make_winds_grid_relative(
@@ -481,6 +505,28 @@ class ICARModel:
             if bad:
                 self._dqdt = {**self._dqdt, **jax.device_put(bad, dev)}
 
+    def geom_args(self):
+        """Device-resident geometry arrays for the jitted step, placed
+        once (padded + sharded under a mesh, matching the state frame)."""
+        if self._geom_device is None:
+            from ..core.step import geom_arguments
+            ga = geom_arguments(self.geom)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+
+                from ..parallel.mesh import pad_field, spec_for
+                nyp, nxp = self._padded_sizes
+                self._geom_device = {
+                    k: jax.device_put(
+                        jnp.asarray(pad_field(v, nyp, nxp)),
+                        NamedSharding(self.mesh, spec_for(v)))
+                    for k, v in ga.items()}
+            else:
+                dev = jax.devices()[0]
+                self._geom_device = jax.device_put(
+                    {k: jnp.asarray(v) for k, v in ga.items()}, dev)
+        return self._geom_device
+
     def advance(self, seconds: float, rain_frac_month: Optional[int] = None):
         """Integrate the state forward by ``seconds`` (one forcing/output
         interval; step, time_step.f90:440-551). ``rain_frac_month`` selects
@@ -494,11 +540,21 @@ class ICARModel:
         if rain_frac_month is not None:
             aux["rain_frac"] = self._rain_frac_months[rain_frac_month]
         state, t, n = self._step_fn(self.state, self._dqdt, t0,
-                                    jnp.float32(seconds), aux)
+                                    jnp.float32(seconds), aux,
+                                    self.geom_args())
         self.state = state
         self.model_time += float(seconds)
-        self.last_n_substeps = int(n)
+        # keep the substep count as a device scalar: int(n) here would
+        # block on a D2H fetch every interval (~80 ms per round trip on
+        # the tunneled backend — measured as a constant
+        # interval_overhead_ms across configs); last_n_substeps fetches
+        # lazily via the property
+        self._last_n = n
         return self.state
+
+    @property
+    def last_n_substeps(self) -> int:
+        return int(self._last_n)
 
     # convenience accessors -------------------------------------------------
     def field(self, name: str) -> np.ndarray:

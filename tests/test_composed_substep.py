@@ -108,7 +108,7 @@ def test_one_substep_matches_composed_oracle(pbl):
     fn = make_step_fn(m.options, m.geom, m.advect_names, True,
                       fast_path=False)
     out, t, n = fn(m.state, dqdt, jnp.float32(0.0), jnp.float32(dt),
-                   m._time_aux())
+                   m._time_aux(), m.geom_args())
     assert int(n) == 1, "expected exactly one substep"
 
     want, rain, snow = _one_substep_oracle(m, dqdt, np.float32(dt))
@@ -138,7 +138,7 @@ def test_one_substep_fast_path_matches_composed_oracle():
         fn = make_step_fn(m.options, m.geom, m.advect_names, False,
                           fast_path=True)
         out, t, n = fn(m.state, {}, jnp.float32(0.0), jnp.float32(dt),
-                       m._time_aux())
+                       m._time_aux(), m.geom_args())
     finally:
         pk.force_interpret(prev)
     assert int(n) == 1

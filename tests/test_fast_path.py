@@ -41,10 +41,11 @@ def test_fast_step_matches_general(interpret_kernels):
                            fast_path=True)
     fn_gen = make_step_fn(m.options, m.geom, m.advect_names, False,
                           fast_path=False)
+    ga = m.geom_args()
     s1, t1, n1 = fn_fast(m.state, {}, jnp.float32(0.0),
-                         jnp.float32(1800.0), aux)
+                         jnp.float32(1800.0), aux, ga)
     s2, t2, n2 = fn_gen(m.state, {}, jnp.float32(0.0),
-                        jnp.float32(1800.0), aux)
+                        jnp.float32(1800.0), aux, ga)
     assert int(n1) == int(n2)
     for k in PROGNOSTICS:
         np.testing.assert_array_equal(
@@ -74,10 +75,11 @@ def test_fast_step_matches_general_with_forcing(interpret_kernels):
                            fast_path=True)
     fn_gen = make_step_fn(m.options, m.geom, m.advect_names, True,
                           fast_path=False)
+    ga = m.geom_args()
     s1, _, n1 = fn_fast(m.state, dqdt, jnp.float32(0.0),
-                        jnp.float32(1800.0), aux)
+                        jnp.float32(1800.0), aux, ga)
     s2, _, n2 = fn_gen(m.state, dqdt, jnp.float32(0.0),
-                       jnp.float32(1800.0), aux)
+                       jnp.float32(1800.0), aux, ga)
     assert int(n1) == int(n2)
     for k in PROGNOSTICS:
         np.testing.assert_array_equal(

@@ -43,7 +43,7 @@ def main():
     t0 = time.time()
     lowered = model._step_fn.lower(model.state, model._dqdt,
                                    jnp.float32(0.0), jnp.float32(1200.0),
-                                   model._time_aux())
+                                   model._time_aux(), model.geom_args())
     compiled = lowered.compile()
     print(f"# lower+compile {time.time()-t0:.1f}s", file=sys.stderr)
 
