@@ -63,6 +63,10 @@ def build_model(config: str, nx, ny, nz):
             o.lt.n_spd_values = 5
             o.lt.n_dir_values = 8
             o.lt.n_nsq_values = 3
+            # buffered terrain is nx + 2*(buffer+2); 48 makes it 600 =
+            # 2^3*3*5^2 (the default 50 gives 604 = 4*151 — a prime
+            # factor that forces Bluestein FFTs on TPU)
+            o.lt.buffer = 48
         return ideal_ridge_model(mp=C.MP_SIMPLE, windtype=C.WIND_LINEAR,
                                  options_cb=lut_cb, **common)
     if config == "fullphys":
@@ -145,12 +149,17 @@ def run_config(config, nx, ny, nz, sharded=False, n_timed=3,
             m.state = {**m.state, "u": u, "v": v, "w": w}
     setup_s = time.time() - t0
 
+    # NOTE on synchronization: the step donates its state argument, so
+    # state outputs ALIAS input buffers and block_until_ready on them can
+    # return before the program finishes; the substep-count scalar is a
+    # fresh output and is the reliable completion marker (block, do NOT
+    # fetch — a D2H scalar read costs a tunnel round trip, ~80 ms)
     # warmup: compile + one interval
     t0 = time.time()
     if pre_advance is not None:
         pre_advance(model)
     model.advance(interval)
-    jax.block_until_ready(model.state["potential_temperature"])
+    jax.block_until_ready(model._last_n)
     warmup_s = time.time() - t0
 
     t0 = time.time()
@@ -159,10 +168,8 @@ def run_config(config, nx, ny, nz, sharded=False, n_timed=3,
         if pre_advance is not None:
             pre_advance(model)
         model.advance(interval)
-        # defer the substep-count fetch: a D2H scalar read inside the
-        # timed loop costs a tunnel round trip per interval (~80 ms)
         ns.append(model._last_n)
-    jax.block_until_ready(model.state["potential_temperature"])
+    jax.block_until_ready(ns[-1])
     elapsed = time.time() - t0
     steps = sum(int(n) for n in ns)
 
@@ -187,7 +194,7 @@ def run_config(config, nx, ny, nz, sharded=False, n_timed=3,
     n_long = steps / n_timed
     t0 = time.time()
     model.advance(interval / 8)
-    jax.block_until_ready(model.state["potential_temperature"])
+    jax.block_until_ready(model._last_n)
     t_short = time.time() - t0
     n_short = model.last_n_substeps
     b_fit = a_fit = None

@@ -1351,4 +1351,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                      .set(v) for k, v in state.items()}
         return state, t, n
 
-    return jax.jit(step)
+    # the state is donated: each interval's outputs reuse the previous
+    # interval's buffers instead of allocating a fresh ~0.5-1 GB state
+    # copy per launch (ICARModel.advance always replaces self.state with
+    # the result; donation is a no-op on CPU backends)
+    return jax.jit(step, donate_argnums=(0,))

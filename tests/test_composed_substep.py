@@ -107,7 +107,8 @@ def test_one_substep_matches_composed_oracle(pbl):
     dt = 4.0   # below the CFL dt, so end_time==dt gives ONE substep
     fn = make_step_fn(m.options, m.geom, m.advect_names, True,
                       fast_path=False)
-    out, t, n = fn(m.state, dqdt, jnp.float32(0.0), jnp.float32(dt),
+    state_in = {k: jnp.array(v) for k, v in m.state.items()}  # donated
+    out, t, n = fn(state_in, dqdt, jnp.float32(0.0), jnp.float32(dt),
                    m._time_aux(), m.geom_args())
     assert int(n) == 1, "expected exactly one substep"
 
@@ -137,7 +138,8 @@ def test_one_substep_fast_path_matches_composed_oracle():
     try:
         fn = make_step_fn(m.options, m.geom, m.advect_names, False,
                           fast_path=True)
-        out, t, n = fn(m.state, {}, jnp.float32(0.0), jnp.float32(dt),
+        state_in = {k: jnp.array(v) for k, v in m.state.items()}
+        out, t, n = fn(state_in, {}, jnp.float32(0.0), jnp.float32(dt),
                        m._time_aux(), m.geom_args())
     finally:
         pk.force_interpret(prev)

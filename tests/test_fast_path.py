@@ -34,6 +34,12 @@ PROGNOSTICS = ("potential_temperature", "water_vapor", "cloud_water",
                "rain_mass", "snow_mass")
 
 
+def _fresh(state):
+    """Deep-copy the state buffers: the step donates its state argument
+    (core/step.py), so each direct call needs its own copy."""
+    return {k: jnp.array(v) for k, v in state.items()}
+
+
 def test_fast_step_matches_general(interpret_kernels):
     m = _model()
     aux = m._time_aux()
@@ -42,9 +48,9 @@ def test_fast_step_matches_general(interpret_kernels):
     fn_gen = make_step_fn(m.options, m.geom, m.advect_names, False,
                           fast_path=False)
     ga = m.geom_args()
-    s1, t1, n1 = fn_fast(m.state, {}, jnp.float32(0.0),
+    s1, t1, n1 = fn_fast(_fresh(m.state), {}, jnp.float32(0.0),
                          jnp.float32(1800.0), aux, ga)
-    s2, t2, n2 = fn_gen(m.state, {}, jnp.float32(0.0),
+    s2, t2, n2 = fn_gen(_fresh(m.state), {}, jnp.float32(0.0),
                         jnp.float32(1800.0), aux, ga)
     assert int(n1) == int(n2)
     for k in PROGNOSTICS:
@@ -76,9 +82,9 @@ def test_fast_step_matches_general_with_forcing(interpret_kernels):
     fn_gen = make_step_fn(m.options, m.geom, m.advect_names, True,
                           fast_path=False)
     ga = m.geom_args()
-    s1, _, n1 = fn_fast(m.state, dqdt, jnp.float32(0.0),
+    s1, _, n1 = fn_fast(_fresh(m.state), dqdt, jnp.float32(0.0),
                         jnp.float32(1800.0), aux, ga)
-    s2, _, n2 = fn_gen(m.state, dqdt, jnp.float32(0.0),
+    s2, _, n2 = fn_gen(_fresh(m.state), dqdt, jnp.float32(0.0),
                        jnp.float32(1800.0), aux, ga)
     assert int(n1) == int(n2)
     for k in PROGNOSTICS:

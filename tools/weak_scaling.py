@@ -50,14 +50,15 @@ def run_point(n_dev, base_nx, ny, nz, interval, reps):
     if n_dev > 1:
         model.attach_mesh(make_mesh(nx, ny, jax.devices()[:n_dev]))
     model.advance(interval)      # compile + warm
-    jax.block_until_ready(model.state["potential_temperature"])
+    jax.block_until_ready(model._last_n)
     t0 = time.perf_counter()
-    steps = 0
+    ns = []
     for _ in range(reps):
         model.advance(interval)
-        steps += model.last_n_substeps
-    jax.block_until_ready(model.state["potential_temperature"])
+        ns.append(model._last_n)   # fetch after timing (D2H RTT)
+    jax.block_until_ready(ns[-1])
     dt = time.perf_counter() - t0
+    steps = sum(int(n) for n in ns)
     return nx * ny * nz * steps / dt, steps
 
 
@@ -78,12 +79,15 @@ def main():
         # unsharded reference for the SAME domain on the same machine
         thr_ref, _ = run_point(0, bx * n, ny, nz, args.interval, args.reps)
         thr, steps = run_point(n, bx, ny, nz, args.interval, args.reps)
-        overhead = thr_ref / thr if thr else float("inf")
+        # slowdown factor: >1 means GSPMD partitioning made the SAME
+        # domain slower than the unsharded program; <=1 means it is free
+        # (the round-2 name 'gspmd_overhead' read backwards when <1)
+        slowdown = thr_ref / thr if thr else float("inf")
         points.append({"devices": n, "nx": bx * n, "ny": ny, "nz": nz,
                        "gp_steps_per_s_sharded": round(thr, 1),
                        "gp_steps_per_s_unsharded": round(thr_ref, 1),
                        "substeps": steps,
-                       "gspmd_overhead": round(overhead, 4)})
+                       "gspmd_slowdown_factor": round(slowdown, 4)})
         print(json.dumps(points[-1]), flush=True)
 
     summary = {
@@ -92,7 +96,8 @@ def main():
                    f"{bx}x{ny}x{nz} per device; real weak scaling needs "
                    "real chips — see docstring)"),
         "points": points,
-        "worst_overhead": max(p["gspmd_overhead"] for p in points)
+        "worst_slowdown_factor": max(
+            p["gspmd_slowdown_factor"] for p in points)
         if points else None,
     }
     print(json.dumps(summary))
