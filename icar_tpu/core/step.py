@@ -1351,8 +1351,9 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                      .set(v) for k, v in state.items()}
         return state, t, n
 
-    # the state is donated: each interval's outputs reuse the previous
-    # interval's buffers instead of allocating a fresh ~0.5-1 GB state
-    # copy per launch (ICARModel.advance always replaces self.state with
-    # the result; donation is a no-op on CPU backends)
-    return jax.jit(step, donate_argnums=(0,))
+    # NOTE: donating the state argument (donate_argnums=(0,)) was tried
+    # and reverted: on the tunneled axon backend, block_until_ready on
+    # EVERY output of a donated program returns before execution
+    # completes (readiness tracking bug), which silently breaks all
+    # wall-clock measurement. Revisit on a backend with sane donation.
+    return jax.jit(step)

@@ -433,3 +433,91 @@ def test_get_merra_script_and_convert(tmp_path):
         np.testing.assert_array_equal(T[0, 0], ref[0, 4])
         assert (np.diff(t) > 0).all()           # monotonic across days
         assert f.read("PS").shape == (16, 4, 6)
+
+
+def test_reanalysis2icar_dataset_presets(tmp_path):
+    """--preset covers the reference's per-dataset converter suites
+    (helpers/erai, cesm/ccsm, cmip, + MERRA-2): hybrid-sigma with
+    ln(ps) (ERA-I), hyam*P0+hybm*PS (CESM), and direct 3D pressure
+    (MERRA-2 PL)."""
+    import importlib
+    r2i = importlib.import_module("reanalysis2icar")
+
+    nt, nz, ny, nx = 1, 3, 4, 5
+    lat = np.linspace(40, 43, ny)
+    lon = np.linspace(250, 254, nx)
+    rng = np.random.default_rng(6)
+    t_real = (250 + 40 * rng.random((nt, nz, ny, nx))).astype(np.float32)
+    q = np.full((nt, nz, ny, nx), 0.004, np.float32)
+    uu = np.full((nt, nz, ny, nx), 7.0, np.float32)
+
+    # --- CESM: hybrid sigma, Z3 geometric height, surface-up levels
+    hyam = np.array([0.0, 0.1, 0.2], np.float32)
+    hybm = np.array([0.9, 0.6, 0.3], np.float32)
+    ps = np.full((nt, ny, nx), 100000.0, np.float32)
+    z3 = np.broadcast_to(np.array([500.0, 3000, 8000], np.float32)
+                         [None, :, None, None], (nt, nz, ny, nx))
+    src = str(tmp_path / "cesm.nc")
+    dims4 = ("time", "lev", "lat", "lon")
+    write_vars(src, {
+        "lat": (("lat",), lat.astype(np.float32)),
+        "lon": (("lon",), lon.astype(np.float32)),
+        "hyam": (("lev",), hyam), "hybm": (("lev",), hybm),
+        "P0": ((), np.float32(100000.0)),
+        "PS": (("time", "lat", "lon"), ps),
+        "T": (dims4, t_real), "Q": (dims4, q),
+        "U": (dims4, uu), "V": (dims4, uu), "Z3": (dims4, z3.copy())})
+    out = str(tmp_path / "cesm_forcing.nc")
+    assert r2i.main([src, "-o", out, "--preset", "cesm", "-q"]) == 0
+    with NCFile(out) as f:
+        p = f.read("pressure")
+        # p_k = hyam*P0 + hybm*PS, ascending z (p decreasing)
+        np.testing.assert_allclose(p[0, :, 0, 0], [90000, 70000, 50000],
+                                   rtol=1e-5)
+        # Z3 is geometric height: passed through un-divided
+        np.testing.assert_allclose(f.read("z")[0, :, 0, 0],
+                                   [500, 3000, 8000], rtol=1e-6)
+
+    # --- ERA-I: GRIB names, ln(ps), geopotential z
+    lnps = np.log(ps)[:, None]  # (t, 1, y, x) as the GRIB conversion gives
+    srce = str(tmp_path / "erai.nc")
+    dims4e = ("time", "lv_HYBL2", "g4_lat_0", "g4_lon_1")
+    write_vars(srce, {
+        "g4_lat_0": (("g4_lat_0",), lat.astype(np.float32)),
+        "g4_lon_1": (("g4_lon_1",), lon.astype(np.float32)),
+        "lv_HYBL2_a": (("lv_HYBL2",), hyam * 100000.0),
+        "lv_HYBL2_b": (("lv_HYBL2",), hybm),
+        "P0": ((), np.float32(1.0)),
+        "LNSP_GDS4_HYBL": (("time", "one", "g4_lat_0", "g4_lon_1"),
+                           lnps.astype(np.float32)),
+        "T_GDS4_HYBL": (dims4e, t_real),
+        "Q_GDS4_HYBL": (dims4e, q),
+        "U_GDS4_HYBL": (dims4e, uu), "V_GDS4_HYBL": (dims4e, uu),
+        "Z_GDS4_HYBL": (dims4e, (z3 * 9.81).astype(np.float32))})
+    oute = str(tmp_path / "erai_forcing.nc")
+    assert r2i.main([srce, "-o", oute, "--preset", "erai", "-q"]) == 0
+    with NCFile(oute) as f:
+        np.testing.assert_allclose(f.read("pressure")[0, :, 0, 0],
+                                   [90000, 70000, 50000], rtol=1e-5)
+        # geopotential divided by g
+        np.testing.assert_allclose(f.read("z")[0, :, 0, 0],
+                                   [500, 3000, 8000], rtol=1e-5)
+
+    # --- MERRA-2: direct 3D pressure PL, H geometric
+    srcm = str(tmp_path / "merra.nc")
+    pl = np.broadcast_to(np.array([90000.0, 70000, 50000], np.float32)
+                         [None, :, None, None], (nt, nz, ny, nx))
+    dims4m = ("time", "lev", "lat", "lon")
+    write_vars(srcm, {
+        "lat": (("lat",), lat.astype(np.float32)),
+        "lon": (("lon",), lon.astype(np.float32)),
+        "PL": (dims4m, pl.copy()), "T": (dims4m, t_real),
+        "QV": (dims4m, q), "U": (dims4m, uu), "V": (dims4m, uu),
+        "H": (dims4m, z3.copy())})
+    outm = str(tmp_path / "merra_forcing.nc")
+    assert r2i.main([srcm, "-o", outm, "--preset", "merra2", "-q"]) == 0
+    with NCFile(outm) as f:
+        np.testing.assert_allclose(f.read("pressure")[0, :, 0, 0],
+                                   [90000, 70000, 50000])
+        np.testing.assert_allclose(f.read("z")[0, :, 0, 0],
+                                   [500, 3000, 8000])

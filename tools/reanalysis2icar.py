@@ -74,8 +74,42 @@ class _Reader:
         (self._f or self._sc).close()
 
 
+# per-dataset variable tables, matching the reference's dedicated
+# converter suites (helpers/erai, cesm, ccsm, cmip; plus ERA5/MERRA-2):
+# --preset NAME fills the variable names and unit conventions, and any
+# explicit --Xvar flag still overrides
+PRESETS = {
+    "era5": dict(u="u", v="v", t="t", q="q", z="z", lev="level",
+                 lat="latitude", lon="longitude"),
+    # ERA-Interim GRIB-converted names (helpers/erai/io_routines.py:7-14):
+    # hybrid-sigma levels with LOG surface pressure
+    "erai": dict(u="U_GDS4_HYBL", v="V_GDS4_HYBL", t="T_GDS4_HYBL",
+                 q="Q_GDS4_HYBL", z="Z_GDS4_HYBL",
+                 hyam="lv_HYBL2_a", hybm="lv_HYBL2_b", p00="P0",
+                 ps="LNSP_GDS4_HYBL", ps_is_log=True,
+                 lat="g4_lat_0", lon="g4_lon_1", sst="SSTK_GDS4_SFC",
+                 swdown="SSRD_GDS4_SFC", lwdown="STRD_GDS4_SFC",
+                 hgt="Z_GDS4_SFC"),
+    # CESM/CCSM history files (helpers/cesm/io_routines.py:8-9): hybrid
+    # sigma with hyam/hybm/P0*PS; Z3 is geometric height
+    "cesm": dict(u="U", v="V", t="T", q="Q", z="Z3",
+                 hyam="hyam", hybm="hybm", p00="P0", ps="PS",
+                 lat="lat", lon="lon", z_is_height=True),
+    "ccsm": dict(u="U", v="V", t="T", q="Q", z="Z3",
+                 hyam="hyam", hybm="hybm", p00="P0", ps="PS",
+                 lat="lat", lon="lon", z_is_height=True),
+    # CMOR/CMIP standard names (helpers/cmip): pressure levels in Pa
+    "cmip": dict(u="ua", v="va", t="ta", q="hus", z="zg", lev="plev",
+                 lat="lat", lon="lon"),
+    # MERRA-2 M2I3NVASM (tools/get_merra.py): 3D pressure PL, H is
+    # geometric height
+    "merra2": dict(u="U", v="V", t="T", q="QV", z="H", p3d="PL",
+                   lat="lat", lon="lon", z_is_height=True),
+}
+
+
 def convert(paths, out_path, names, t_is_real=True, q_is_sh=True,
-            z_is_geopotential=True, verbose=True):
+            z_is_geopotential=True, ps_is_log=False, verbose=True):
     acc: dict = {}
 
     def add(k, a):
@@ -108,7 +142,9 @@ def convert(paths, out_path, names, t_is_real=True, q_is_sh=True,
         t = get("t")
 
         # 3D pressure
-        if names.get("lev") and f.has(names["lev"]):
+        if names.get("p3d") and f.has(names["p3d"]):
+            p = get("p3d")                           # already (t,z,y,x) Pa
+        elif names.get("lev") and f.has(names["lev"]):
             lev = f.read(names["lev"]).squeeze()     # (nz,)
             if lev.max() < 2000:                     # hPa -> Pa
                 lev = lev * 100.0
@@ -118,6 +154,12 @@ def convert(paths, out_path, names, t_is_real=True, q_is_sh=True,
             a = f.read(names["hyam"]).squeeze()
             b = f.read(names["hybm"]).squeeze()
             ps = get("ps")
+            if ps_is_log:
+                # ERA-I stores LN(surface pressure)
+                # (helpers/erai/convert.py ln_p_sfc)
+                ps = np.exp(ps)
+            if ps is not None and ps.ndim == 4:
+                ps = ps[:, 0]
             p0 = f.read(names["p00"]).squeeze() if (
                 names.get("p00") and f.has(names["p00"])) else 1.0
             # p(t,k,y,x) = a_k*p0 + b_k*ps  (erai/convert.py:20-25)
@@ -197,36 +239,63 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("inputs", nargs="+")
     ap.add_argument("-o", "--output", default="icar_forcing.nc")
-    ap.add_argument("--uvar", default="u")
-    ap.add_argument("--vvar", default="v")
-    ap.add_argument("--tvar", default="t")
-    ap.add_argument("--qvar", default="q")
-    ap.add_argument("--zvar", default="z")
-    ap.add_argument("--levvar", default="level")
-    ap.add_argument("--latvar", default="latitude")
-    ap.add_argument("--lonvar", default="longitude")
-    ap.add_argument("--psvar", default="")
-    ap.add_argument("--hyam", default="")
-    ap.add_argument("--hybm", default="")
-    ap.add_argument("--p00", default="")
-    ap.add_argument("--hgtvar", default="")
-    ap.add_argument("--sstvar", default="")
+    ap.add_argument("--preset", choices=sorted(PRESETS),
+                    help="dataset variable table (the reference's "
+                         "per-dataset helpers/{erai,cesm,ccsm,cmip} "
+                         "suites); explicit --Xvar flags override")
+    ap.add_argument("--uvar", default=None)
+    ap.add_argument("--vvar", default=None)
+    ap.add_argument("--tvar", default=None)
+    ap.add_argument("--qvar", default=None)
+    ap.add_argument("--zvar", default=None)
+    ap.add_argument("--levvar", default=None)
+    ap.add_argument("--latvar", default=None)
+    ap.add_argument("--lonvar", default=None)
+    ap.add_argument("--psvar", default=None)
+    ap.add_argument("--pvar", default=None,
+                    help="3D pressure variable (e.g. MERRA-2 PL)")
+    ap.add_argument("--hyam", default=None)
+    ap.add_argument("--hybm", default=None)
+    ap.add_argument("--p00", default=None)
+    ap.add_argument("--hgtvar", default=None)
+    ap.add_argument("--sstvar", default=None)
     ap.add_argument("--t-is-potential", action="store_true",
                     help="input temperature is already potential T")
     ap.add_argument("--q-is-mixing-ratio", action="store_true")
     ap.add_argument("--z-is-height", action="store_true",
                     help="z is geometric height, not geopotential")
+    ap.add_argument("--ps-is-log", action="store_true",
+                    help="surface pressure is stored as ln(ps) (ERA-I)")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
-    names = {"u": args.uvar, "v": args.vvar, "t": args.tvar,
-             "q": args.qvar, "z": args.zvar, "lev": args.levvar,
-             "lat": args.latvar, "lon": args.lonvar, "ps": args.psvar,
-             "hyam": args.hyam, "hybm": args.hybm, "p00": args.p00,
-             "hgt": args.hgtvar, "sst": args.sstvar}
+
+    preset = dict(PRESETS.get(args.preset, {})) if args.preset else {}
+    defaults = {"u": "u", "v": "v", "t": "t", "q": "q", "z": "z",
+                "lev": "level", "lat": "latitude", "lon": "longitude",
+                "ps": "", "p3d": "", "hyam": "", "hybm": "", "p00": "",
+                "hgt": "", "sst": "", "swdown": "", "lwdown": ""}
+    cli = {"u": args.uvar, "v": args.vvar, "t": args.tvar, "q": args.qvar,
+           "z": args.zvar, "lev": args.levvar, "lat": args.latvar,
+           "lon": args.lonvar, "ps": args.psvar, "p3d": args.pvar,
+           "hyam": args.hyam, "hybm": args.hybm, "p00": args.p00,
+           "hgt": args.hgtvar, "sst": args.sstvar}
+    names = dict(defaults)
+    for k, v in preset.items():
+        if k in defaults:
+            names[k] = v
+    if args.preset and preset.get("lev") is None \
+            and ("hyam" in preset or "p3d" in preset):
+        names["lev"] = ""            # presets without a level coordinate
+    for k, v in cli.items():
+        if v is not None:
+            names[k] = v
+    z_is_height = args.z_is_height or preset.get("z_is_height", False)
+    ps_is_log = args.ps_is_log or preset.get("ps_is_log", False)
     convert(args.inputs, args.output, names,
             t_is_real=not args.t_is_potential,
             q_is_sh=not args.q_is_mixing_ratio,
-            z_is_geopotential=not args.z_is_height,
+            z_is_geopotential=not z_is_height,
+            ps_is_log=ps_is_log,
             verbose=not args.quiet)
     return 0
 
