@@ -149,17 +149,18 @@ def run_config(config, nx, ny, nz, sharded=False, n_timed=3,
             m.state = {**m.state, "u": u, "v": v, "w": w}
     setup_s = time.time() - t0
 
-    # NOTE on synchronization: the step donates its state argument, so
-    # state outputs ALIAS input buffers and block_until_ready on them can
-    # return before the program finishes; the substep-count scalar is a
-    # fresh output and is the reliable completion marker (block, do NOT
-    # fetch — a D2H scalar read costs a tunnel round trip, ~80 ms)
+    # NOTE on synchronization: on the tunneled backend only a D2H FETCH
+    # reliably waits for execution (block_until_ready can return before
+    # the queued programs run). Each timed region therefore ends with
+    # ONE int() fetch of the last interval's substep count — paying a
+    # single ~15-80 ms round trip inside the measurement (documented
+    # pessimism); the remaining counts are fetched outside the timers.
     # warmup: compile + one interval
     t0 = time.time()
     if pre_advance is not None:
         pre_advance(model)
     model.advance(interval)
-    jax.block_until_ready(model._last_n)
+    int(model._last_n)
     warmup_s = time.time() - t0
 
     t0 = time.time()
@@ -169,9 +170,9 @@ def run_config(config, nx, ny, nz, sharded=False, n_timed=3,
             pre_advance(model)
         model.advance(interval)
         ns.append(model._last_n)
-    jax.block_until_ready(ns[-1])
+    n_last = int(ns[-1])
     elapsed = time.time() - t0
-    steps = sum(int(n) for n in ns)
+    steps = sum(int(n) for n in ns[:-1]) + n_last
 
     # sanity: state must stay finite
     import numpy as np
@@ -194,7 +195,7 @@ def run_config(config, nx, ny, nz, sharded=False, n_timed=3,
     n_long = steps / n_timed
     t0 = time.time()
     model.advance(interval / 8)
-    jax.block_until_ready(model._last_n)
+    int(model._last_n)
     t_short = time.time() - t0
     n_short = model.last_n_substeps
     b_fit = a_fit = None

@@ -409,6 +409,24 @@ class Options:
             elif wl > 0:
                 warn("prescribed LSM fluxes without a PBL may overheat "
                      "the surface and crash the model")
+        if wind in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE) \
+                and self.lt.spatial_linear_fields \
+                and self.domain.nx and self.domain.ny:
+            # early size signal; the hard per-device check (which knows
+            # the mesh size) runs at LUT build (ops/linear_winds.
+            # check_lut_budget; mirrors the reference's per-image size
+            # printout, linear_winds.f90:682)
+            from .ops.linear_winds import lut_size_bytes
+            gb = lut_size_bytes(self.lt, self.domain.nz, self.domain.ny,
+                                self.domain.nx) / 2 ** 30
+            if gb > self.lt.max_lut_gb:
+                warn(f"linear-theory spatial LUT is {gb:.1f} GB total at "
+                     f"{self.lt.n_spd_values}x{self.lt.n_dir_values}x"
+                     f"{self.lt.n_nsq_values} entries; it must be "
+                     f"sharded over >= {-int(-gb // self.lt.max_lut_gb)} "
+                     f"devices or shrunk via lt_parameters "
+                     f"n_spd/n_dir/n_nsq_values (budget max_lut_gb="
+                     f"{self.lt.max_lut_gb})")
         if errs:
             raise ValueError("invalid options:\n  " + "\n  ".join(errs))
         return self

@@ -47,17 +47,16 @@ def main():
     # warm the interval program once (block on the fresh scalar output:
     # donated state outputs alias inputs and are "ready" immediately)
     model.advance(1200.0)
-    jax.block_until_ready(model._last_n)
-    dt0 = 1200.0 / model.last_n_substeps      # ~ substep length
+    dt0 = 1200.0 / model.last_n_substeps      # int() fetch = real sync
 
     points = []
     for n_target in (1, 2, 3, 6, 12, 23, 23, 12, 6, 3, 2, 1):
         interval = dt0 * (n_target - 0.5)
         t0 = time.time()
         model.advance(interval)
-        jax.block_until_ready(model._last_n)
+        n_now = model.last_n_substeps      # int() fetch = real sync
         el = time.time() - t0
-        points.append((model.last_n_substeps, el))
+        points.append((n_now, el))
     ns = np.array([p[0] for p in points], float)
     ts = np.array([p[1] for p in points], float)
     b, a = np.polyfit(ns, ts, 1)

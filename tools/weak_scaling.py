@@ -50,15 +50,15 @@ def run_point(n_dev, base_nx, ny, nz, interval, reps):
     if n_dev > 1:
         model.attach_mesh(make_mesh(nx, ny, jax.devices()[:n_dev]))
     model.advance(interval)      # compile + warm
-    jax.block_until_ready(model._last_n)
+    int(model._last_n)           # fetch = the only reliable sync
     t0 = time.perf_counter()
     ns = []
     for _ in range(reps):
         model.advance(interval)
-        ns.append(model._last_n)   # fetch after timing (D2H RTT)
-    jax.block_until_ready(ns[-1])
+        ns.append(model._last_n)
+    last = int(ns[-1])
     dt = time.perf_counter() - t0
-    steps = sum(int(n) for n in ns)
+    steps = sum(int(n) for n in ns[:-1]) + last
     return nx * ny * nz * steps / dt, steps
 
 
