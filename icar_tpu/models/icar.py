@@ -167,18 +167,11 @@ class ICARModel:
             lut_u, lut_v = cached
             self._lut_values = lw.table_values(lt)
         else:
-            # the batched-FFT build belongs on the accelerator even when
-            # invoked under core/state.host_setup (model init): the
-            # equivalent build on this VM's 2 host cores takes over an
-            # hour at bench scale vs minutes on the TPU
-            import contextlib
-            dev = jax.devices()[0]
-            ctx = (jax.default_device(dev) if dev.platform != "cpu"
-                   else contextlib.nullcontext())
-            with ctx:
-                lut_u, lut_v, self._lut_values = lw.build_lut(
-                    np.asarray(self.geom.terrain, np.float64),
-                    self.geom.dx, dz, lt)
+            # host pocketfft build (see ops/linear_winds.build_lut for
+            # why neither XLA:CPU nor the TPU backend runs this well)
+            lut_u, lut_v, self._lut_values = lw.build_lut(
+                np.asarray(self.geom.terrain, np.float64),
+                self.geom.dx, dz, lt)
             if lt.write_lut:
                 lw.save_lut(lt.lut_filename, lut_u, lut_v, dz, lt)
         if self.mesh is not None:
