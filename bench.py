@@ -67,6 +67,10 @@ def build_model(config: str, nx, ny, nz):
             # 2^3*3*5^2 (the default 50 gives 604 = 4*151 — a prime
             # factor that forces Bluestein FFTs on TPU)
             o.lt.buffer = 48
+            # ~20 min host build at this scale: cache it across runs
+            # (parameter-validated, lt_lut_io.f90 semantics)
+            o.lt.read_lut = o.lt.write_lut = True
+            o.lt.lut_filename = "/tmp/icar_bench_lut.npz"
         return ideal_ridge_model(mp=C.MP_SIMPLE, windtype=C.WIND_LINEAR,
                                  options_cb=lut_cb, **common)
     if config == "fullphys":
