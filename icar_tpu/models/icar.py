@@ -267,6 +267,8 @@ class ICARModel:
         linear = windtype in (C.WIND_LINEAR, C.WIND_LINEAR_ITERATIVE)
         if linear and self._lut is None:
             self._setup_linear_winds()
+        if linear:
+            self._ensure_wind_placed()
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -348,6 +350,31 @@ class ICARModel:
                                            :extra["nsq"].shape[2]].set(
                 extra["nsq"].astype(ns.dtype))
         return u, v, w
+
+    def _ensure_wind_placed(self):
+        """One bulk placement of the wind solver's persistent arrays (LUT
+        + perturbation state) on the compute device. The LUT is built
+        under host_setup (CPU context) at init; without this, every wind
+        update would re-transfer the multi-GB table over the tunnel
+        (measured ~100+ s per update at bench scale)."""
+        if self.mesh is not None:
+            return                      # placed sharded at setup
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return
+
+        def misplaced(v):
+            if isinstance(v, np.ndarray):
+                return True
+            return isinstance(v, jax.Array) and dev not in v.devices()
+
+        if self._lut is not None and misplaced(self._lut[0]):
+            self._lut = tuple(jax.device_put(jnp.asarray(a), dev)
+                              for a in self._lut)
+        for attr in ("u_perturbation", "v_perturbation", "_z_sharded"):
+            v = getattr(self, attr)
+            if v is not None and misplaced(v):
+                setattr(self, attr, jax.device_put(jnp.asarray(v), dev))
 
     def _wind_z_sharded(self):
         if getattr(self, "_z_sharded", None) is None:
