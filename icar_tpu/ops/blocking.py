@@ -108,15 +108,21 @@ def build_blocking_lut(terrain: np.ndarray, dx: float,
     z_top = np.cumsum(dz_levels).astype(np.float32)
     n_steps = [max(1, int(np.ceil(dz / minimum_step))) for dz in dz_levels]
 
-    @jax.jit
+    from .linear_winds import perturbation_layer_np
+    fzs_np = np.asarray(fzs, np.complex64)
+    k_np, l_np, kl_np = (np.asarray(a, np.float32) for a in (k, l, kl))
+
     def one_entry(u, v):
+        # host pocketfft build, like the spatial LUT (the TPU backend
+        # refuses the batched-FFT program; see linear_winds.build_lut)
         ups, vps = [], []
         for z in range(nz):
-            up, vp = perturbation_layer(u, v, NSQ_BLOCKING, z_bot[z],
-                                        z_top[z], n_steps[z], fzs, k, l, kl)
+            up, vp = perturbation_layer_np(
+                np.float32(u), np.float32(v), np.float32(NSQ_BLOCKING),
+                z_bot[z], z_top[z], n_steps[z], fzs_np, k_np, l_np, kl_np)
             ups.append(up)
             vps.append(vp)
-        return jnp.stack(ups), jnp.stack(vps)
+        return np.stack(ups), np.stack(vps)
 
     lut_u = np.zeros((ndir, nspd, nz, ny, nx + 1), np.float32)
     lut_v = np.zeros((ndir, nspd, nz, ny + 1, nx), np.float32)

@@ -3,16 +3,20 @@
 JAX re-implementation of /root/reference/src/physics/linear_winds.f90 and
 the stability helpers in atm_utilities.f90:334-467.
 
-TPU-first design:
+TPU-first design (each point measured, see docs/perf_roofline.md):
   * The spatial look-up table build — the reference's distributed
     72k-FFT hotspot (initialize_spatial_winds, linear_winds.f90:596-830,
-    work split across coarray images) — becomes ONE batched complex FFT
-    pipeline: vmap over (speed, direction, Nsq) table entries, python loop
-    over (static) vertical levels, chunked to bound memory. No explicit
-    work distribution: sharding the entry batch is a jit annotation.
+    work split across coarray images) — runs ONCE on the host with
+    scipy's multithreaded pocketfft (no XLA compile step; the TPU
+    backend refuses the batched-FFT program and XLA:CPU compiles longer
+    than the math runs), then ships to the device(s) once, sharded over
+    the mesh's (y, x) dims exactly like the state.
   * The runtime lookup (spatial_winds, linear_winds.f90:840-1127) — per
-    cell trilinear interpolation over (spd, dir, nsq) — is a vectorized
-    flat-index gather instead of a triple scalar loop.
+    cell trilinear interpolation over (spd, dir, nsq) — is a lax.scan
+    over table entries with fused one-hot corner weights: the table
+    streams through HBM exactly once per wind update and each device
+    touches only its own shard (per-cell gathers measured ~100x slower
+    on TPU).
 """
 
 from __future__ import annotations
@@ -202,6 +206,48 @@ def table_values(lt):
     return spd.astype(np.float32), dirv.astype(np.float32), nsq.astype(np.float32)
 
 
+def perturbation_at_height_np(u, v, nsq, z, fzs, k, l, kl):
+    """Numpy/scipy twin of perturbation_at_height for host-side table
+    builds (no XLA compile step; scipy pocketfft with workers=-1).
+    u/v/nsq broadcast against (NY, NX); returns real (…, NY, NX)."""
+    from scipy import fft as sfft
+
+    NY, NX = fzs.shape[-2], fzs.shape[-1]
+    sig = u * k + v * l
+    sig = np.where(sig == 0, np.float32(SMALL), sig)
+    msq = nsq / (sig ** 2) * kl
+    m_real = np.sqrt(np.abs(msq)) * np.sign(sig)
+    m = np.where(msq >= 0, m_real.astype(np.complex64),
+                 1j * np.sqrt(np.abs(msq)).astype(np.complex64))
+    ineta = 1j * np.asarray(fzs, np.complex64) * np.exp(1j * m
+                                                        * np.float32(z))
+    ineta = ineta * ((0 - m) * sig) / kl
+    uhat = np.fft.ifftshift(k * ineta, axes=(-2, -1))
+    vhat = np.fft.ifftshift(l * ineta, axes=(-2, -1))
+    scale = np.float32(NX * NY)       # FFTW backward is unnormalized
+    up = np.real(sfft.ifft2(uhat, axes=(-2, -1), workers=-1)) * scale
+    vp = np.real(sfft.ifft2(vhat, axes=(-2, -1), workers=-1)) * scale
+    zero = (u == 0) & (v == 0)
+    return np.where(zero, 0.0, up), np.where(zero, 0.0, vp)
+
+
+def perturbation_layer_np(u, v, nsq, z_bottom, z_top, n_steps,
+                          fzs, k, l, kl):
+    """Numpy twin of perturbation_layer (layer mean over n_steps
+    heights)."""
+    step = (z_top - z_bottom) / n_steps
+    shape = np.broadcast(np.asarray(u),
+                         np.asarray(fzs).real).shape
+    up_acc = np.zeros(shape, np.float32)
+    vp_acc = np.zeros(shape, np.float32)
+    for i in range(n_steps):
+        zh = z_bottom + step * (i + 0.5)
+        up, vp = perturbation_at_height_np(u, v, nsq, zh, fzs, k, l, kl)
+        up_acc += up.astype(np.float32)
+        vp_acc += vp.astype(np.float32)
+    return up_acc / n_steps, vp_acc / n_steps
+
+
 def build_lut(terrain: np.ndarray, dx: float, dz_levels: np.ndarray, lt,
               minimum_layer_size: float = 100.0, chunk: int = 24):
     """Build the full spatial wind LUT on the HOST with scipy's
@@ -223,8 +269,6 @@ def build_lut(terrain: np.ndarray, dx: float, dz_levels: np.ndarray, lt,
       index order so the runtime flat-index gather matches
       hi_u_LUT(spos,dpos,npos,...).
     """
-    from scipy import fft as sfft
-
     ny, nx = terrain.shape
     nz = len(dz_levels)
     fzs_j, buffer = fourier_terrain(terrain, lt.buffer)
@@ -248,25 +292,6 @@ def build_lut(terrain: np.ndarray, dx: float, dz_levels: np.ndarray, lt,
     n_steps = [max(1, int(np.ceil(dz / minimum_layer_size)))
                for dz in dz_levels]
 
-    def pert_np(u, v, nsq, z):
-        """perturbation_at_height for a batch of entries, numpy/scipy.
-        u/v/nsq: (B, 1, 1); z scalar. Returns (up, vp) (B, NY, NX)."""
-        sig = u * k + v * l
-        sig = np.where(sig == 0, np.float32(SMALL), sig)
-        msq = nsq / (sig ** 2) * kl
-        m_real = np.sqrt(np.abs(msq)) * np.sign(sig)
-        m = np.where(msq >= 0, m_real.astype(np.complex64),
-                     1j * np.sqrt(np.abs(msq)).astype(np.complex64))
-        ineta = 1j * fzs * np.exp(1j * m * np.float32(z))
-        ineta = ineta * ((0 - m) * sig) / kl
-        uhat = np.fft.ifftshift(k * ineta, axes=(-2, -1))
-        vhat = np.fft.ifftshift(l * ineta, axes=(-2, -1))
-        scale = np.float32(NX * NY)   # FFTW backward is unnormalized
-        up = np.real(sfft.ifft2(uhat, axes=(-2, -1), workers=-1)) * scale
-        vp = np.real(sfft.ifft2(vhat, axes=(-2, -1), workers=-1)) * scale
-        zero = (u == 0) & (v == 0)
-        return np.where(zero, 0.0, up), np.where(zero, 0.0, vp)
-
     lut_u = np.empty((E, nz, ny, nx + 1), np.float32)
     lut_v = np.empty((E, nz, ny + 1, nx), np.float32)
     for s in range(0, E, chunk):
@@ -276,16 +301,9 @@ def build_lut(terrain: np.ndarray, dx: float, dz_levels: np.ndarray, lt,
         vb = v_e[e][:, None, None]
         nb = nsq_e[e][:, None, None]
         for zi in range(nz):
-            step = (z_top[zi] - z_bot[zi]) / n_steps[zi]
-            up_acc = np.zeros((B, NY, NX), np.float32)
-            vp_acc = np.zeros((B, NY, NX), np.float32)
-            for i in range(n_steps[zi]):
-                zh = z_bot[zi] + step * (i + 0.5)
-                up, vp = pert_np(ub, vb, nb, zh)
-                up_acc += up.astype(np.float32)
-                vp_acc += vp.astype(np.float32)
-            up_acc /= n_steps[zi]
-            vp_acc /= n_steps[zi]
+            up_acc, vp_acc = perturbation_layer_np(
+                ub, vb, nb, z_bot[zi], z_top[zi], n_steps[zi],
+                fzs, k, l, kl)
             # crop the buffer and stagger onto u/v grids
             # (linear_winds.f90:765-773): u averages x-adjacent columns
             lut_u[e, zi] = (up_acc[:, buffer:NY - buffer,
