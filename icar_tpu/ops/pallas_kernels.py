@@ -667,7 +667,6 @@ def mp_simple_padded(qpad, p_pad, exner_pad, dz_pad, rain_pad,
         out_shape=[jax.ShapeDtypeStruct((S, nz, R, P), qpad.dtype),
                    jax.ShapeDtypeStruct((R, P), jnp.float32),
                    jax.ShapeDtypeStruct((R, P), jnp.float32)],
-        input_output_aliases={1: 0},
     )(scal, qpad, p_pad, exner_pad, dz_pad, rain_pad, snow_pad,
       jnp.asarray(valid_mask))
     return stack2, rain2, snow2
