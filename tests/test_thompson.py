@@ -171,3 +171,77 @@ def test_model_runs_with_thompson_aer():
         assert np.isfinite(m.field(n)).all(), n
     # orographic cloud drives droplet radii off the sentinel floor
     assert m.field("re_cloud").max() > 2.51e-6
+
+
+def test_cooper_ice_nucleation_closed_form():
+    """Cooper (1986) deposition/condensation-freezing nucleation
+    (mp_thompson.f90:1818-1827): in a cold, water-saturated, completely
+    ice/liquid-free column the ONLY ice source in one step is
+        pni_inu = max(0, xnc - ni) * odts,
+        xnc = min(250e3, TNO * exp(ATO * (T0 - T))),
+        pri_inu = min((qv - qvsi) * rho * odts * 0.999, xm0i * pni_inu)
+    so the produced qi must match the closed form per level (every other
+    ice process requires an existing frozen species or liquid). An
+    independent pin on the nucleation rate constants (TNO, ATO, xm0i)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from icar_tpu.physics import mp_thompson as mt
+
+    nz, ny, nx = 8, 2, 3
+    dt = 10.0
+    t = np.linspace(238.0, 262.0, nz)[:, None, None] * np.ones((nz, ny, nx))
+    p = np.full((nz, ny, nx), 50000.0)
+    exner = (p / 100000.0) ** (287.04 / 1004.0)
+    # just below water saturation: the water-supersaturation trigger
+    # branch stays deterministically off (at EXACT saturation the f32
+    # rounding of qv/qvs decides it), leaving only the >=25% ice-
+    # supersaturation branch, still amply exceeded at the cold levels
+    qvs_w = np.asarray(
+        [[[float(mt.rslf(p[k, j, i], t[k, j, i]))
+           for i in range(nx)] for j in range(ny)] for k in range(nz)])
+    qv = qvs_w * 0.999
+    zero = np.zeros_like(p)
+    f = lambda a: jnp.asarray(a, jnp.float32)
+    acc = jnp.zeros((ny, nx), jnp.float32)
+    out = mt.mp_thompson(
+        f(t / exner), f(qv), f(zero), f(zero), f(zero), f(zero), f(zero),
+        f(zero), f(zero), f(exner), f(p),
+        f(np.full_like(p, 50000.0)),   # huge dz: sedimentation moves ~0
+        np.float32(dt), acc, acc, acc)
+    qi = np.asarray(out[3])
+
+    # closed form (f64): rho, qvsi from the scheme's own rslf/rsif forms
+    rho = 0.622 * p / (287.04 * t * (qv + 0.622))
+    qvsi = np.asarray(
+        [[[float(mt.rsif(p[k, j, i], t[k, j, i]))
+           for i in range(nx)] for j in range(ny)] for k in range(nz)])
+    xnc = np.minimum(250e3, 5.0 * np.exp(0.304 * (273.15 - t)))
+    pri = np.minimum((qv - qvsi) * rho / dt * 0.999, 1e-12 * xnc / dt)
+    want_qi = pri / rho * dt
+    # the trigger (mp_thompson.f90:1819-1821): 25%+ ice supersaturation,
+    # or water supersaturation below 261.15 K (at exact water saturation
+    # ssatw is zeroed by the eps snap, so only the first branch fires)
+    sati = qv / qvsi
+    # guard band around the 1.25 threshold (f32 vs f64 sati)
+    active = (sati >= 1.27) & (want_qi > 1e-12)
+    untriggered = sati <= 1.20
+    assert active.any(), "test column never nucleates"
+    assert untriggered.any(), "test column lacks untriggered levels"
+    np.testing.assert_allclose(qi[active], want_qi[active], rtol=2e-2,
+                               err_msg="Cooper nucleation rate mismatch")
+    np.testing.assert_array_equal(
+        qi[untriggered], 0.0,
+        err_msg="nucleation fired without its trigger conditions")
+    # nucleation must NOT fire where neither trigger holds: warm it up
+    t_warm = t + 15.0
+    qvs_warm = np.asarray(
+        [[[float(mt.rslf(p[k, j, i], t_warm[k, j, i]))
+           for i in range(nx)] for j in range(ny)] for k in range(nz)])
+    out2 = mt.mp_thompson(
+        f(t_warm / ((p / 100000.0) ** (287.04 / 1004.0))),
+        f(qvs_warm * 0.7), f(zero), f(zero), f(zero), f(zero), f(zero),
+        f(zero), f(zero), f(exner), f(p), f(np.full_like(p, 50000.0)),
+        np.float32(dt), acc, acc, acc)
+    assert np.asarray(out2[3]).max() == 0.0
