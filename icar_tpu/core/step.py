@@ -906,6 +906,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                         jnp.asarray(geom.dz_mass), dt, s["precipitation"],
                         s["snowfall"], s["graupel"],
                         w=s.get("w_real"), params=tp)
+                    # (mp=5 aer path has no Pallas core; jnp throughout)
                 else:
                     (theta, qv, qc, qi, qr, qs, qg, ni, nr, rain, snow,
                      graupel) = mp_thompson.mp_thompson(
@@ -915,7 +916,10 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                         s["rain_number"], s["exner"], s["pressure"],
                         jnp.asarray(geom.dz_mass), dt,
                         s["precipitation"], s["snowfall"], s["graupel"],
-                        params=tp)
+                        params=tp,
+                        # the fused Thompson core kernel is single-device;
+                        # sharded global-view execution uses the jnp path
+                        use_pallas=(natural_shapes is None))
                 s = dict(s)
                 s["potential_temperature"] = theta
                 s["water_vapor"] = qv

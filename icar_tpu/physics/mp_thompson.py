@@ -102,14 +102,30 @@ def _nint(x):
 
 def _filldown(vt, present):
     """vt(k) = vt(k) if species present else value from the level above
-    (reference's vtxk(k)=vtxk(k+1) top-down carry)."""
-    def f(carry, x):
-        v, pres = x
-        out = jnp.where(pres, v, carry)
-        return out, out
-    _, res = lax.scan(f, jnp.zeros_like(vt[0]),
-                      (jnp.flip(vt, 0), jnp.flip(present, 0)))
-    return jnp.flip(res, 0)
+    (reference's vtxk(k)=vtxk(k+1) top-down carry). Unrolled over the
+    (static, small) z extent instead of lax.scan so the identical code
+    also lowers inside the Mosaic Thompson kernel; the where-chain is
+    bit-identical to the scan."""
+    nz = vt.shape[0]
+    acc = jnp.zeros_like(vt[:1])
+    rows = []
+    for k in range(nz - 1, -1, -1):
+        acc = jnp.where(present[k:k + 1], vt[k:k + 1], acc)
+        rows.append(acc)
+    return jnp.concatenate(rows[::-1], axis=0)
+
+
+def _cummin_rev(x):
+    """Reverse (top-down) cumulative minimum over axis 0 — an unrolled,
+    Mosaic-compatible replacement for lax.cummin(axis=0, reverse=True);
+    min chains are exact so the result is bit-identical."""
+    nz = x.shape[0]
+    acc = x[nz - 1:nz]
+    rows = [acc]
+    for k in range(nz - 2, -1, -1):
+        acc = jnp.minimum(x[k:k + 1], acc)
+        rows.append(acc)
+    return jnp.concatenate(rows[::-1], axis=0)
 
 
 def _sediment(rx, nx_, vt_m, vt_n, rho, dz, DT, with_number,
@@ -190,7 +206,7 @@ def _graupel_intercept(rg, temp, mvd_r, has_rain, c):
                            + 30. + 10. * ygra1))
     N0_exp = jnp.clip(10.0 ** zans1, GONV_MIN, GONV_MAX)
     # running min from the model top downward
-    N0_exp = lax.cummin(N0_exp, axis=0, reverse=True)
+    N0_exp = _cummin_rev(N0_exp)
     lam_exp = (N0_exp * c.am_g * c.cgg[0] / rg) ** c.oge1
     lamg = lam_exp * (c.cgg[2] * c.ogg2 * c.ogg1) ** c.obmg
     ilamg = 1.0 / lamg
@@ -248,13 +264,15 @@ def _prep_tables(params):
 
 def _take_tables(T, names, idxs, dtype, stk):
     """One stacked flat gather serving every table in a group. Returns
-    {name: values} shaped like the index arrays."""
+    ({name: values} shaped like the index arrays, the stacked (N, ...)
+    gather output itself — handed to the Pallas core kernel as one
+    operand so no restack copy is paid)."""
     dims = T[names[0]].shape
     lin = idxs[0]
     for d, ix in zip(dims[1:], idxs[1:]):
         lin = lin * d + ix
     vals = jnp.take(jnp.asarray(T[stk]), lin, axis=1).astype(dtype)
-    return {n: vals[i] for i, n in enumerate(names)}
+    return {n: vals[i] for i, n in enumerate(names)}, vals
 
 
 def _onehot_tables(T, names, ia, ib, dtype, stk):
@@ -357,22 +375,30 @@ def _ice_koop(temp, qv, qvs, nwfa, dt):
     return jnp.maximum(0.0, jnp.minimum(prob_h * nwfa, 1000e3))
 
 
-@functools.partial(jax.jit, static_argnames=("params_key",))
-def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
-                      exner, p1d, dzq, dt, tables, params_key,
-                      nc1d=None, nwfa1d=None, nifa1d=None, w1d=None,
-                      tnc_wev_flat=None):
-    params = ThompsonParams(**dict(params_key))
-    _, c = get_tables(params)
-    T = tables
-    pp = params
-    DT = dt
-    odt = 1.0 / dt
-    odts = odt
-    dtype = th.dtype
-    # Thompson-Eidhammer aerosol-aware mode (is_aerosol_aware,
-    # mp_thompson_aer.f90:58,440): active when prognostic nc/nwfa/nifa
-    # are supplied; otherwise the constant-Nt_c fallback below
+# ---------------------------------------------------------------------------
+# staged pipeline blocks
+#
+# The scheme runs as prep -> table indices -> table lookups -> core
+# (rates / conservation / tau+1 update / condensation / rain evap /
+# terminal velocities) -> sedimentation -> final update. The elementwise
+# blocks (_prep_block, _core_block) are shared VERBATIM by the jnp
+# reference path and the fused Pallas TPU kernel
+# (ops/thompson_kernel.py): the kernel recomputes prep per tile in VMEM
+# and receives every table value pre-gathered, so its HBM traffic is one
+# read of the primaries + gathered table values and one write of the core
+# outputs — replacing the fusion-tuple materialization the monolithic
+# formulation paid (~17 GB/substep of tuple results at 500^2x20,
+# docs/perf_roofline.md).
+# ---------------------------------------------------------------------------
+
+
+def _prep_block(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
+                exner, p1d, c, pp, nc1d=None, nwfa1d=None, nifa1d=None,
+                w1d=None):
+    """Hydrometeor loads/clamps, thermodynamics, saturation, snow moments
+    and PSD slopes/intercepts (mp_thompson.f90:1160-1494). Returns the
+    prep dict P; its q*1d/n*1d entries are the MASKED (q > R1) versions
+    the rest of the scheme consumes."""
     aer = nc1d is not None
 
     t1d = th * exner
@@ -385,6 +411,7 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     qc1d = jnp.where(L_qc, qc1d, 0.0)
     rc = jnp.where(L_qc, qc1d * rho, R1)
 
+    P = {}
     if aer:
         # working aerosol concentrations in m^-3 (mp_thompson_aer.f90:
         # 1649-1650) and droplet-number init with the mean-size clamp into
@@ -406,6 +433,8 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
                                     rc / (AM_R * g1_0) * lamc_cl ** BM_R),
                         2.0)
         w1d = jnp.zeros_like(temp) if w1d is None else w1d
+        P.update(nc1d=nc1d, ncr=ncr, nwfa=nwfa, nifa=nifa, w1d=w1d,
+                 nwfa1d=nwfa1d)
 
     L_qi = qi1d > R1
     qi1d = jnp.where(L_qi, qi1d, 0.0)
@@ -462,25 +491,175 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
 
     zero = jnp.zeros_like(temp)
 
-    # ---- warm-rain processes (mp_thompson.f90:1496-1545) ---------------
-    Ef_rr = 2.0 - jnp.exp(jnp.minimum(2300.0 * (mvd_r - 1600.0e-6), 50.0))
-    pnr_rcr = jnp.where(L_qr & (mvd_r > D0R), Ef_rr * 4. * nr * rr, 0.0)
-
+    # cloud-droplet PSD (mp_thompson.f90:1500-1511 / aer :1955-1980);
+    # shared by the warm-rain rates and the collision-efficiency table
+    # indices
     if aer:
-        # per-cell nu_c cloud PSD from prognostic droplet number
-        # (mp_thompson_aer.f90:1955-1980)
         nu_cw = _nu_c_jnp(ncr)
         g1w, g2w = _g_ratios(nu_cw)
         xDc = jnp.maximum(D0C * 1e6, ((rc / (AM_R * ncr)) ** c.obmr) * 1e6)
         lamc = (ncr * AM_R * g1w / rc) ** c.obmr
         mvd_c = jnp.where(L_qc, (3.0 + nu_cw + 0.672) / lamc, D0C)
         Dc_g = (g2w ** c.obmr / lamc) * 1e6
+        P.update(nu_cw=nu_cw)
     else:
         xDc = jnp.maximum(D0C * 1e6,
                           ((rc / (AM_R * pp.Nt_c)) ** c.obmr) * 1e6)
         lamc = (pp.Nt_c * AM_R * c.ccg[1] * c.ocg1 / rc) ** c.obmr
         mvd_c = jnp.where(L_qc, (3.0 + c.mu_c + 0.672) / lamc, D0C)
         Dc_g = ((c.ccg[2] * c.ocg2) ** c.obmr / lamc) * 1e6
+    # mean snow size for the snow-cloud collection efficiency index
+    # (mp_thompson.f90:1705-1710)
+    xDs = jnp.where(L_qs, smoc / jnp.maximum(smob, R1), 0.0)
+
+    P.update(
+        t1d=t1d, temp=temp, tempc=tempc, qv=qv, pres=pres, rho=rho,
+        rhof=rhof, rhof2=rhof2, diffu=diffu, visco=visco, ocp=ocp,
+        vsc2=vsc2, lvap=lvap, tcond=tcond, qvs=qvs, delQvs=delQvs,
+        qvsi=qvsi, ssatw=ssatw, ssati=ssati,
+        L_qc=L_qc, qc1d=qc1d, rc=rc,
+        L_qi=L_qi, qi1d=qi1d, ni1d=ni1d, ri=ri, ni=ni,
+        L_qr=L_qr, qr1d=qr1d, nr1d=nr1d, rr=rr, nr=nr, mvd_r=mvd_r,
+        L_qs=L_qs, qs1d=qs1d, rs=rs, L_qg=L_qg, qg1d=qg1d, rg=rg,
+        smob=smob, smo2=smo2, smo0=smo0, smo1=smo1, smoc=smoc, smod=smod,
+        smoe=smoe, smof=smof, ilamg=ilamg, N0_g=N0_g, ilamr=ilamr,
+        N0_r=N0_r, zero=zero, xDc=xDc, mvd_c=mvd_c, Dc_g=Dc_g, xDs=xDs,
+        qv1d=qv1d)
+    return P
+
+
+def _small_indices(P, c):
+    """Bin indices for the small 2D tables (collision efficiencies,
+    cloud-water freezing, ice autoconversion/deposition). Shared by
+    _index_block (jnp path: XLA one-hot lookups) and the Pallas kernel's
+    in-VMEM one-hot lookups (ops/thompson_kernel._small_lookup_tile)."""
+    rc, ri, ni, tempc = P["rc"], P["ri"], P["ni"], P["tempc"]
+    idx_tc = jnp.clip(_nint(-tempc), 1, 45) - 1
+    idx_c = jnp.where(rc > tt.r_c[0], _mantissa_idx(rc, c.nic2, NTB_C), 0)
+    idx_i = jnp.where(ri > tt.r_i[0], _mantissa_idx(ri, c.nii2, NTB_I), 0)
+    idx_i1 = jnp.where(ni > tt.Nt_i[0],
+                       _mantissa_idx(ni, c.nii3, NTB_I1), 0)
+    # collision-efficiency bins (rain/cloud, snow/cloud)
+    idx_efr = jnp.clip(
+        (NBR * jnp.log(P["mvd_r"] / tt.D0R)
+         / np.log(float(c.Dr[-1] / c.Dr[0]))).astype(jnp.int32),
+        0, NBR - 1)
+    idx_efc = jnp.clip((P["mvd_c"] * 1e6).astype(jnp.int32) - 1, 0, NBC - 1)
+    idx_efs = jnp.clip(
+        (NBS * jnp.log(jnp.maximum(P["xDs"], D0S) / tt.D0S)
+         / np.log(float(c.Ds[-1] / c.Ds[0]))).astype(jnp.int32), 0, NBS - 1)
+    return dict(idx_tc=idx_tc, idx_c=idx_c, idx_i=idx_i, idx_i1=idx_i1,
+                idx_efr=idx_efr, idx_efc=idx_efc, idx_efs=idx_efs)
+
+
+def _index_block(P, c):
+    """Lookup-table bin indices (mp_thompson.f90:1560-1736): decimal
+    mantissa bins for the mixing-ratio tables, temperature bins, and the
+    log-spaced collision-efficiency bins. Consumed by _gather_all (the
+    XLA gather/one-hot stage — always outside the Pallas kernel)."""
+    rr, nr = P["rr"], P["nr"]
+    rs, rg, tempc = P["rs"], P["rg"], P["tempc"]
+    ilamr, ilamg = P["ilamr"], P["ilamg"]
+
+    idx_t_raw = jnp.trunc((tempc - 2.5) / 5.0).astype(jnp.int32) - 1
+    idx_t = jnp.clip(jnp.maximum(1, -idx_t_raw), 1, NTB_T) - 1
+    has_r = rr > tt.r_r[0]
+    idx_r = jnp.where(has_r, _mantissa_idx(rr, c.nir2, NTB_R), 0)
+    lam_exp_r = (1.0 / ilamr) * (c.crg[2] * c.org2 * c.org1) ** BM_R
+    N0_exp_r = c.org1 * rr / AM_R * lam_exp_r ** c.cre[0]
+    idx_r1 = jnp.where(has_r, _mantissa_idx(N0_exp_r, c.nir3, NTB_R1),
+                       NTB_R1 - 1)
+    idx_s = jnp.where(rs > tt.r_s[0], _mantissa_idx(rs, c.nis2, NTB_S), 0)
+    has_g = rg > tt.r_g[0]
+    idx_g = jnp.where(has_g, _mantissa_idx(rg, c.nig2, NTB_G), 0)
+    lam_exp_g = (1.0 / ilamg) * (c.cgg[2] * c.ogg2 * c.ogg1) ** BM_G
+    N0_exp_g = c.ogg1 * rg / c.am_g * lam_exp_g ** c.cge[0]
+    idx_g1 = jnp.where(has_g, _mantissa_idx(N0_exp_g, c.nig3, NTB_G1),
+                       NTB_G1 - 1)
+
+    return dict(idx_t=idx_t, idx_r=idx_r, idx_r1=idx_r1, idx_s=idx_s,
+                idx_g=idx_g, idx_g1=idx_g1, **_small_indices(P, c))
+
+
+# every table value the core consumes, in the kernel's stacked-operand
+# order: the three big gather groups plus the 2D one-hot lookups
+_SMALL_NAMES = ("t_Efrw", "t_Efsw", "tpi_qcfz", "tni_qcfz", "tpi_ide",
+                "tps_iaus", "tni_iaus")
+
+
+def _gather_all(T, I, dtype):
+    """All table lookups (XLA stage, between the index block and the
+    core): three stacked flat gathers for the 4D/3D tables and exact
+    one-hot MXU contractions for the small 2D tables. Returns
+    ({table_name: looked-up field}, {group: stacked gather output} —
+    the stacks feed the Pallas core kernel directly)."""
+    RS, rs_stk = _take_tables(
+        T, _RACS_NAMES, (I["idx_s"], I["idx_t"], I["idx_r1"], I["idx_r"]),
+        dtype, "_stk_racs")
+    GG, gg_stk = _take_tables(
+        T, _RACG_NAMES, (I["idx_g1"], I["idx_g"], I["idx_r1"], I["idx_r"]),
+        dtype, "_stk_racg")
+    QF, qf_stk = _take_tables(
+        T, _QRFZ_NAMES, (I["idx_r"], I["idx_r1"], I["idx_tc"]),
+        dtype, "_stk_qrfz")
+    E1 = _onehot_tables(T, ("t_Efrw",), I["idx_efr"], I["idx_efc"], dtype,
+                        "_stk_efrw")
+    E2 = _onehot_tables(T, ("t_Efsw",), I["idx_efs"], I["idx_efc"], dtype,
+                        "_stk_efsw")
+    CF = _onehot_tables(T, _QCFZ_NAMES, I["idx_c"], I["idx_tc"], dtype,
+                        "_stk_qcfz")
+    II = _onehot_tables(T, _IAUS_NAMES, I["idx_i"], I["idx_i1"], dtype,
+                        "_stk_iaus")
+    G = {**RS, **GG, **QF, **E1, **E2, **CF, **II}
+    return G, dict(racs=rs_stk, racg=gg_stk, qrfz=qf_stk)
+
+
+def _core_block(P, idx_i, G, DT, c, pp, tnc_wev_flat=None):
+    """Process rates, conservation scalings, tendencies, the TAU+1
+    update, cloud condensation/evaporation, rain evaporation and terminal
+    velocities (mp_thompson.f90:1496-2655) — everything between the table
+    lookups and sedimentation. Pure elementwise math on whatever array
+    shape P holds (full grid on the jnp reference path; one VMEM tile
+    inside the Pallas TPU kernel, ops/thompson_kernel.py). ``G`` maps
+    table names to pre-gathered values; ``idx_i`` is the ice bin index
+    (the one table index the rate logic itself consumes, for the
+    large-ice autoconversion branch)."""
+    aer = "ncr" in P
+    odt = 1.0 / DT
+    odts = odt
+    dtype = P["t1d"].dtype
+
+    (t1d, temp, tempc, qv, pres, rho, rhof, rhof2, diffu, visco, ocp,
+     vsc2, lvap, tcond, qvs, delQvs, qvsi, ssatw, ssati) = (
+        P["t1d"], P["temp"], P["tempc"], P["qv"], P["pres"], P["rho"],
+        P["rhof"], P["rhof2"], P["diffu"], P["visco"], P["ocp"], P["vsc2"],
+        P["lvap"], P["tcond"], P["qvs"], P["delQvs"], P["qvsi"],
+        P["ssatw"], P["ssati"])
+    (L_qc, qc1d, rc, L_qi, qi1d, ni1d, ri, ni, L_qr, qr1d, nr1d, rr, nr,
+     mvd_r, L_qs, qs1d, rs, L_qg, qg1d, rg) = (
+        P["L_qc"], P["qc1d"], P["rc"], P["L_qi"], P["qi1d"], P["ni1d"],
+        P["ri"], P["ni"], P["L_qr"], P["qr1d"], P["nr1d"], P["rr"],
+        P["nr"], P["mvd_r"], P["L_qs"], P["qs1d"], P["rs"], P["L_qg"],
+        P["qg1d"], P["rg"])
+    (smob, smo2, smo0, smo1, smoc, smod, smoe, smof, ilamg, N0_g, ilamr,
+     N0_r, zero, qv1d) = (
+        P["smob"], P["smo2"], P["smo0"], P["smo1"], P["smoc"], P["smod"],
+        P["smoe"], P["smof"], P["ilamg"], P["N0_g"], P["ilamr"],
+        P["N0_r"], P["zero"], P["qv1d"])
+    if aer:
+        nc1d, ncr, nwfa, nifa, w1d, nwfa1d = (
+            P["nc1d"], P["ncr"], P["nwfa"], P["nifa"], P["w1d"],
+            P["nwfa1d"])
+
+    # ---- warm-rain processes (mp_thompson.f90:1496-1545) ---------------
+    Ef_rr = 2.0 - jnp.exp(jnp.minimum(2300.0 * (mvd_r - 1600.0e-6), 50.0))
+    pnr_rcr = jnp.where(L_qr & (mvd_r > D0R), Ef_rr * 4. * nr * rr, 0.0)
+
+    # cloud PSD parameters computed in _prep_block (constant-Nt_c or
+    # prognostic-nc form)
+    xDc, mvd_c, Dc_g = P["xDc"], P["mvd_c"], P["Dc_g"]
+    if aer:
+        nu_cw = P["nu_cw"]
     Dc_b = jnp.maximum(xDc ** 3 * Dc_g ** 3 - xDc ** 6, 0.0) ** (1.0 / 6.0)
     zeta1 = jnp.maximum(6.25e-6 * xDc * Dc_b ** 3 - 0.4, 0.0)
     zeta = 0.027 * rc * zeta1
@@ -498,14 +677,8 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     else:
         pnr_wau = prr_wau / (AM_R * c.mu_c * D0R ** 3)
 
-    # rain collecting cloud water
-    idx_efr = jnp.clip(
-        (NBR * jnp.log(mvd_r / tt.D0R)
-         / np.log(float(c.Dr[-1] / c.Dr[0]))).astype(jnp.int32),
-        0, NBR - 1)
-    idx_efc = jnp.clip((mvd_c * 1e6).astype(jnp.int32) - 1, 0, NBC - 1)
-    Ef_rw = _onehot_tables(T, ("t_Efrw",), idx_efr, idx_efc, dtype,
-                           "_stk_efrw")["t_Efrw"]
+    # rain collecting cloud water (collision efficiency pre-looked-up)
+    Ef_rw = G["t_Efrw"]
     rcw_on = L_qc & L_qr & (mvd_r > D0R) & (mvd_c > D0C)
     prr_rcw = jnp.where(
         rcw_on,
@@ -536,27 +709,8 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
                         rhof * c.t1_qr_qc * Ef_ra_d * nifa * N0_r
                         * ((1.0 / ilamr + FV_R) ** (-c.cre[8]))), 0.0)
 
-    # ---- table indices (mp_thompson.f90:1560-1700) ---------------------
-    idx_tc = jnp.clip(_nint(-tempc), 1, 45) - 1
-    idx_t_raw = jnp.trunc((tempc - 2.5) / 5.0).astype(jnp.int32) - 1
-    idx_t = jnp.clip(jnp.maximum(1, -idx_t_raw), 1, NTB_T) - 1
-    idx_c = jnp.where(rc > tt.r_c[0], _mantissa_idx(rc, c.nic2, NTB_C), 0)
-    idx_i = jnp.where(ri > tt.r_i[0], _mantissa_idx(ri, c.nii2, NTB_I), 0)
-    idx_i1 = jnp.where(ni > tt.Nt_i[0],
-                       _mantissa_idx(ni, c.nii3, NTB_I1), 0)
-    has_r = rr > tt.r_r[0]
-    idx_r = jnp.where(has_r, _mantissa_idx(rr, c.nir2, NTB_R), 0)
-    lam_exp_r = (1.0 / ilamr) * (c.crg[2] * c.org2 * c.org1) ** BM_R
-    N0_exp_r = c.org1 * rr / AM_R * lam_exp_r ** c.cre[0]
-    idx_r1 = jnp.where(has_r, _mantissa_idx(N0_exp_r, c.nir3, NTB_R1),
-                       NTB_R1 - 1)
-    idx_s = jnp.where(rs > tt.r_s[0], _mantissa_idx(rs, c.nis2, NTB_S), 0)
-    has_g = rg > tt.r_g[0]
-    idx_g = jnp.where(has_g, _mantissa_idx(rg, c.nig2, NTB_G), 0)
-    lam_exp_g = (1.0 / ilamg) * (c.cgg[2] * c.ogg2 * c.ogg1) ** BM_G
-    N0_exp_g = c.ogg1 * rg / c.am_g * lam_exp_g ** c.cge[0]
-    idx_g1 = jnp.where(has_g, _mantissa_idx(N0_exp_g, c.nig3, NTB_G1),
-                       NTB_G1 - 1)
+    # (table bin indices live in _index_block; every looked-up value
+    # arrives through G)
 
     # deposition/sublimation prefactor (Srivastava & Coen 1992)
     otemp = 1.0 / temp
@@ -573,12 +727,8 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
                          - 5. * alphsc ** 3 * xsat ** 3) / (1. + gamsc)
 
     # snow/graupel collecting cloud water (mp_thompson.f90:1705-1736)
-    xDs = jnp.where(L_qs, smoc / jnp.maximum(smob, R1), 0.0)
-    idx_efs = jnp.clip(
-        (NBS * jnp.log(jnp.maximum(xDs, D0S) / tt.D0S)
-         / np.log(float(c.Ds[-1] / c.Ds[0]))).astype(jnp.int32), 0, NBS - 1)
-    Ef_sw = _onehot_tables(T, ("t_Efsw",), idx_efs, idx_efc, dtype,
-                           "_stk_efsw")["t_Efsw"]
+    xDs = P["xDs"]
+    Ef_sw = G["t_Efsw"]
     scw_on = L_qc & (mvd_c > D0C) & (xDs > D0S)
     prs_scw = jnp.where(scw_on, rhof * c.t1_qs_qc * Ef_sw * rc * smoe, 0.0)
 
@@ -628,16 +778,10 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
                                 * ilamg ** c.cge[8]), 0.0)
 
     # ---- rain collecting snow / graupel via lookup tables --------------
-    RS = _take_tables(T, _RACS_NAMES, (idx_s, idx_t, idx_r1, idx_r),
-                      dtype, "_stk_racs")
-    GG = _take_tables(T, _RACG_NAMES, (idx_g1, idx_g, idx_r1, idx_r),
-                      dtype, "_stk_racg")
-
     def gat(name):
-        return RS[name]
+        return G[name]
 
-    def gat_g(name):
-        return GG[name]
+    gat_g = gat
 
     rs_on = (rr >= tt.r_r[0]) & (rs >= tt.r_s[0])
     cold = temp < T_0
@@ -682,8 +826,7 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     rate_max_i = (qv - qvsi) * rho * odts * 0.999
 
     frz_tab = (rr > tt.r_r[0])
-    QF = _take_tables(T, _QRFZ_NAMES, (idx_r, idx_r1, idx_tc), dtype,
-                      "_stk_qrfz")
+    QF = G
     prg_rfz = jnp.where(cold & frz_tab, QF["tpg_qrfz"] * odts, 0.0)
     pri_rfz = jnp.where(
         cold, jnp.where(frz_tab, QF["tpi_qrfz"] * odts,
@@ -699,7 +842,7 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
         jnp.where(cold & (rr > R1) & (temp < HGFR), nr * odts, 0.0))
 
     wfz_tab = rc > tt.r_c[0]
-    CF = _onehot_tables(T, _QCFZ_NAMES, idx_c, idx_tc, dtype, "_stk_qcfz")
+    CF = G
     pri_wfz = jnp.where(
         cold, jnp.where(wfz_tab,
                         jnp.minimum(rc * odts, CF["tpi_qcfz"] * odts),
@@ -752,7 +895,7 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     oxmi = 1.0 / xmi
     ide_raw = C_CUBE * t1_subl * diffu * ssati * rvs \
         * c.oig1 * c.cig[4] * ni * ilami
-    II = _onehot_tables(T, _IAUS_NAMES, idx_i, idx_i1, dtype, "_stk_iaus")
+    II = G
     tpi_ide = II["tpi_ide"]
     ide_on = cold & L_qi
     pri_ide_neg = jnp.maximum(jnp.maximum(-ri * odts, ide_raw), rate_max_i)
@@ -1224,6 +1367,80 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
     vtg_full = jnp.where(temp > T_0, jnp.maximum(vtg, vtrk), vtg)
     vtgk = _filldown(jnp.where(has_rg, vtg_full, 0.0), has_rg)
 
+    O = dict(rr=rr, nr=nr, ri=ri, ni=ni, rs=rs, rg=rg, vtrk=vtrk,
+             vtnrk=vtnrk, vtik=vtik, vtnik=vtnik, vtsk=vtsk, vtgk=vtgk,
+             rho=rho, ocp=ocp, lvap=lvap, tten=tten, qvten=qvten,
+             qcten=qcten, qiten=qiten, niten=niten, qrten=qrten,
+             nrten=nrten, qsten=qsten, qgten=qgten)
+    if aer:
+        O.update(ncten=ncten, nwfaten=nwfaten, nifaten=nifaten, rhof=rhof)
+    return O
+
+
+# the core outputs, in the Pallas kernel's stacked-output order
+_O_NAMES = ("rr", "nr", "ri", "ni", "rs", "rg", "vtrk", "vtnrk", "vtik",
+            "vtnik", "vtsk", "vtgk", "rho", "ocp", "lvap", "tten",
+            "qvten", "qcten", "qiten", "niten", "qrten", "nrten",
+            "qsten", "qgten")
+
+
+@functools.partial(jax.jit, static_argnames=("params_key", "kernel_mode"))
+def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
+                      exner, p1d, dzq, dt, tables, params_key,
+                      nc1d=None, nwfa1d=None, nifa1d=None, w1d=None,
+                      tnc_wev_flat=None, kernel_mode=None):
+    """One Thompson step: prep -> indices -> table lookups -> core
+    (fused Pallas kernel when kernel_mode is set and the run is not
+    aerosol-aware; the jnp reference otherwise) -> sedimentation ->
+    final update (mp_thompson.f90:1057-2844)."""
+    params = ThompsonParams(**dict(params_key))
+    _, c = get_tables(params)
+    pp = params
+    DT = dt
+    odt = 1.0 / dt
+    dtype = th.dtype
+    # Thompson-Eidhammer aerosol-aware mode (is_aerosol_aware,
+    # mp_thompson_aer.f90:58,440): active when prognostic nc/nwfa/nifa
+    # are supplied; otherwise the constant-Nt_c fallback
+    aer = nc1d is not None
+
+    P = _prep_block(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
+                    exner, p1d, c, pp, nc1d=nc1d, nwfa1d=nwfa1d,
+                    nifa1d=nifa1d, w1d=w1d)
+    I = _index_block(P, c)
+    G, stacks = _gather_all(tables, I, dtype)
+
+    if kernel_mode is not None and not aer:
+        from ..ops.thompson_kernel import thompson_core_call
+        O = thompson_core_call(
+            th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d, exner,
+            p1d, stacks, [G[n] for n in _SMALL_NAMES], dt, params_key,
+            interpret=(kernel_mode == "interpret"))
+    else:
+        O = _core_block(P, I["idx_i"], G, DT, c, pp,
+                        tnc_wev_flat=tnc_wev_flat)
+
+    (rr, nr, ri, ni, rs, rg, vtrk, vtnrk, vtik, vtnik, vtsk, vtgk, rho,
+     ocp, lvap, tten, qvten, qcten, qiten, niten, qrten, nrten, qsten,
+     qgten) = (O[k] for k in _O_NAMES)
+    t1d = P["t1d"]
+    qc1d, qi1d, ni1d, qr1d, nr1d, qs1d, qg1d = (
+        P["qc1d"], P["qi1d"], P["ni1d"], P["qr1d"], P["nr1d"], P["qs1d"],
+        P["qg1d"])
+    if aer:
+        nc1d, w1d, rhof = P["nc1d"], P["w1d"], O["rhof"]
+        ncten, nwfaten, nifaten = O["ncten"], O["nwfaten"], O["nifaten"]
+        # the drizzle-settling tendency divides by the PRE-update density
+        # (the reference's orho is set before the TAU+1 update and never
+        # refreshed, mp_thompson_aer.f90:2664) while rc_s uses the final
+        # rho — quirk preserved
+        orho = 1.0 / P["rho"]
+    # post-core temperature: every where-branch of the core's update
+    # sections wrote exactly t1d + DT*tten for its cells (the inactive
+    # branches add exact zeros to tten), so this recomputation is
+    # bit-identical to the value the monolithic formulation carried
+    temp = t1d + DT * tten
+
     # ---- sedimentation -------------------------------------------------
     rr, nr, d_q, d_n, ppt_rain = _sediment(
         rr, nr, vtrk, vtnrk, rho, dzq, DT, True)
@@ -1356,11 +1573,30 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
             ppt_rain, ppt_ice, ppt_snow, ppt_graupel)
 
 
+def _kernel_mode(use_pallas: bool):
+    """Which Pallas mode the core runs in: "compiled" on TPU backends,
+    "interpret" when tests force interpret mode (so the CPU suite
+    exercises the exact kernel body), else None (jnp reference)."""
+    if not use_pallas:
+        return None
+    from ..ops import pallas_kernels as pk
+    if not pk._HAS_PALLAS:
+        return None
+    if pk._INTERPRET:
+        return "interpret"
+    if pk.tpu_backend():
+        return "compiled"
+    return None
+
+
 def mp_thompson(th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz, dt,
-                rain, snow, graupel, params: ThompsonParams = None):
+                rain, snow, graupel, params: ThompsonParams = None,
+                use_pallas=True):
     """One Thompson step over the full grid (mp_gt_driver,
     mp_thompson.f90:772-1044). rain/snow/graupel are (y, x) accumulators
-    [mm]; ni/nr are number mixing ratios [kg^-1].
+    [mm]; ni/nr are number mixing ratios [kg^-1]. ``use_pallas`` gates
+    the fused TPU core kernel (single-device only — sharded callers pass
+    False, like mp_simple).
 
     Returns (th, qv, qc, qi, qr, qs, qg, ni, nr, rain, snow, graupel)."""
     params = params or ThompsonParams()
@@ -1369,7 +1605,8 @@ def mp_thompson(th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz, dt,
     (th, qv, qc, qi, qr, qs_, qg, ni, nr,
      ppt_rain, ppt_ice, ppt_snow, ppt_graupel) = _mp_thompson_impl(
         th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz,
-        jnp.asarray(dt, th.dtype), tables, key)
+        jnp.asarray(dt, th.dtype), tables, key,
+        kernel_mode=_kernel_mode(use_pallas))
     rain = rain + ppt_rain + ppt_snow + ppt_graupel + ppt_ice
     snow = snow + ppt_snow + ppt_ice
     graupel = graupel + ppt_graupel
