@@ -61,6 +61,17 @@ class LtOptions:
     # per-image footprint and leaves the user to right-size
     # n_spd/n_dir/n_nsq — linear_winds.f90:664-682; we enforce it)
     max_lut_gb: float = 6.0
+    # host-memory budget for the chunked LUT build (the host only ever
+    # holds one ~24-entry chunk of buffered-terrain FFT workspace — the
+    # GLOBAL table never exists on the host; linear_winds.f90:596-830
+    # per-image build+store semantics)
+    max_host_gb: float = 16.0
+    # LUT storage dtype: "float32" or "bfloat16". bf16 halves both the
+    # footprint and the once-per-update table stream; the trilinear
+    # interpolation accumulates in f32 either way and the quantization
+    # error (~0.4%) is far below the 4% analytic-oracle tolerance and
+    # the linear_update_fraction relaxation.
+    lut_dtype: str = "float32"
 
 
 @dataclass

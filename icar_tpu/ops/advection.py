@@ -58,36 +58,45 @@ def advect3d_upwind(q, winds: CourantWinds, rho, dz, jaco,
                     advect_density: bool = False):
     """Donor-cell update of one scalar field (advect3d, advect.f90:107-178).
 
-    Returns the advected field; interior cells only (x,y in [1, n-2])."""
+    Returns the advected field; interior cells only (x,y in [1, n-2]).
+    Batch-generic over leading dims: a stacked (nq, nz, ny, nx) species
+    array advects in ONE call — vmap was dropped deliberately, because
+    vmapping the static `.at[].add` update lowers it to a TPU scatter
+    (measured GB-scale scatter traffic per substep) while the direct
+    broadcasted form stays a fused slice-update."""
     U_m, V_m, W_m = winds
 
     # x faces 1..nx-1 between cells (f-1, f); flux difference for cells 1..nx-2
-    fx = _upwind_flux(q[:, :, :-1], q[:, :, 1:], U_m)          # (nz, ny, nx-1)
-    xdiv = fx[:, 1:-1, 1:] - fx[:, 1:-1, :-1]                  # (nz, ny-2, nx-2)
+    fx = _upwind_flux(q[..., :-1], q[..., 1:], U_m)            # (.., ny, nx-1)
+    xdiv = fx[..., 1:-1, 1:] - fx[..., 1:-1, :-1]              # (.., ny-2, nx-2)
 
-    fy = _upwind_flux(q[:, :-1, :], q[:, 1:, :], V_m)          # (nz, ny-1, nx)
-    ydiv = fy[:, 1:, 1:-1] - fy[:, :-1, 1:-1]                  # (nz, ny-2, nx-2)
+    fy = _upwind_flux(q[..., :-1, :], q[..., 1:, :], V_m)      # (.., ny-1, nx)
+    ydiv = fy[..., 1:, 1:-1] - fy[..., :-1, 1:-1]              # (.., ny-2, nx-2)
 
-    # vertical faces between layers k and k+1 (W_m[k] = flux at top of k)
-    fz = _upwind_flux(q[:-1], q[1:], W_m[:-1])                 # (nz-1, ny, nx)
+    # vertical faces between layers k and k+1 (W_m[k] = flux at top of k);
+    # winds index batch-generically too (MPDATA's corrective pass passes
+    # per-species 4D pseudo-velocities)
+    fz = _upwind_flux(q[..., :-1, :, :], q[..., 1:, :, :],
+                      W_m[..., :-1, :, :])                     # (.., nz-1, ny, nx)
 
-    qi = q[:, 1:-1, 1:-1]
+    qi = q[..., 1:-1, 1:-1]
     jacoi = jaco[:, 1:-1, 1:-1]
     if advect_density:
         jacoi = jacoi * rho[:, 1:-1, 1:-1]
     dzi = dz[:, 1:-1, 1:-1]
-    fzi = fz[:, 1:-1, 1:-1]
+    fzi = fz[..., 1:-1, 1:-1]
 
     dq = (xdiv + ydiv) / jacoi
     # vertical: bottom layer loses only through its top face; top layer
     # flushes q*W out the model top (advect.f90:164-172)
     vert_in = jnp.concatenate([
-        fzi[:1],
-        fzi[1:] - fzi[:-1],
-        (qi[-1:] * W_m[-1:, 1:-1, 1:-1]) - fzi[-1:]], axis=0)
+        fzi[..., :1, :, :],
+        fzi[..., 1:, :, :] - fzi[..., :-1, :, :],
+        (qi[..., -1:, :, :] * W_m[..., -1:, 1:-1, 1:-1])
+        - fzi[..., -1:, :, :]], axis=-3)
     dq = dq + vert_in / (dzi * jacoi)
 
-    return q.at[:, 1:-1, 1:-1].add(-dq)
+    return q.at[..., 1:-1, 1:-1].add(-dq)
 
 
 def advect_upwind(stacked_q, u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
@@ -109,8 +118,7 @@ def advect_upwind(stacked_q, u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
                                         floors=floors, near_end=near_end)
     winds = setup_courant_winds(u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
                                 rho, advect_density)
-    fn = lambda q: advect3d_upwind(q, winds, rho, dz, jaco, advect_density)
-    out = jax.vmap(fn)(stacked_q)
+    out = advect3d_upwind(stacked_q, winds, rho, dz, jaco, advect_density)
     if floors is not None and near_end is not None:
         floor = jnp.where(near_end > 0,
                           jnp.asarray(floors, out.dtype), -jnp.inf)

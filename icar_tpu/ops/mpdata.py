@@ -29,71 +29,79 @@ def _pseudo_velocities(q, U, V, Wn, G):
     """Antidiffusive pseudo-velocities (mpdata_fluxes,
     adv_mpdata.f90:107-259). ``Wn`` is the dz-normalized vertical Courant
     wind; ``G`` = jacobian*rho (Smolarkiewicz & Margolin 1998 notation).
-    Returns (u2, v2, w2) shaped like (U, V, W)."""
-    nz, ny, nx = q.shape
-
+    Returns (u2, v2, w2) shaped like (U, V, W) broadcast against q's
+    leading dims — batch-generic so a stacked species array processes in
+    one pass (vmap would lower the .at[].add interior updates to TPU
+    scatters)."""
     # ---- U component: faces between x cells (c, c+1) ----
-    ql, qr = q[:, :, :-1], q[:, :, 1:]
+    ql, qr = q[..., :-1], q[..., 1:]
     Gx = G[:, :, :-1] + G[:, :, 1:]
     u2 = jnp.abs(U) * (1 - jnp.abs(U) / (0.5 * Gx)) * (qr - ql) / (qr + ql + EPS_Q)
     # UxV cross term (interior y rows only)
-    qn, qs = q[:, 2:, :], q[:, :-2, :]           # q at y+1, y-1
-    eq = ((qn[:, :, 1:] - qs[:, :, 1:] + qn[:, :, :-1] - qs[:, :, :-1])
-          / (qn[:, :, 1:] + qs[:, :, 1:] + qn[:, :, :-1] + qs[:, :, :-1] + EPS_Q))
+    qn, qs = q[..., 2:, :], q[..., :-2, :]       # q at y+1, y-1
+    eq = ((qn[..., 1:] - qs[..., 1:] + qn[..., :-1] - qs[..., :-1])
+          / (qn[..., 1:] + qs[..., 1:] + qn[..., :-1] + qs[..., :-1] + EPS_Q))
     ev = 0.25 * (V[:, :-1, :-1] + V[:, 1:, :-1] + V[:, :-1, 1:] + V[:, 1:, 1:])
     cross = 0.5 * U[:, 1:-1, :] * ev * eq / Gx[:, 1:-1, :]
-    u2 = u2.at[:, 1:-1, :].add(-cross)
+    u2 = u2.at[..., 1:-1, :].add(-cross)
     # UxW cross term (interior z levels)
-    qu, qd = q[2:], q[:-2]
-    eq = ((qu[:, :, 1:] - qd[:, :, 1:] + qu[:, :, :-1] - qd[:, :, :-1])
-          / (qu[:, :, 1:] + qd[:, :, 1:] + qu[:, :, :-1] + qd[:, :, :-1] + EPS_Q))
+    qu, qd = q[..., 2:, :, :], q[..., :-2, :, :]
+    eq = ((qu[..., 1:] - qd[..., 1:] + qu[..., :-1] - qd[..., :-1])
+          / (qu[..., 1:] + qd[..., 1:] + qu[..., :-1] + qd[..., :-1] + EPS_Q))
     ev = 0.25 * (Wn[1:-1, :, :-1] + Wn[:-2, :, :-1]
                  + Wn[1:-1, :, 1:] + Wn[:-2, :, 1:])
     cross = 0.5 * U[1:-1] * ev * eq / Gx[1:-1]
-    u2 = u2.at[1:-1].add(-cross)
+    u2 = u2.at[..., 1:-1, :, :].add(-cross)
 
     # ---- V component: faces between y rows (g, g+1) ----
-    ql, qr = q[:, :-1, :], q[:, 1:, :]
+    ql, qr = q[..., :-1, :], q[..., 1:, :]
     Gy = G[:, :-1, :] + G[:, 1:, :]
     v2 = jnp.abs(V) * (1 - jnp.abs(V) / (0.5 * Gy)) * (qr - ql) / (qr + ql + EPS_Q)
     # VxU cross (interior x cells)
-    qe = q[:, :, 2:]                             # x+1
-    qw = q[:, :, :-2]                            # x-1
-    eq = ((qe[:, :-1, :] - qw[:, 1:, :] + qe[:, 1:, :] - qw[:, :-1, :])
-          / (qe[:, 1:, :] + qe[:, :-1, :] + qw[:, 1:, :] + qw[:, :-1, :] + EPS_Q))
+    qe = q[..., 2:]                              # x+1
+    qw = q[..., :-2]                             # x-1
+    eq = ((qe[..., :-1, :] - qw[..., 1:, :] + qe[..., 1:, :] - qw[..., :-1, :])
+          / (qe[..., 1:, :] + qe[..., :-1, :] + qw[..., 1:, :]
+             + qw[..., :-1, :] + EPS_Q))
     ev = 0.25 * (U[:, :-1, :-1] + U[:, 1:, :-1] + U[:, :-1, 1:] + U[:, 1:, 1:])
     cross = 0.5 * V[:, :, 1:-1] * ev * eq / Gy[:, :, 1:-1]
-    v2 = v2.at[:, :, 1:-1].add(-cross)
+    v2 = v2.at[..., 1:-1].add(-cross)
     # VxW cross (interior z)
-    qu, qd = q[2:], q[:-2]
-    eq = ((qu[:, :-1, :] - qd[:, 1:, :] + qu[:, 1:, :] - qd[:, :-1, :])
-          / (qu[:, :-1, :] + qd[:, 1:, :] + qu[:, 1:, :] + qd[:, :-1, :] + EPS_Q))
+    qu, qd = q[..., 2:, :, :], q[..., :-2, :, :]
+    eq = ((qu[..., :-1, :] - qd[..., 1:, :] + qu[..., 1:, :] - qd[..., :-1, :])
+          / (qu[..., :-1, :] + qd[..., 1:, :] + qu[..., 1:, :]
+             + qd[..., :-1, :] + EPS_Q))
     ev = 0.25 * (Wn[1:-1, :-1, :] + Wn[:-2, :-1, :]
                  + Wn[1:-1, 1:, :] + Wn[:-2, 1:, :])
     cross = 0.5 * V[1:-1] * ev * eq / Gy[1:-1]
-    v2 = v2.at[1:-1].add(-cross)
+    v2 = v2.at[..., 1:-1, :, :].add(-cross)
 
     # ---- W component: faces between levels (k, k+1), top = 0 ----
-    ql, qr = q[:-1], q[1:]
+    ql, qr = q[..., :-1, :, :], q[..., 1:, :, :]
     Gz = G[:-1] + G[1:]
     Wf = Wn[:-1]
     w2f = jnp.abs(Wf) * (1 - jnp.abs(Wf) / (0.5 * Gz)) * (qr - ql) / (qr + ql + EPS_Q)
     # WxU cross (interior x)
-    qe, qw = q[:, :, 2:], q[:, :, :-2]
-    eq = ((qe[1:] - qw[:-1] + qe[:-1] - qw[1:])
-          / (qe[:-1] + qe[1:] + qw[:-1] + qw[1:] + EPS_Q))
+    qe, qw = q[..., 2:], q[..., :-2]
+    eq = ((qe[..., 1:, :, :] - qw[..., :-1, :, :] + qe[..., :-1, :, :]
+           - qw[..., 1:, :, :])
+          / (qe[..., :-1, :, :] + qe[..., 1:, :, :] + qw[..., :-1, :, :]
+             + qw[..., 1:, :, :] + EPS_Q))
     ev = 0.25 * (U[:-1, :, :-1] + U[1:, :, :-1] + U[:-1, :, 1:] + U[1:, :, 1:])
     cross = 0.5 * Wf[:, :, 1:-1] * ev * eq / Gz[:, :, 1:-1]
-    w2f = w2f.at[:, :, 1:-1].add(-cross)
+    w2f = w2f.at[..., 1:-1].add(-cross)
     # WxV cross (interior y)
-    qn, qs = q[:, 2:, :], q[:, :-2, :]
-    eq = ((qn[1:] - qs[:-1] + qn[:-1] - qs[1:])
-          / (qn[:-1] + qs[1:] + qn[1:] + qs[:-1] + EPS_Q))
+    qn, qs = q[..., 2:, :], q[..., :-2, :]
+    eq = ((qn[..., 1:, :, :] - qs[..., :-1, :, :] + qn[..., :-1, :, :]
+           - qs[..., 1:, :, :])
+          / (qn[..., :-1, :, :] + qs[..., 1:, :, :] + qn[..., 1:, :, :]
+             + qs[..., :-1, :, :] + EPS_Q))
     ev = 0.25 * (V[:-1, :-1, :] + V[1:, :-1, :] + V[:-1, 1:, :] + V[1:, 1:, :])
     cross = 0.5 * Wf[:, 1:-1, :] * ev * eq / Gz[:, 1:-1, :]
-    w2f = w2f.at[:, 1:-1, :].add(-cross)
+    w2f = w2f.at[..., 1:-1, :].add(-cross)
 
-    w2 = jnp.concatenate([w2f, jnp.zeros_like(w2f[:1])], axis=0)
+    w2 = jnp.concatenate([w2f, jnp.zeros_like(w2f[..., :1, :, :])],
+                         axis=-3)
     return u2, v2, w2
 
 
@@ -106,46 +114,60 @@ def _fct_limit_axis(q0, q1, U2, axis: int, is_w: bool):
     (adv_mpdata_FCT_core.f90; Smolarkiewicz & Grabowski 1990).
 
     q0: pre-iteration field; q1: post-upwind field; U2: pseudo-velocity on
-    the internal faces of ``axis`` (size n-1 there). Returns limited U2."""
-    move = lambda a: jnp.moveaxis(a, axis, 0)
-    q0m, q1m, U2m = move(q0), move(q1), move(U2)
-    n = q0m.shape[0]
+    the internal faces of ``axis`` (size n-1 there). Returns limited U2.
+    ``axis`` counts from the end (x=-1, y=-2, z=-3) so stacked species
+    arrays limit in one pass. Axis-generic SLICING (no moveaxis): the
+    transposes a moved-axis formulation pays break XLA fusion and
+    materialize full-stack copies on TPU."""
+    def sl(a, s):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = s
+        return a[tuple(idx)]
 
-    f = _upwind_flux(q1m[:-1], q1m[1:], U2m)
+    def cat(parts):
+        return jnp.concatenate(parts, axis=axis)
+
+    f = _upwind_flux(sl(q1, slice(None, -1)), sl(q1, slice(1, None)), U2)
 
     # per-cell allowable bounds from the 3-cell window (truncated at edges)
     # of both the original and upwind fields
-    hi = jnp.maximum(q0m, q1m)
-    lo = jnp.minimum(q0m, q1m)
-    neg_inf = jnp.full_like(hi[:1], -jnp.inf)
-    pos_inf = jnp.full_like(hi[:1], jnp.inf)
+    hi = jnp.maximum(q0, q1)
+    lo = jnp.minimum(q0, q1)
+    edge1 = slice(None, 1)
+    neg_inf = jnp.full_like(sl(hi, edge1), -jnp.inf)
+    pos_inf = jnp.full_like(sl(hi, edge1), jnp.inf)
     qmax = jnp.maximum(hi, jnp.maximum(
-        jnp.concatenate([neg_inf, hi[:-1]], axis=0),
-        jnp.concatenate([hi[1:], neg_inf], axis=0)))
+        cat([neg_inf, sl(hi, slice(None, -1))]),
+        cat([sl(hi, slice(1, None)), neg_inf])))
     qmin = jnp.minimum(lo, jnp.minimum(
-        jnp.concatenate([pos_inf, lo[:-1]], axis=0),
-        jnp.concatenate([lo[1:], pos_inf], axis=0)))
+        cat([pos_inf, sl(lo, slice(None, -1))]),
+        cat([sl(lo, slice(1, None)), pos_inf])))
 
     # total antidiffusive flux into / out of each cell
-    zero = jnp.zeros_like(f[:1])
-    f_left = jnp.concatenate([zero, f], axis=0)    # face below/left of cell
-    f_right = jnp.concatenate([f, zero], axis=0)   # face above/right of cell
+    zero = jnp.zeros_like(sl(f, edge1))
+    f_left = cat([zero, f])                        # face below/left of cell
+    f_right = cat([f, zero])                       # face above/right of cell
     fin = jnp.maximum(0.0, f_left) - jnp.minimum(0.0, f_right)
     fout = jnp.maximum(0.0, f_right) - jnp.minimum(0.0, f_left)
     if not is_w:
         # no flux limiting at the lateral boundary cells
-        # (adv_mpdata_FCT_core.f90 'No flux limitations to the boundary cell')
-        fin = fin.at[0].set(0.0).at[-1].set(0.0)
-        fout = fout.at[0].set(0.0).at[-1].set(0.0)
+        # (adv_mpdata_FCT_core.f90 'No flux limitations to the boundary
+        # cell'): zero the edge slices via masked concat (a static-index
+        # .at[].set is fine unvmapped, but the concat fuses better)
+        n = fin.shape[axis]
+        inner = slice(1, n - 1)
+        fin = cat([zero, sl(fin, inner), zero])
+        fout = cat([zero, sl(fout, inner), zero])
 
-    beta_in = (qmax - q1m) / (fin + EPS_F)
-    beta_out = (q1m - qmin) / (fout + EPS_F)
+    beta_in = (qmax - q1) / (fin + EPS_F)
+    beta_out = (q1 - qmin) / (fout + EPS_F)
 
-    pos_fac = jnp.minimum(1.0, jnp.minimum(beta_in[1:], beta_out[:-1]))
-    neg_fac = jnp.minimum(1.0, jnp.minimum(beta_in[:-1], beta_out[1:]))
-    U2m = jnp.where(U2m > 0, U2m * pos_fac,
-                    jnp.where(U2m < 0, U2m * neg_fac, U2m))
-    return jnp.moveaxis(U2m, 0, axis)
+    pos_fac = jnp.minimum(1.0, jnp.minimum(sl(beta_in, slice(1, None)),
+                                           sl(beta_out, slice(None, -1))))
+    neg_fac = jnp.minimum(1.0, jnp.minimum(sl(beta_in, slice(None, -1)),
+                                           sl(beta_out, slice(1, None))))
+    return jnp.where(U2 > 0, U2 * pos_fac,
+                     jnp.where(U2 < 0, U2 * neg_fac, U2))
 
 
 def advect3d_mpdata(q, winds: CourantWinds, rho, dz, jaco, order: int,
@@ -164,12 +186,14 @@ def advect3d_mpdata(q, winds: CourantWinds, rho, dz, jaco, order: int,
             v2 = v2 * 0.5
             w2 = w2 * 0.5 * dz
             if use_fct:
-                u2 = _fct_limit_axis(q_prev, q_new, u2, axis=2, is_w=False)
-                v2 = _fct_limit_axis(q_prev, q_new, v2, axis=1, is_w=False)
-                wf = _fct_limit_axis(q_prev, q_new, w2[:-1] / dz[:-1],
-                                     axis=0, is_w=True)
+                u2 = _fct_limit_axis(q_prev, q_new, u2, axis=-1, is_w=False)
+                v2 = _fct_limit_axis(q_prev, q_new, v2, axis=-2, is_w=False)
+                wf = _fct_limit_axis(q_prev, q_new,
+                                     w2[..., :-1, :, :] / dz[:-1],
+                                     axis=-3, is_w=True)
                 w2 = jnp.concatenate([wf * dz[:-1],
-                                      jnp.zeros_like(w2[:1])], axis=0)
+                                      jnp.zeros_like(w2[..., :1, :, :])],
+                                     axis=-3)
             corrective = CourantWinds(u2, v2, w2)
             q_prev = q_new
             q_new = advect3d_upwind(q_new, corrective, rho, dz, jaco,
@@ -188,6 +212,7 @@ def advect_mpdata(stacked_q, u, v, w, dt, dx, jaco_u, jaco_v, jaco_w, jaco,
         rho_eff = jnp.ones_like(jaco)
     else:
         rho_eff = rho
-    fn = lambda q: advect3d_mpdata(q, winds, rho_eff, dz, jaco, order,
-                                   use_fct, advect_density)
-    return jax.vmap(fn)(stacked_q)
+    # batch-generic over the species dim (see _pseudo_velocities: vmap
+    # would turn every interior .at[].add into a TPU scatter)
+    return advect3d_mpdata(stacked_q, winds, rho_eff, dz, jaco, order,
+                           use_fct, advect_density)

@@ -1,23 +1,29 @@
 """Fused Pallas TPU kernel for the Thompson microphysics core.
 
 The Thompson scheme's cost on TPU was never the math — it was XLA
-materializing the multi-field process-rate tuples between fusions
-(~17 GB of fusion results per substep at 500^2x20, docs/perf_roofline.md).
-This kernel runs the whole elementwise core — prep, process rates,
+materializing the multi-field process-rate tuples between fusions and
+the full-grid one-hot small-table lookups (multi-GB (n_cells, n_bins)
+intermediates per substep; docs/perf_roofline.md). This kernel runs the
+whole scheme except the big table gathers — prep, process rates,
 conservation scalings, tendencies, the TAU+1 update, cloud
-condensation/evaporation (Newton iteration), rain evaporation, and the
-terminal-velocity/filldown block (mp_thompson.f90:1160-2655) — on VMEM
-tiles, reading each primary field and each pre-gathered table value once
-and writing the 24 core outputs once.
+condensation/evaporation (Newton iteration), rain evaporation, terminal
+velocities, the four CFL-substepped sedimentation loops, instant
+melt/freeze and the final update (mp_thompson.f90:1160-2844) — on VMEM
+tiles, reading each primary field and each pre-gathered big-table value
+once and writing the nine finished fields + four precip fluxes once.
+The SMALL 2D tables (collision efficiencies, cloud freezing, ice
+autoconversion) ride along as whole-table VMEM operands and are looked
+up per tile with exact one-hot MXU contractions; the sedimentation
+while-loops keep their carries in VMEM (each was ~GBs/substep of XLA
+loop-carry traffic at bench scale).
 
 The physics is NOT duplicated here: the kernel body calls the exact
-`_prep_block` / `_core_block` functions of physics/mp_thompson.py that
-the jnp reference path uses (tests/test_thompson_pallas.py asserts
-equivalence through the Pallas interpreter). The big mixing-ratio table
-gathers and the small-table one-hot contractions stay in XLA between the
-index block and this kernel — TPU gathers cannot run per-lane inside a
-Mosaic kernel — as does sedimentation (data-dependent while loops over
-full columns) and the final update.
+`_prep_block` / `_core_block` / `_post_block` / `_small_indices`
+functions of physics/mp_thompson.py that the jnp reference path uses
+(tests/test_thompson_pallas.py asserts equivalence through the Pallas
+interpreter). Only the big mixing-ratio table gathers stay in XLA,
+between the index block and this kernel — TPU gathers cannot run
+per-lane inside a Mosaic kernel.
 
 Column-local by construction: z rides the sublane axis in full, columns
 ride the lanes, so the (nz, M) flat layout used by mp_simple's kernel
@@ -31,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -39,12 +46,69 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
+# the four small-table groups, in kernel-operand order:
+# (prep-dict stack key, table names in stack order, (ia, ib) index keys)
+_SMALL_GROUPS = (
+    ("_stk_efrw", ("t_Efrw",), ("idx_efr", "idx_efc")),
+    ("_stk_efsw", ("t_Efsw",), ("idx_efs", "idx_efc")),
+    ("_stk_qcfz", ("tpi_qcfz", "tni_qcfz"), ("idx_c", "idx_tc")),
+    ("_stk_iaus", ("tpi_ide", "tps_iaus", "tni_iaus"),
+     ("idx_i", "idx_i1")),
+)
+
+_TAB_CACHE = {}
+
+
+def _small_table_stacks(params_key):
+    """Host-side stacked (NT, A, B) small tables in _SMALL_GROUPS order
+    (built once per parameter set)."""
+    if params_key not in _TAB_CACHE:
+        from ..physics import mp_thompson as mt
+        from ..physics.thompson_tables import ThompsonParams
+
+        T = mt._prep_tables(ThompsonParams(**dict(params_key)))
+        _TAB_CACHE[params_key] = [np.asarray(T[stk], np.float32)
+                                  for stk, _, _ in _SMALL_GROUPS]
+    return _TAB_CACHE[params_key]
+
+
+def _lookup2_tile(tab_ref, names, ia, ib):
+    """Exact one-hot 2D-table lookup on a VMEM tile.
+
+    tab_ref holds the (NT, A, B) table stack in VMEM; ia/ib are (nz, tc)
+    int32 bin indices. out[c] = T[t, ia[c], ib[c]] for each table t, via
+    one (n, A) x (A, B) MXU dot per table and a masked lane-reduction —
+    both exact because every one-hot row has a single 1.0 (products are
+    0 or the table value; sums add exact zeros). Reshapes only
+    collapse/split LEADING dims (minor dim intact) — Mosaic rejects
+    minor-dim shape casts."""
+    nz, tc = ia.shape
+    n = nz * tc
+    a_dim = tab_ref.shape[1]
+    b_dim = tab_ref.shape[2]
+    f32 = jnp.float32
+    oa = (ia[:, :, None]
+          == jax.lax.broadcasted_iota(jnp.int32, (nz, tc, a_dim), 2)
+          ).astype(f32).reshape(n, a_dim)
+    ob = (ib[:, :, None]
+          == jax.lax.broadcasted_iota(jnp.int32, (nz, tc, b_dim), 2)
+          ).astype(f32)
+    out = {}
+    for t, nm in enumerate(names):
+        rows = jax.lax.dot_general(
+            oa, tab_ref[t], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)        # (n, B)
+        rows3 = rows.reshape(nz, tc, b_dim)
+        out[nm] = jnp.sum(rows3 * ob, axis=-1)
+    return out
+
 
 def _core_kernel(scal_ref, th_ref, qv_ref, qc_ref, qi_ref, qr_ref, qs_ref,
-                 qg_ref, ni_ref, nr_ref, exner_ref, p_ref,
+                 qg_ref, ni_ref, nr_ref, exner_ref, p_ref, dz_ref,
                  racs_ref, racg_ref, qrfz_ref,
-                 efrw_ref, efsw_ref, qcfz0_ref, qcfz1_ref, ide_ref,
-                 iaus0_ref, iaus1_ref, out_ref, *, params_key):
+                 efrw_t_ref, efsw_t_ref, qcfz_t_ref, iaus_t_ref,
+                 out_ref, ppt_ref, *, params_key):
     from ..physics import mp_thompson as mt
     from ..physics import thompson_tables as tt
 
@@ -67,37 +131,48 @@ def _core_kernel(scal_ref, th_ref, qv_ref, qc_ref, qi_ref, qr_ref, qs_ref,
         G[n] = racg_ref[j]
     for j, n in enumerate(mt._QRFZ_NAMES):
         G[n] = qrfz_ref[j]
-    for ref, n in zip((efrw_ref, efsw_ref, qcfz0_ref, qcfz1_ref, ide_ref,
-                       iaus0_ref, iaus1_ref), mt._SMALL_NAMES):
-        G[n] = ref[:]
 
-    O = mt._core_block(P, idx_i, G, DT, c, params)
-    for j, n in enumerate(mt._O_NAMES):
-        out_ref[j] = O[n]
+    tab_refs = (efrw_t_ref, efsw_t_ref, qcfz_t_ref, iaus_t_ref)
+
+    def small_lookup(P, c):
+        S = mt._small_indices(P, c)
+        out = {}
+        for ref, (_, names, (ka, kb)) in zip(tab_refs, _SMALL_GROUPS):
+            out.update(_lookup2_tile(ref, names, S[ka], S[kb]))
+        return out
+
+    O = mt._core_block(P, idx_i, G, DT, c, params,
+                       small_lookup=small_lookup)
+    # sedimentation + instant melt/freeze + final update run here too:
+    # the four data-dependent fall loops stay entirely in VMEM instead of
+    # streaming their loop carries through HBM every iteration
+    outs = mt._post_block(P, O, dz_ref[:], DT, c, params)
+    for j in range(9):
+        out_ref[j] = outs[j]
+    for j in range(4):
+        ppt_ref[j:j + 1] = outs[9 + j]
 
 
-def thompson_core_call(th, qv, qc, qi, qr, qs, qg, ni, nr, exner, p,
-                       stacks, small_vals, dt, params_key,
-                       interpret=False, tc: int = 256):
-    """Invoke the fused core on (nz, ny, nx) fields. ``stacks`` holds the
-    stacked big-gather outputs {racs: (12, ...), racg: (5, ...),
-    qrfz: (4, ...)}; ``small_vals`` the 7 one-hot-looked-up small-table
-    fields in mp_thompson._SMALL_NAMES order. Returns the core-output
-    dict keyed by mp_thompson._O_NAMES, shaped like ``th``."""
-    from ..physics import mp_thompson as mt
-
+def thompson_core_call(th, qv, qc, qi, qr, qs, qg, ni, nr, exner, p, dz,
+                       stacks, dt, params_key, interpret=False,
+                       tc: int = 256):
+    """Invoke the fused core+post kernel on (nz, ny, nx) fields.
+    ``stacks`` holds the stacked big-gather outputs {racs: (12, ...),
+    racg: (5, ...), qrfz: (4, ...)}. Returns the scheme's finished
+    (th, qv, qc, qi, qr, qs, qg, ni, nr, ppt_rain, ppt_ice, ppt_snow,
+    ppt_graupel) tuple — the same contract as
+    mp_thompson._mp_thompson_impl's non-aer jnp path."""
     nz, ny, nx = th.shape
     M = ny * nx
     flat = lambda a: a.reshape(a.shape[:-2] + (M,))
     prim = [flat(a) for a in (th, qv, qc, qi, qr, qs, qg, ni, nr,
-                              exner, p)]
+                              exner, p, dz)]
     racs = flat(stacks["racs"])
     racg = flat(stacks["racg"])
     qrfz = flat(stacks["qrfz"])
-    small = [flat(a) for a in small_vals]
+    tabs = [jnp.asarray(t) for t in _small_table_stacks(params_key)]
     scal = jnp.asarray(dt, jnp.float32).reshape(1)
 
-    n_out = len(mt._O_NAMES)
     spec = pl.BlockSpec((nz, tc), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
 
@@ -105,19 +180,35 @@ def thompson_core_call(th, qv, qc, qi, qr, qs, qg, ni, nr, exner, p,
         return pl.BlockSpec((g, nz, tc), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
+    def tspec(t):
+        return pl.BlockSpec(t.shape, lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     kernel = functools.partial(_core_kernel, params_key=params_key)
-    out = pl.pallas_call(
+    # the body holds a few hundred live (nz, tc) temporaries; the default
+    # 16 MB scoped-VMEM budget is too small at tc=256 (the core alone
+    # measured 35.4 MB) — raise it (v5e has 128 MB of VMEM; leaving
+    # headroom for the double-buffered operand blocks)
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out, ppt = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(M, tc),),
         interpret=interpret,
+        **params,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [spec] * 11
+        + [spec] * 12
         + [gspec(racs.shape[0]), gspec(racg.shape[0]),
            gspec(qrfz.shape[0])]
-        + [spec] * 7,
-        out_specs=gspec(n_out),
-        out_shape=jax.ShapeDtypeStruct((n_out, nz, M), th.dtype),
-    )(scal, *prim, racs, racg, qrfz, *small)
+        + [tspec(t) for t in tabs],
+        out_specs=[gspec(9),
+                   pl.BlockSpec((4, tc), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((9, nz, M), th.dtype),
+                   jax.ShapeDtypeStruct((4, M), th.dtype)],
+    )(scal, *prim, racs, racg, qrfz, *tabs)
     shape3 = (nz, ny, nx)
-    return {n: out[j].reshape(shape3)
-            for j, n in enumerate(mt._O_NAMES)}
+    return tuple(out[j].reshape(shape3) for j in range(9)) \
+        + tuple(ppt[j].reshape(ny, nx) for j in range(4))

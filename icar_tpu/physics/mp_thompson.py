@@ -132,13 +132,17 @@ def _sediment(rx, nx_, vt_m, vt_n, rho, dz, DT, with_number,
               floor_m=R1, floor_n=R2, vt_for_cfl=None):
     """Explicit flux-form sedimentation with per-column substepping
     (mp_thompson.f90:2657-2780). Returns updated (rx, nx_, qten_sed,
-    nten_sed, surface_flux_sum [kg/m^2])."""
+    nten_sed, surface_flux_sum [kg/m^2] with a leading singleton level
+    axis). Shape-generic over the trailing dims (full (nz, ny, nx) grid
+    on the jnp path; one (nz, tc) VMEM tile inside the Pallas kernel):
+    all reductions keep dims, so no rank changes — bit-identical to the
+    squeezed formulation."""
     if vt_for_cfl is None:
         vt_for_cfl = jnp.maximum(vt_m, vt_n) if with_number else vt_m
     per_k = jnp.where(vt_for_cfl > 1e-3,
                       jnp.trunc(DT * vt_for_cfl / dz).astype(jnp.int32) + 1,
                       0)
-    nstep = jnp.maximum(jnp.max(per_k, axis=0), 1)      # (ny, nx)
+    nstep = jnp.maximum(jnp.max(per_k, axis=0, keepdims=True), 1)
     onstep = 1.0 / nstep.astype(rx.dtype)
     n_max = jnp.max(nstep)
     odzq = 1.0 / dz
@@ -146,31 +150,32 @@ def _sediment(rx, nx_, vt_m, vt_n, rho, dz, DT, with_number,
 
     def body(carry):
         s, rx, nx_, qten, nten, sfc = carry
-        active = (s < nstep)
+        active = (s < nstep)                             # (1, ...)
         sed_m = vt_m * rx
         zero = jnp.zeros_like(sed_m[:1])
         div_m = jnp.concatenate([sed_m[1:], zero], 0) - sed_m
-        d_q = div_m * odzq * onstep[None] * orho
-        rx_new = jnp.maximum(floor_m, rx + div_m * odzq * DT * onstep[None])
+        d_q = div_m * odzq * onstep * orho
+        rx_new = jnp.maximum(floor_m, rx + div_m * odzq * DT * onstep)
         qten_new = qten + d_q
-        sfc_inc = jnp.where(rx_new[0] > R1 * 10.0,
-                            sed_m[0] * DT * onstep, 0.0)
+        sfc_inc = jnp.where(rx_new[:1] > R1 * 10.0,
+                            sed_m[:1] * DT * onstep, 0.0)
         if with_number:
             sed_n = vt_n * nx_
             div_n = jnp.concatenate([sed_n[1:], zero], 0) - sed_n
-            nten_new = nten + div_n * odzq * onstep[None] * orho
+            nten_new = nten + div_n * odzq * onstep * orho
             nx_new = jnp.maximum(floor_n,
-                                 nx_ + div_n * odzq * DT * onstep[None])
+                                 nx_ + div_n * odzq * DT * onstep)
         else:
             nten_new, nx_new = nten, nx_
-        am = active[None]
         return (s + 1,
-                jnp.where(am, rx_new, rx), jnp.where(am, nx_new, nx_),
-                jnp.where(am, qten_new, qten), jnp.where(am, nten_new, nten),
+                jnp.where(active, rx_new, rx),
+                jnp.where(active, nx_new, nx_),
+                jnp.where(active, qten_new, qten),
+                jnp.where(active, nten_new, nten),
                 sfc + jnp.where(active, sfc_inc, 0.0))
 
     zten = jnp.zeros_like(rx)
-    sfc0 = jnp.zeros(rx.shape[1:], rx.dtype)
+    sfc0 = jnp.zeros_like(rx[:1])
     _, rx, nx_, qten, nten, sfc = lax.while_loop(
         lambda c: c[0] < n_max, body,
         (jnp.int32(0), rx, nx_, zten, jnp.zeros_like(rx), sfc0))
@@ -434,7 +439,7 @@ def _prep_block(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
                         2.0)
         w1d = jnp.zeros_like(temp) if w1d is None else w1d
         P.update(nc1d=nc1d, ncr=ncr, nwfa=nwfa, nifa=nifa, w1d=w1d,
-                 nwfa1d=nwfa1d)
+                 nwfa1d=nwfa1d, nifa1d=nifa1d)
 
     L_qi = qi1d > R1
     qi1d = jnp.where(L_qi, qi1d, 0.0)
@@ -524,7 +529,7 @@ def _prep_block(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
         smob=smob, smo2=smo2, smo0=smo0, smo1=smo1, smoc=smoc, smod=smod,
         smoe=smoe, smof=smof, ilamg=ilamg, N0_g=N0_g, ilamr=ilamr,
         N0_r=N0_r, zero=zero, xDc=xDc, mvd_c=mvd_c, Dc_g=Dc_g, xDs=xDs,
-        qv1d=qv1d)
+        qv1d=qv1d, exner=exner)
     return P
 
 
@@ -587,12 +592,15 @@ _SMALL_NAMES = ("t_Efrw", "t_Efsw", "tpi_qcfz", "tni_qcfz", "tpi_ide",
                 "tps_iaus", "tni_iaus")
 
 
-def _gather_all(T, I, dtype):
+def _gather_all(T, I, dtype, smalls=True):
     """All table lookups (XLA stage, between the index block and the
     core): three stacked flat gathers for the 4D/3D tables and exact
     one-hot MXU contractions for the small 2D tables. Returns
     ({table_name: looked-up field}, {group: stacked gather output} —
-    the stacks feed the Pallas core kernel directly)."""
+    the stacks feed the Pallas core kernel directly). With smalls=False
+    the 2D-table one-hots are skipped entirely (the kernel path does
+    them per tile in VMEM — at full grid the XLA one-hots stream
+    multi-GB (n_cells, n_bins) intermediates through HBM)."""
     RS, rs_stk = _take_tables(
         T, _RACS_NAMES, (I["idx_s"], I["idx_t"], I["idx_r1"], I["idx_r"]),
         dtype, "_stk_racs")
@@ -602,19 +610,21 @@ def _gather_all(T, I, dtype):
     QF, qf_stk = _take_tables(
         T, _QRFZ_NAMES, (I["idx_r"], I["idx_r1"], I["idx_tc"]),
         dtype, "_stk_qrfz")
-    E1 = _onehot_tables(T, ("t_Efrw",), I["idx_efr"], I["idx_efc"], dtype,
-                        "_stk_efrw")
-    E2 = _onehot_tables(T, ("t_Efsw",), I["idx_efs"], I["idx_efc"], dtype,
-                        "_stk_efsw")
-    CF = _onehot_tables(T, _QCFZ_NAMES, I["idx_c"], I["idx_tc"], dtype,
-                        "_stk_qcfz")
-    II = _onehot_tables(T, _IAUS_NAMES, I["idx_i"], I["idx_i1"], dtype,
-                        "_stk_iaus")
-    G = {**RS, **GG, **QF, **E1, **E2, **CF, **II}
+    G = {**RS, **GG, **QF}
+    if smalls:
+        G.update(_onehot_tables(T, ("t_Efrw",), I["idx_efr"],
+                                I["idx_efc"], dtype, "_stk_efrw"))
+        G.update(_onehot_tables(T, ("t_Efsw",), I["idx_efs"],
+                                I["idx_efc"], dtype, "_stk_efsw"))
+        G.update(_onehot_tables(T, _QCFZ_NAMES, I["idx_c"], I["idx_tc"],
+                                dtype, "_stk_qcfz"))
+        G.update(_onehot_tables(T, _IAUS_NAMES, I["idx_i"], I["idx_i1"],
+                                dtype, "_stk_iaus"))
     return G, dict(racs=rs_stk, racg=gg_stk, qrfz=qf_stk)
 
 
-def _core_block(P, idx_i, G, DT, c, pp, tnc_wev_flat=None):
+def _core_block(P, idx_i, G, DT, c, pp, tnc_wev_flat=None,
+                small_lookup=None):
     """Process rates, conservation scalings, tendencies, the TAU+1
     update, cloud condensation/evaporation, rain evaporation and terminal
     velocities (mp_thompson.f90:1496-2655) — everything between the table
@@ -623,8 +633,13 @@ def _core_block(P, idx_i, G, DT, c, pp, tnc_wev_flat=None):
     inside the Pallas TPU kernel, ops/thompson_kernel.py). ``G`` maps
     table names to pre-gathered values; ``idx_i`` is the ice bin index
     (the one table index the rate logic itself consumes, for the
-    large-ice autoconversion branch)."""
+    large-ice autoconversion branch). ``small_lookup`` overrides where
+    the 7 small-table values come from: None reads them pre-looked-up
+    from G (the jnp path); the Pallas kernel passes its in-VMEM one-hot
+    lookup closure (ops/thompson_kernel) so those values never touch
+    HBM."""
     aer = "ncr" in P
+    SL = G if small_lookup is None else small_lookup(P, c)
     odt = 1.0 / DT
     odts = odt
     dtype = P["t1d"].dtype
@@ -677,8 +692,8 @@ def _core_block(P, idx_i, G, DT, c, pp, tnc_wev_flat=None):
     else:
         pnr_wau = prr_wau / (AM_R * c.mu_c * D0R ** 3)
 
-    # rain collecting cloud water (collision efficiency pre-looked-up)
-    Ef_rw = G["t_Efrw"]
+    # rain collecting cloud water (collision efficiency looked up by SL)
+    Ef_rw = SL["t_Efrw"]
     rcw_on = L_qc & L_qr & (mvd_r > D0R) & (mvd_c > D0C)
     prr_rcw = jnp.where(
         rcw_on,
@@ -728,7 +743,7 @@ def _core_block(P, idx_i, G, DT, c, pp, tnc_wev_flat=None):
 
     # snow/graupel collecting cloud water (mp_thompson.f90:1705-1736)
     xDs = P["xDs"]
-    Ef_sw = G["t_Efsw"]
+    Ef_sw = SL["t_Efsw"]
     scw_on = L_qc & (mvd_c > D0C) & (xDs > D0S)
     prs_scw = jnp.where(scw_on, rhof * c.t1_qs_qc * Ef_sw * rc * smoe, 0.0)
 
@@ -842,7 +857,7 @@ def _core_block(P, idx_i, G, DT, c, pp, tnc_wev_flat=None):
         jnp.where(cold & (rr > R1) & (temp < HGFR), nr * odts, 0.0))
 
     wfz_tab = rc > tt.r_c[0]
-    CF = G
+    CF = SL
     pri_wfz = jnp.where(
         cold, jnp.where(wfz_tab,
                         jnp.minimum(rc * odts, CF["tpi_qcfz"] * odts),
@@ -895,7 +910,7 @@ def _core_block(P, idx_i, G, DT, c, pp, tnc_wev_flat=None):
     oxmi = 1.0 / xmi
     ide_raw = C_CUBE * t1_subl * diffu * ssati * rvs \
         * c.oig1 * c.cig[4] * ni * ilami
-    II = G
+    II = SL
     tpi_ide = II["tpi_ide"]
     ide_on = cold & L_qi
     pri_ide_neg = jnp.maximum(jnp.maximum(-ri * odts, ide_raw), rate_max_i)
@@ -1384,42 +1399,21 @@ _O_NAMES = ("rr", "nr", "ri", "ni", "rs", "rg", "vtrk", "vtnrk", "vtik",
             "qsten", "qgten")
 
 
-@functools.partial(jax.jit, static_argnames=("params_key", "kernel_mode"))
-def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
-                      exner, p1d, dzq, dt, tables, params_key,
-                      nc1d=None, nwfa1d=None, nifa1d=None, w1d=None,
-                      tnc_wev_flat=None, kernel_mode=None):
-    """One Thompson step: prep -> indices -> table lookups -> core
-    (fused Pallas kernel when kernel_mode is set and the run is not
-    aerosol-aware; the jnp reference otherwise) -> sedimentation ->
-    final update (mp_thompson.f90:1057-2844)."""
-    params = ThompsonParams(**dict(params_key))
-    _, c = get_tables(params)
-    pp = params
-    DT = dt
-    odt = 1.0 / dt
-    dtype = th.dtype
-    # Thompson-Eidhammer aerosol-aware mode (is_aerosol_aware,
-    # mp_thompson_aer.f90:58,440): active when prognostic nc/nwfa/nifa
-    # are supplied; otherwise the constant-Nt_c fallback
-    aer = nc1d is not None
-
-    P = _prep_block(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
-                    exner, p1d, c, pp, nc1d=nc1d, nwfa1d=nwfa1d,
-                    nifa1d=nifa1d, w1d=w1d)
-    I = _index_block(P, c)
-    G, stacks = _gather_all(tables, I, dtype)
-
-    if kernel_mode is not None and not aer:
-        from ..ops.thompson_kernel import thompson_core_call
-        O = thompson_core_call(
-            th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d, exner,
-            p1d, stacks, [G[n] for n in _SMALL_NAMES], dt, params_key,
-            interpret=(kernel_mode == "interpret"))
-    else:
-        O = _core_block(P, I["idx_i"], G, DT, c, pp,
-                        tnc_wev_flat=tnc_wev_flat)
-
+def _post_block(P, O, dzq, DT, c, pp):
+    """Sedimentation, (aer) drizzle settling, instant melt /
+    homogeneous freeze, and the final update
+    (mp_thompson.f90:2657-2844). Shared verbatim by the jnp path and
+    the Pallas kernel (which runs it in-VMEM right after _core_block,
+    so the four sedimentation while-loops — measured ~14 GB/substep of
+    XLA loop-carry traffic at bench scale — never touch HBM).
+    Returns (th, qv, qc, qi, qr, qs, qg, ni, nr[, nc, nwfa, nifa],
+    ppt_rain, ppt_ice, ppt_snow, ppt_graupel); the ppt fields keep a
+    leading singleton level axis (callers squeeze/slice it)."""
+    aer = "ncr" in P
+    odt = 1.0 / DT
+    qv1d, exner = P["qv1d"], P["exner"]
+    if aer:
+        nwfa1d, nifa1d = P["nwfa1d"], P["nifa1d"]
     (rr, nr, ri, ni, rs, rg, vtrk, vtnrk, vtik, vtnik, vtsk, vtgk, rho,
      ocp, lvap, tten, qvten, qcten, qiten, niten, qrten, nrten, qsten,
      qgten) = (O[k] for k in _O_NAMES)
@@ -1587,6 +1581,59 @@ def _kernel_mode(use_pallas: bool):
     if pk.tpu_backend():
         return "compiled"
     return None
+
+
+@functools.partial(jax.jit, static_argnames=("params_key", "kernel_mode"))
+def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
+                      exner, p1d, dzq, dt, tables, params_key,
+                      nc1d=None, nwfa1d=None, nifa1d=None, w1d=None,
+                      tnc_wev_flat=None, kernel_mode=None):
+    """One Thompson step: prep -> indices -> table lookups -> core
+    (fused Pallas kernel when kernel_mode is set and the run is not
+    aerosol-aware; the jnp reference otherwise) -> sedimentation ->
+    final update (mp_thompson.f90:1057-2844)."""
+    params = ThompsonParams(**dict(params_key))
+    _, c = get_tables(params)
+    pp = params
+    DT = dt
+    odt = 1.0 / dt
+    dtype = th.dtype
+    # Thompson-Eidhammer aerosol-aware mode (is_aerosol_aware,
+    # mp_thompson_aer.f90:58,440): active when prognostic nc/nwfa/nifa
+    # are supplied; otherwise the constant-Nt_c fallback
+    aer = nc1d is not None
+
+    P = _prep_block(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
+                    exner, p1d, c, pp, nc1d=nc1d, nwfa1d=nwfa1d,
+                    nifa1d=nifa1d, w1d=w1d)
+    I = _index_block(P, c)
+    use_kernel = kernel_mode is not None and not aer
+    G, stacks = _gather_all(tables, I, dtype, smalls=not use_kernel)
+
+    if use_kernel:
+        # the kernel runs core + post (sedimentation + final) fused and
+        # returns the finished fields directly
+        from ..ops.thompson_kernel import thompson_core_call
+        return thompson_core_call(
+            th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d, exner,
+            p1d, dzq, stacks, dt, params_key,
+            interpret=(kernel_mode == "interpret"))
+
+    O = _core_block(P, I["idx_i"], G, DT, c, pp,
+                    tnc_wev_flat=tnc_wev_flat)
+    outs = _post_block(P, O, dzq, DT, c, pp)
+    if not aer:
+        (th_out, qv_out, qc_out, qi_out, qr_out, qs_out, qg_out, ni_out,
+         nr_out, ppt_rain, ppt_ice, ppt_snow, ppt_graupel) = outs
+        return (th_out, qv_out, qc_out, qi_out, qr_out, qs_out, qg_out,
+                ni_out, nr_out, ppt_rain[0], ppt_ice[0], ppt_snow[0],
+                ppt_graupel[0])
+    (th_out, qv_out, qc_out, qi_out, qr_out, qs_out, qg_out, ni_out,
+     nr_out, nc_out, nwfa_out, nifa_out, ppt_rain, ppt_ice, ppt_snow,
+     ppt_graupel) = outs
+    return (th_out, qv_out, qc_out, qi_out, qr_out, qs_out, qg_out,
+            ni_out, nr_out, nc_out, nwfa_out, nifa_out,
+            ppt_rain[0], ppt_ice[0], ppt_snow[0], ppt_graupel[0])
 
 
 def mp_thompson(th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz, dt,
