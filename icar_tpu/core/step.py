@@ -253,7 +253,7 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     # full RRTMG shortwave (RRTMG_SWRAD,
                     # ra_driver.f90:345-428)
                     from ..physics import rrtmg_sw as rrtmg_sw_mod
-                    sw_tend, swdown, _gsw, swcf = \
+                    sw_tend, swdown, _gsw, swcf, swdir = \
                         rrtmg_sw_mod.rrtmg_sw_driver(
                             sw_tables, jax.random.fold_in(key, 1),
                             s["pressure"], s["pressure_interface"],
@@ -266,6 +266,12 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     s["tend_th_swrad"] = sw_tend
                     s["shortwave"] = swdown
                     s["shortwave_cloud_forcing"] = swcf
+                    # direct/diffuse surface split (ra_rrtmg_sw SWDDIR /
+                    # SWDDIF; default_output_metadata.f90
+                    # shortwave_direct/diffuse — VERDICT r3 item #8)
+                    if "shortwave_direct" in s:
+                        s["shortwave_direct"] = swdir
+                        s["shortwave_diffuse"] = swdown - swdir
                 th_tend, glw, olr, lwcf = rrtmg_mod.rrtmg_lw_driver(
                     lw_tables, key, s["pressure"], s["pressure_interface"],
                     t3d, s["temperature_interface"], s["skin_temperature"],
@@ -1032,7 +1038,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 out = mpdata.advect_mpdata(
                     stacked, *common, order=options.adv.mpdata_order,
                     use_fct=options.adv.flux_corrected_transport,
-                    advect_density=options.run.advect_density)
+                    advect_density=options.run.advect_density,
+                    use_pallas=(natural_shapes is None))
             # the advected species LEAVE the dict here and ride the loop
             # carry as this one stacked array: the next substep's physics
             # reads them back as zero-copy slices, so the per-substep

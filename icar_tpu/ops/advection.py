@@ -55,7 +55,7 @@ def _upwind_flux(ql, qr, U):
 
 
 def advect3d_upwind(q, winds: CourantWinds, rho, dz, jaco,
-                    advect_density: bool = False):
+                    advect_density: bool = False, canon=None):
     """Donor-cell update of one scalar field (advect3d, advect.f90:107-178).
 
     Returns the advected field; interior cells only (x,y in [1, n-2]).
@@ -96,7 +96,17 @@ def advect3d_upwind(q, winds: CourantWinds, rho, dz, jaco,
         - fzi[..., -1:, :, :]], axis=-3)
     dq = dq + vert_in / (dzi * jacoi)
 
-    return q.at[..., 1:-1, 1:-1].add(-dq)
+    # concat form of q.at[..., 1:-1, 1:-1].add(-dq): bit-identical
+    # (border cells subtract an exact zero) and Mosaic-compatible, so
+    # the MPDATA Pallas kernel reuses this function on VMEM windows
+    # (canon = the kernel's layout-normalization hook, see mpdata)
+    if canon is not None:
+        dq = canon(dq)
+    zy = jnp.zeros_like(dq[..., :1, :])
+    dqy = jnp.concatenate([zy, dq, zy], axis=-2)
+    zx = jnp.zeros_like(q[..., :1])
+    dq_full = jnp.concatenate([zx, dqy, zx], axis=-1)
+    return q - dq_full
 
 
 def advect_upwind(stacked_q, u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,

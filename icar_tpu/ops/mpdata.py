@@ -25,7 +25,29 @@ EPS_Q = 1e-10
 EPS_F = 1e-15
 
 
-def _pseudo_velocities(q, U, V, Wn, G):
+
+def _add_interior(x, delta, axis, canon=None):
+    """x with ``delta`` added on the interior slices of ``axis`` (the
+    concat form of x.at[..., 1:-1, ...].add(delta) — bit-identical, and
+    it lowers inside Mosaic kernels where a value dynamic-update-slice
+    does not). ``canon`` is the Pallas kernels' layout-normalization
+    hook (a VMEM scratch round-trip): Mosaic concatenate requires its
+    inputs to agree on the offsets of NON-concat dims, and values built
+    from lane-shifted operands carry a lane-offset layout."""
+    if canon is not None:
+        x = canon(x)
+        delta = canon(delta)
+
+    def sl(a, s):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = s
+        return a[tuple(idx)]
+    return jnp.concatenate(
+        [sl(x, slice(None, 1)),
+         sl(x, slice(1, -1)) + delta,
+         sl(x, slice(-1, None))], axis=axis)
+
+def _pseudo_velocities(q, U, V, Wn, G, canon=None):
     """Antidiffusive pseudo-velocities (mpdata_fluxes,
     adv_mpdata.f90:107-259). ``Wn`` is the dz-normalized vertical Courant
     wind; ``G`` = jacobian*rho (Smolarkiewicz & Margolin 1998 notation).
@@ -43,7 +65,7 @@ def _pseudo_velocities(q, U, V, Wn, G):
           / (qn[..., 1:] + qs[..., 1:] + qn[..., :-1] + qs[..., :-1] + EPS_Q))
     ev = 0.25 * (V[:, :-1, :-1] + V[:, 1:, :-1] + V[:, :-1, 1:] + V[:, 1:, 1:])
     cross = 0.5 * U[:, 1:-1, :] * ev * eq / Gx[:, 1:-1, :]
-    u2 = u2.at[..., 1:-1, :].add(-cross)
+    u2 = _add_interior(u2, -cross, axis=-2, canon=canon)
     # UxW cross term (interior z levels)
     qu, qd = q[..., 2:, :, :], q[..., :-2, :, :]
     eq = ((qu[..., 1:] - qd[..., 1:] + qu[..., :-1] - qd[..., :-1])
@@ -51,7 +73,7 @@ def _pseudo_velocities(q, U, V, Wn, G):
     ev = 0.25 * (Wn[1:-1, :, :-1] + Wn[:-2, :, :-1]
                  + Wn[1:-1, :, 1:] + Wn[:-2, :, 1:])
     cross = 0.5 * U[1:-1] * ev * eq / Gx[1:-1]
-    u2 = u2.at[..., 1:-1, :, :].add(-cross)
+    u2 = _add_interior(u2, -cross, axis=-3, canon=canon)
 
     # ---- V component: faces between y rows (g, g+1) ----
     ql, qr = q[..., :-1, :], q[..., 1:, :]
@@ -65,7 +87,7 @@ def _pseudo_velocities(q, U, V, Wn, G):
              + qw[..., :-1, :] + EPS_Q))
     ev = 0.25 * (U[:, :-1, :-1] + U[:, 1:, :-1] + U[:, :-1, 1:] + U[:, 1:, 1:])
     cross = 0.5 * V[:, :, 1:-1] * ev * eq / Gy[:, :, 1:-1]
-    v2 = v2.at[..., 1:-1].add(-cross)
+    v2 = _add_interior(v2, -cross, axis=-1, canon=canon)
     # VxW cross (interior z)
     qu, qd = q[..., 2:, :, :], q[..., :-2, :, :]
     eq = ((qu[..., :-1, :] - qd[..., 1:, :] + qu[..., 1:, :] - qd[..., :-1, :])
@@ -74,7 +96,7 @@ def _pseudo_velocities(q, U, V, Wn, G):
     ev = 0.25 * (Wn[1:-1, :-1, :] + Wn[:-2, :-1, :]
                  + Wn[1:-1, 1:, :] + Wn[:-2, 1:, :])
     cross = 0.5 * V[1:-1] * ev * eq / Gy[1:-1]
-    v2 = v2.at[..., 1:-1, :, :].add(-cross)
+    v2 = _add_interior(v2, -cross, axis=-3, canon=canon)
 
     # ---- W component: faces between levels (k, k+1), top = 0 ----
     ql, qr = q[..., :-1, :, :], q[..., 1:, :, :]
@@ -89,7 +111,7 @@ def _pseudo_velocities(q, U, V, Wn, G):
              + qw[..., 1:, :, :] + EPS_Q))
     ev = 0.25 * (U[:-1, :, :-1] + U[1:, :, :-1] + U[:-1, :, 1:] + U[1:, :, 1:])
     cross = 0.5 * Wf[:, :, 1:-1] * ev * eq / Gz[:, :, 1:-1]
-    w2f = w2f.at[..., 1:-1].add(-cross)
+    w2f = _add_interior(w2f, -cross, axis=-1, canon=canon)
     # WxV cross (interior y)
     qn, qs = q[..., 2:, :], q[..., :-2, :]
     eq = ((qn[..., 1:, :, :] - qs[..., :-1, :, :] + qn[..., :-1, :, :]
@@ -98,8 +120,10 @@ def _pseudo_velocities(q, U, V, Wn, G):
              + qs[..., :-1, :, :] + EPS_Q))
     ev = 0.25 * (V[:-1, :-1, :] + V[1:, :-1, :] + V[:-1, 1:, :] + V[1:, 1:, :])
     cross = 0.5 * Wf[:, 1:-1, :] * ev * eq / Gz[:, 1:-1, :]
-    w2f = w2f.at[..., 1:-1, :].add(-cross)
+    w2f = _add_interior(w2f, -cross, axis=-2, canon=canon)
 
+    if canon is not None:
+        w2f = canon(w2f)
     w2 = jnp.concatenate([w2f, jnp.zeros_like(w2f[..., :1, :, :])],
                          axis=-3)
     return u2, v2, w2
@@ -109,7 +133,8 @@ def _upwind_flux(ql, qr, U):
     return ((U + jnp.abs(U)) * ql + (U - jnp.abs(U)) * qr) * 0.5
 
 
-def _fct_limit_axis(q0, q1, U2, axis: int, is_w: bool):
+def _fct_limit_axis(q0, q1, U2, axis: int, is_w: bool,
+                    no_limit_mask=None, canon=None):
     """1D flux-corrected transport limiter along ``axis``
     (adv_mpdata_FCT_core.f90; Smolarkiewicz & Grabowski 1990).
 
@@ -128,6 +153,8 @@ def _fct_limit_axis(q0, q1, U2, axis: int, is_w: bool):
         return jnp.concatenate(parts, axis=axis)
 
     f = _upwind_flux(sl(q1, slice(None, -1)), sl(q1, slice(1, None)), U2)
+    if canon is not None:
+        f = canon(f)
 
     # per-cell allowable bounds from the 3-cell window (truncated at edges)
     # of both the original and upwind fields
@@ -149,7 +176,13 @@ def _fct_limit_axis(q0, q1, U2, axis: int, is_w: bool):
     f_right = cat([f, zero])                       # face above/right of cell
     fin = jnp.maximum(0.0, f_left) - jnp.minimum(0.0, f_right)
     fout = jnp.maximum(0.0, f_right) - jnp.minimum(0.0, f_left)
-    if not is_w:
+    if no_limit_mask is not None:
+        # in-kernel window execution: the DOMAIN boundary is not the
+        # array edge — the caller marks the true boundary cells
+        keep = 1.0 - no_limit_mask
+        fin = fin * keep
+        fout = fout * keep
+    elif not is_w:
         # no flux limiting at the lateral boundary cells
         # (adv_mpdata_FCT_core.f90 'No flux limitations to the boundary
         # cell'): zero the edge slices via masked concat (a static-index
@@ -203,9 +236,17 @@ def advect3d_mpdata(q, winds: CourantWinds, rho, dz, jaco, order: int,
 
 def advect_mpdata(stacked_q, u, v, w, dt, dx, jaco_u, jaco_v, jaco_w, jaco,
                   rho, dz, order: int = 2, use_fct: bool = True,
-                  advect_density: bool = False):
-    """Advect all species with MPDATA in one vmapped pass (mpdata,
-    adv_mpdata.f90:463-524)."""
+                  advect_density: bool = False, use_pallas: bool = True):
+    """Advect all species with MPDATA in one stacked pass (mpdata,
+    adv_mpdata.f90:463-524). On TPU (no density advection, order <= 3)
+    the fused window kernel runs the whole scheme in VMEM; the jnp path
+    below is the reference implementation (and the sharded path)."""
+    if use_pallas and not advect_density and order <= 3:
+        from . import pallas_kernels as pk
+        if pk.kernels_available():
+            return pk.advect_mpdata_tpu(stacked_q, u, v, w, dx, jaco_u,
+                                        jaco_v, jaco_w, dz, jaco, dt,
+                                        order, use_fct)
     winds = setup_courant_winds(u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
                                 rho, advect_density)
     if not advect_density:

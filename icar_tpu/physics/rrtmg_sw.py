@@ -935,14 +935,20 @@ def rrtmg_sw_driver(tables, key, p3d, p8w, t3d, t8w, cosz2d, albedo2d,
     swuflx = jnp.where(day, out.swuflx, 0.0)
     swdflxc = jnp.where(day, out.swdflxc, 0.0)
     swuflxc = jnp.where(day, out.swuflxc, 0.0)
+    swddir = jnp.where(day, out.swddir, 0.0)
     swhr = jnp.where(day, out.swhr[:nz], 0.0)
 
     swdown = swdflx[0].reshape(ny, nx)
     gsw = (swdflx[0] - swuflx[0]).reshape(ny, nx)
     swcf = ((swdflx[-1] - swuflx[-1])
             - (swdflxc[-1] - swuflxc[-1])).reshape(ny, nx)
+    # direct-beam surface flux (SWDDIR, ra_rrtmg_sw.f90 wrapper outputs;
+    # the diffuse component is swdown - swdir, VERDICT r3 item #8).
+    # Clamped to swdown: the unscaled-tau direct transmittance can
+    # slightly exceed the delta-scaled total under thick cloud.
+    swdir = jnp.minimum(swddir[0].reshape(ny, nx), swdown)
     th_tend = (swhr / 86400.0).reshape(nz, ny, nx) / exner
-    return th_tend, swdown, gsw, swcf
+    return th_tend, swdown, gsw, swcf, swdir
 
 
 # --------------------------------------------------------------------------

@@ -221,6 +221,13 @@ _SPECS = [
     _v("out_longwave_rad", dims="2d", units="W m-2"),
     _v("longwave_cloud_forcing", dims="2d", units="W m-2"),
     _v("shortwave_cloud_forcing", dims="2d", units="W m-2"),
+    # direct/diffuse split of the downwelling surface shortwave
+    # (SWDDIR/SWDDIF of ra_rrtmg_sw; default_output_metadata.f90
+    # shortwave_direct/shortwave_diffuse)
+    _v("shortwave_direct", dims="2d", units="W m-2",
+       standard_name="surface_direct_downwelling_shortwave_flux_in_air"),
+    _v("shortwave_diffuse", dims="2d", units="W m-2",
+       standard_name="surface_diffuse_downwelling_shortwave_flux_in_air"),
     _v("cosine_zenith_angle", dims="2d", units="1"),
     # Kain-Fritsch (conv=3) persistent state: the W0AVG running-mean w
     # (cu_kf.f90:193-207), the NCA countdown + rain rate frozen between
@@ -434,6 +441,7 @@ def collect_requests(options) -> VarRequest:
                         "cloud_ice", "re_cloud", "re_ice", "re_snow",
                         "out_longwave_rad", "longwave_cloud_forcing",
                         "shortwave_cloud_forcing",
+                        "shortwave_direct", "shortwave_diffuse",
                         "cosine_zenith_angle", "land_mask",
                         "snow_mass"])
         req.restart_vars(["tend_th_lwrad", "tend_th_swrad"])

@@ -231,3 +231,35 @@ def test_mp_simple_pallas_path_matches_jnp(interpret_kernels):
                           got, want):
         assert_ulp_equal(g, w, f"mp_simple pallas vs jnp: {name}",
                          rtol=1e-5, atol=1e-8)
+
+
+def test_mpdata_kernel_equivalence(interpret_kernels):
+    """The fused MPDATA window kernel (order-2 + FCT) equals the jnp
+    reference path — same single-source math, so this guards the window
+    plumbing: halo DMA alignment, the V-face mapping, the global-index
+    boundary masks and the FCT no-limit masks."""
+    from icar_tpu.ops import mpdata as md
+    from icar_tpu.ops import pallas_kernels as pk
+
+    r = np.random.default_rng(17)
+    S, nz, ny, nx = 4, 8, 37, 41      # odd sizes exercise pad lanes/rows
+    q = jnp.asarray(r.uniform(0.1, 1.0, (S, nz, ny, nx)), jnp.float32)
+    u = jnp.asarray(r.uniform(-6, 6, (nz, ny, nx + 1)), jnp.float32)
+    v = jnp.asarray(r.uniform(-6, 6, (nz, ny + 1, nx)), jnp.float32)
+    w = jnp.asarray(r.uniform(-1, 1, (nz, ny, nx)), jnp.float32)
+    dz = jnp.asarray(r.uniform(200, 400, (nz, ny, nx)), jnp.float32)
+    jaco = jnp.asarray(r.uniform(0.8, 1.2, (nz, ny, nx)), jnp.float32)
+    ju = jnp.asarray(r.uniform(0.8, 1.2, (nz, ny, nx + 1)), jnp.float32)
+    jv = jnp.asarray(r.uniform(0.8, 1.2, (nz, ny + 1, nx)), jnp.float32)
+    jw = jnp.asarray(r.uniform(0.8, 1.2, (nz, ny, nx)), jnp.float32)
+    dt, dx = 20.0, 1000.0
+
+    for order, fct in ((2, True), (2, False), (3, True)):
+        want = md.advect_mpdata(q, u, v, w, dt, dx, ju, jv, jw, jaco,
+                                None, dz, order=order, use_fct=fct,
+                                use_pallas=False)
+        got = pk.advect_mpdata_tpu(q, u, v, w, dx, ju, jv, jw, dz, jaco,
+                                   dt, order, fct)
+        assert_ulp_equal(got, want, f"MPDATA kernel (order={order}, "
+                                    f"fct={fct}) != jnp path",
+                         rtol=2e-5, atol=1e-6)

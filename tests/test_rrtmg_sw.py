@@ -132,7 +132,7 @@ class TestDriver:
         z = jnp.zeros((nz, ny, nx))
         re = jnp.full((nz, ny, nx), 8e-6)
         cosz = jnp.full((ny, nx), 0.5).at[0].set(-0.2)
-        th, swdown, gsw, swcf = sw.rrtmg_sw_driver(
+        th, swdown, gsw, swcf, swdir = sw.rrtmg_sw_driver(
             tables, jax.random.PRNGKey(0), p3d, p8w, t3d, t3d + 1.0,
             cosz, jnp.full((ny, nx), 0.2), jnp.full((nz, ny, nx), 4e-3),
             z, z, z, z, re, re, re, jnp.ones((nz, ny, nx)),
@@ -143,6 +143,12 @@ class TestDriver:
         assert np.all(np.isfinite(np.asarray(th)))
         assert np.all(np.asarray(gsw)[1:] > 0.0)
         assert np.all(np.isfinite(np.asarray(swcf)))
+        # direct/diffuse split (SWDDIR/SWDDIF): zero at night, bounded
+        # by the total, dominant in this clear-sky column
+        swdir = np.asarray(swdir)
+        assert np.all(swdir[0] == 0.0)
+        assert np.all(swdir <= np.asarray(swdown) + 1e-6)
+        assert np.all(swdir[1:] > 0.5 * np.asarray(swdown)[1:])
 
 
 class TestModelIntegration:

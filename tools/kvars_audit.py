@@ -152,10 +152,6 @@ EXCLUDED.update({
         "external precipitation forcing: latent reference pathway "
         "(exch_t reads it only when external files supply it); "
         "load_external_conditions covers the snow/soil external inputs"),
-    "shortwave_direct": ("direct/diffuse SW split not produced; total "
-                         "shortwave stored (rrtmg_sw port returns the "
-                         "combined surface flux)"),
-    "shortwave_diffuse": ("see shortwave_direct"),
     "vegetation_fraction_max": NOAHMP_CARBON,
     "storage_lake": ("NoahMP lake water storage: ICAR routes lake cells "
                      "to the CLM lake model (water=3) instead"),
