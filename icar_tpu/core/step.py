@@ -175,8 +175,29 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         from ..physics.ghg import ghg_for_options
         ghg = ghg_for_options(options)
 
+    # the Thompson scheme can consume + produce the species stack
+    # directly (the fused kernel reads stack rows as static slices):
+    # no per-substep unstack/restack around microphysics at all
+    if phys.microphysics in (C.MP_THOMPSON, C.MP_THOMPSON_AER) and use_stack:
+        from ..physics import mp_thompson as _mt
+        thompson_stack_smap = _mt.stack_smap(adv_names)
+    else:
+        thompson_stack_smap = None
+    thompson_stack_capable = (
+        thompson_stack_smap is not None
+        and float(options.mp.update_interval) <= 0)
+
+    def _restack_dirty(ctx, s):
+        """The current species stack: the carry stack with only the
+        rows whose field was replaced since unstack written back."""
+        q = ctx["stack"]
+        for i, k in enumerate(adv_names):
+            if s[k] is not ctx["views"][k]:
+                q = q.at[i].set(s[k])
+        return q
+
     def physics_step(state, dt, t, aux, mp_elapsed, lsm_elapsed,
-                     rad_elapsed, advect_clamp=None):
+                     rad_elapsed, advect_clamp=None, stack_ctx=None):
         from ..physics import pbl_simple as pbl_mod
         from ..physics import ra_simple as ra_mod
         from ..physics import surface as sfc_mod
@@ -895,6 +916,39 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                                        for f in _dc.fields(ThompsonParams)})
                 aerosol = (phys.microphysics == C.MP_THOMPSON_AER
                            and "nwfa" in s)
+                if (not aerosol and stack_ctx is not None
+                        and thompson_stack_capable):
+                    # stack-native path: restack only the fields some
+                    # earlier scheme dirtied (zero restack in the
+                    # mp+advect-only configurations), run the scheme on
+                    # the stack, and hand the output stack to advection
+                    qstack = _restack_dirty(stack_ctx, s)
+                    out_stack, rain, snow, graupel = \
+                        mp_thompson.mp_thompson_stack(
+                            qstack, adv_names, s["exner"], s["pressure"],
+                            jnp.asarray(geom.dz_mass), dt,
+                            s["precipitation"], s["snowfall"],
+                            s["graupel"], params=tp,
+                            use_pallas=(natural_shapes is None))
+                    s = dict(s)
+                    stack_ctx["stack"] = out_stack
+                    for i, k in enumerate(adv_names):
+                        v = out_stack[i]
+                        s[k] = v
+                        stack_ctx["views"][k] = v
+                    s["precipitation"] = rain
+                    s["snowfall"] = snow
+                    s["graupel"] = graupel
+                    if phys.microphysics == C.MP_THOMPSON_AER:
+                        re_qc, re_qi, re_qs = mp_thompson.calc_effect_rad(
+                            s["potential_temperature"] * s["exner"],
+                            s["pressure"], s["water_vapor"],
+                            s["cloud_water"], s["cloud_ice"],
+                            s["ice_number"], s["snow_mass"], params=tp)
+                        s["re_cloud"] = re_qc
+                        s["re_ice"] = re_qi
+                        s["re_snow"] = re_qs
+                    return s
                 if aerosol:
                     nwfa_in = s["nwfa"]
                     if "nwfa2d" in s:
@@ -1016,7 +1070,10 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
 
         # --- advection of all requested species in one fused pass
         if use_stack:
-            stacked = jnp.stack([s[k] for k in adv_names])
+            if stack_ctx is not None:
+                stacked = _restack_dirty(stack_ctx, s)
+            else:
+                stacked = jnp.stack([s[k] for k in adv_names])
             common = (s["u"], s["v"], s["w"], dt, geom.dx,
                       jnp.asarray(geom.jacobian_u), jnp.asarray(geom.jacobian_v),
                       jnp.asarray(geom.jacobian_w), jnp.asarray(geom.jacobian),
@@ -1039,7 +1096,14 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     stacked, *common, order=options.adv.mpdata_order,
                     use_fct=options.adv.flux_corrected_transport,
                     advect_density=options.run.advect_density,
-                    use_pallas=(natural_shapes is None))
+                    use_pallas=(natural_shapes is None),
+                    # near-end enforce_limits clamp fused into the
+                    # advection epilogue (same move as upwind): the
+                    # standalone masked clamp rewrote the whole stack
+                    # every substep
+                    floors=(limit_floor_1d if advect_clamp is not None
+                            else None),
+                    near_end=advect_clamp)
             # the advected species LEAVE the dict here and ride the loop
             # carry as this one stacked array: the next substep's physics
             # reads them back as zero-copy slices, so the per-substep
@@ -1264,6 +1328,22 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 state[k] = qstack[i]
             return state
 
+        def unstack_ctx(state):
+            """Unstack + remember the carry stack and the slice-view
+            identities: the restack before advection then touches only
+            the rows whose field some physics scheme actually replaced
+            (trace-time identity check — which schemes write which
+            fields is static), instead of a full jnp.stack (a chain of
+            S full-stack dynamic-update-slices every substep)."""
+            state = dict(state)
+            qstack = state.pop("_qstack")
+            views = {}
+            for i, k in enumerate(adv_names):
+                v = qstack[i]
+                state[k] = v
+                views[k] = v
+            return state, {"stack": qstack, "views": views}
+
         # limited fields NOT riding the stack (clamped through a small
         # lax.cond; usually empty — every limited field is advected in
         # every stock configuration, so the old whole-state cond tupled
@@ -1271,7 +1351,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         limited_rest = tuple(k for k in LIMITED_FIELDS
                              if k in state and k not in adv_names)
         clamp_in_advect = (use_stack and tend_stack is None
-                           and phys.advection == C.ADV_UPWIND)
+                           and phys.advection in (C.ADV_UPWIND,
+                                                  C.ADV_MPDATA))
 
         def cond(carry):
             t = carry[1]
@@ -1279,8 +1360,9 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
 
         def body(carry):
             state, t, n, mp_el, lsm_el, rad_el = carry
+            stack_ctx = None
             if use_stack:
-                state = unstack(state)
+                state, stack_ctx = unstack_ctx(state)
             if winds_vary:
                 dt = quantized_dt(state["u"], state["v"], state["w"])
             else:
@@ -1301,7 +1383,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             state, mp_el, lsm_el, rad_el = physics_step(
                 state, dt, t, aux, mp_el, lsm_el, rad_el,
                 advect_clamp=(near_end.astype(jnp.float32)
-                              if clamp_in_advect else None))
+                              if clamp_in_advect else None),
+                stack_ctx=stack_ctx)
             if with_forcing:
                 state = apply_forcing(state, dqdt, dt, bmask)
                 if tend_stack is not None:

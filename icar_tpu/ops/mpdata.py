@@ -236,17 +236,24 @@ def advect3d_mpdata(q, winds: CourantWinds, rho, dz, jaco, order: int,
 
 def advect_mpdata(stacked_q, u, v, w, dt, dx, jaco_u, jaco_v, jaco_w, jaco,
                   rho, dz, order: int = 2, use_fct: bool = True,
-                  advect_density: bool = False, use_pallas: bool = True):
+                  advect_density: bool = False, use_pallas: bool = True,
+                  floors=None, near_end=None):
     """Advect all species with MPDATA in one stacked pass (mpdata,
     adv_mpdata.f90:463-524). On TPU (no density advection, order <= 3)
     the fused window kernel runs the whole scheme in VMEM; the jnp path
-    below is the reference implementation (and the sharded path)."""
+    below is the reference implementation (and the sharded path).
+
+    ``floors``/``near_end``: optional fused enforce_limits epilogue —
+    when near_end > 0, clamp species s to >= floors[s] (the interval
+    loop's near-end negative clamp, time_step.f90:537-539), saving a
+    whole-stack masked rewrite per substep."""
     if use_pallas and not advect_density and order <= 3:
         from . import pallas_kernels as pk
         if pk.kernels_available():
             return pk.advect_mpdata_tpu(stacked_q, u, v, w, dx, jaco_u,
                                         jaco_v, jaco_w, dz, jaco, dt,
-                                        order, use_fct)
+                                        order, use_fct, floors=floors,
+                                        near_end=near_end)
     winds = setup_courant_winds(u, v, w, dt, dx, jaco_u, jaco_v, jaco_w,
                                 rho, advect_density)
     if not advect_density:
@@ -255,5 +262,11 @@ def advect_mpdata(stacked_q, u, v, w, dt, dx, jaco_u, jaco_v, jaco_w, jaco,
         rho_eff = rho
     # batch-generic over the species dim (see _pseudo_velocities: vmap
     # would turn every interior .at[].add into a TPU scatter)
-    return advect3d_mpdata(stacked_q, winds, rho_eff, dz, jaco, order,
-                           use_fct, advect_density)
+    out = advect3d_mpdata(stacked_q, winds, rho_eff, dz, jaco, order,
+                          use_fct, advect_density)
+    if floors is not None and near_end is not None:
+        fl = jnp.where(jnp.asarray(near_end) > 0,
+                       jnp.asarray(floors)[:, None, None, None],
+                       -jnp.inf)
+        out = jnp.maximum(out, fl)
+    return out

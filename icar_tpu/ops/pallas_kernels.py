@@ -690,8 +690,8 @@ def mp_simple_padded(qpad, p_pad, exner_pad, dz_pad, rain_pad,
 # exactly equivalent to the jnp array-edge truncations).
 
 
-def _mpdata_kernel(dims_ref, scal_ref, qpad_ref, upad_ref, vpad_ref,
-                   wpad_ref, dzpad_ref, jacopad_ref, out_ref,
+def _mpdata_kernel(dims_ref, scal_ref, floors_ref, qpad_ref, upad_ref,
+                   vpad_ref, wpad_ref, dzpad_ref, jacopad_ref, out_ref,
                    qwin, uwin, vwin, wwin, dzwin, jacowin, sems,
                    *, order: int, use_fct: bool):
     from . import advection as adv
@@ -723,7 +723,26 @@ def _mpdata_kernel(dims_ref, scal_ref, qpad_ref, upad_ref, vpad_ref,
     dt = scal_ref[0]
     ny_real = dims_ref[0]
     nx_real = dims_ref[1]
+
+    gidx_w = (i * TY - 8
+              + jax.lax.broadcasted_iota(jnp.int32, (1, rows, 1), 1))
+    xidx_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2)
+    # the species stack arrives CONSTANT-padded (an edge-mode jnp.pad of
+    # the (S, nz, ny, nx) stack lowers to a ~2.5 GB/substep pad+concat+
+    # DUS chain); replicate the domain-edge values into the ghost/pad
+    # cells here in VMEM instead — bit-identical window contents, which
+    # the FCT min/max truncation equivalence relies on. The masked-sum
+    # broadcast is exact: exactly one window row/lane matches each edge.
     q0 = qwin[:]
+    e0 = jnp.sum(jnp.where(gidx_w == 0, q0, 0.0), axis=1, keepdims=True)
+    e1 = jnp.sum(jnp.where(gidx_w == ny_real - 1, q0, 0.0), axis=1,
+                 keepdims=True)
+    q0 = jnp.where(gidx_w < 0, e0,
+                   jnp.where(gidx_w > ny_real - 1, e1, q0))
+    xe = jnp.sum(jnp.where(xidx_w == nx_real - 1, q0, 0.0), axis=2,
+                 keepdims=True)
+    q0 = jnp.where(xidx_w > nx_real - 1, xe, q0)
+
     U = uwin[:][..., :-1] * dt       # (nz, rows, P-1) internal x faces
     # vpad row front+g = face above data row g; window row j = padded row
     # row0+j = front + (i*TY + j - 8), so the face between window rows
@@ -733,8 +752,8 @@ def _mpdata_kernel(dims_ref, scal_ref, qpad_ref, upad_ref, vpad_ref,
     dz = dzwin[:]
     G = jacowin[:]
 
-    gidx = i * TY - 8 + jax.lax.broadcasted_iota(jnp.int32, (1, rows, 1), 1)
-    xidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2)
+    gidx = gidx_w
+    xidx = xidx_w
     interior = ((gidx >= 1) & (gidx <= ny_real - 2)
                 & (xidx >= 1) & (xidx <= nx_real - 2))
     y_edge = ((gidx == 0) | (gidx == ny_real - 1)).astype(q0.dtype)
@@ -782,7 +801,10 @@ def _mpdata_kernel(dims_ref, scal_ref, qpad_ref, upad_ref, vpad_ref,
                                   canon=canon)
         q_new = jnp.where(interior, upd, q_new)
 
-    out_ref[0] = q_new[:, 8:TY + 8, :]
+    # fused near-end enforce_limits clamp (floors[s] = -inf when the
+    # species is unlimited or near_end is 0 -> exact identity)
+    fl = jnp.where(scal_ref[1] > 0, floors_ref[s], -jnp.inf)
+    out_ref[0] = jnp.maximum(q_new[:, 8:TY + 8, :], fl)
 
 
 def prepare_mpdata_operands(u, v, w, dx, jaco_u, jaco_v, jaco_w, dz,
@@ -815,18 +837,28 @@ def prepare_mpdata_operands(u, v, w, dx, jaco_u, jaco_v, jaco_w, dz,
 
 def advect_mpdata_tpu(stacked_q, u, v, w, dx, jaco_u, jaco_v, jaco_w,
                       dz, jaco, dt, order: int, use_fct: bool,
-                      ty: int = 16):
+                      ty: int = 16, floors=None, near_end=None):
     """Fused MPDATA of the whole species stack (same math as
     ops.mpdata.advect_mpdata with advect_density=False). The 8-row halo
     window supports order <= 3 (each corrective pass consumes 3 halo
-    rows); callers fall back to the jnp path beyond that."""
+    rows); callers fall back to the jnp path beyond that.
+    ``floors``/``near_end``: fused near-end enforce_limits clamp (see
+    ops.mpdata.advect_mpdata)."""
     assert order <= 3, "MPDATA kernel halo supports order <= 3"
     S, nz, ny, nx = stacked_q.shape
     ny_pad, P, R, front = padded_geometry(ny, nx, ty)
-    qpad = pad_to_stack_layout(stacked_q, ny, nx, ty)
+    # constant pad: one XLA pad op; the kernel replicates domain edges
+    # into the ghost frame in VMEM (see _mpdata_kernel)
+    qpad = pad_to_stack_layout(stacked_q, ny, nx, ty, mode="constant")
     up, vp, wp, dzp, jacop = prepare_mpdata_operands(
         u, v, w, dx, jaco_u, jaco_v, jaco_w, dz, jaco, ny, nx, ty)
-    scal = jnp.stack([jnp.asarray(dt, jnp.float32)])
+    if floors is None or near_end is None:
+        floors_v = jnp.full((S,), -jnp.inf, jnp.float32)
+        ne = jnp.float32(0.0)
+    else:
+        floors_v = jnp.asarray(floors, jnp.float32)
+        ne = jnp.asarray(near_end, jnp.float32)
+    scal = jnp.stack([jnp.asarray(dt, jnp.float32), ne])
 
     grid = (ny_pad // ty, S)
     spec4 = pl.BlockSpec((1, nz, ty, P), lambda i, s: (s, 0, i + 1, 0),
@@ -843,6 +875,7 @@ def advect_mpdata_tpu(stacked_q, u, v, w, dx, jaco_u, jaco_v, jaco_w,
         interpret=_INTERPRET,
         **params,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
         out_specs=spec4,
@@ -854,6 +887,6 @@ def advect_mpdata_tpu(stacked_q, u, v, w, dx, jaco_u, jaco_v, jaco_w,
                         pltpu.VMEM((nz, ty + 16, P), stacked_q.dtype),
                         pltpu.VMEM((nz, ty + 16, P), stacked_q.dtype),
                         pltpu.SemaphoreType.DMA((6,))],
-    )(jnp.asarray([ny, nx], jnp.int32), scal, qpad, up, vp, wp, dzp,
-      jacop)
+    )(jnp.asarray([ny, nx], jnp.int32), scal, floors_v, qpad, up, vp, wp,
+      dzp, jacop)
     return out[:, :, front:front + ny, :nx]

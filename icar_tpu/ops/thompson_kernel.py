@@ -104,11 +104,10 @@ def _lookup2_tile(tab_ref, names, ia, ib):
     return out
 
 
-def _core_kernel(scal_ref, th_ref, qv_ref, qc_ref, qi_ref, qr_ref, qs_ref,
-                 qg_ref, ni_ref, nr_ref, exner_ref, p_ref, dz_ref,
+def _core_kernel(scal_ref, qstk_ref, exner_ref, p_ref, dz_ref,
                  racs_ref, racg_ref, qrfz_ref,
                  efrw_t_ref, efsw_t_ref, qcfz_t_ref, iaus_t_ref,
-                 out_ref, ppt_ref, *, params_key):
+                 out_ref, ppt_ref, *, params_key, smap, m_total):
     from ..physics import mp_thompson as mt
     from ..physics import thompson_tables as tt
 
@@ -116,14 +115,43 @@ def _core_kernel(scal_ref, th_ref, qv_ref, qc_ref, qi_ref, qr_ref, qs_ref,
     _, c = tt.get_tables(params)
     DT = scal_ref[0]
 
-    P = mt._prep_block(th_ref[:], qv_ref[:], qc_ref[:], qi_ref[:],
-                       qr_ref[:], qs_ref[:], qg_ref[:], ni_ref[:],
-                       nr_ref[:], exner_ref[:], p_ref[:], c, params)
-    # the one table index the rate logic consumes directly (large-ice
-    # autoconversion branch); recomputed per tile from prep values
-    idx_i = jnp.where(P["ri"] > tt.r_i[0],
-                      mt._mantissa_idx(P["ri"], c.nii2, tt.NTB_I), 0)
+    # the advected-species stack is the kernel's primary operand: the 9
+    # Thompson fields are static slices of it (``smap`` maps scheme
+    # position -> stack row), so the caller never unstacks/restacks
+    # around the kernel (each jnp.stack lowered to a chain of full-stack
+    # dynamic-update-slices, ~1.6 GB/substep at 500^2x20)
+    th, qv, qc, qi, qr, qs, qg, ni, nr = (qstk_ref[i] for i in smap)
+    exner = exner_ref[:]
+    pres = p_ref[:]
 
+    # ---- tile activity predicate (the reference's own column skips,
+    # mp_thompson.f90 L_qc/L_qr/... guards, lifted to tile granularity):
+    # a tile with no hydrometeors above the R1 presence floor, no water
+    # supersaturation anywhere (cond_on, :2065) and water-vapor ice
+    # supersaturation below the 25% nucleation trigger (:1906) is inert —
+    # the scheme's only unconditional actions on such cells are the
+    # qv >= 1e-7 driver floor and sub-R1 zeroing, applied in the cheap
+    # branch below. The full rate pipeline costs ~60 ms/substep at 500^2
+    # when evaluated everywhere; clear-air tiles skip all of it.
+    temp = th * exner
+    qv_c = jnp.maximum(1e-10, qv)
+    ssatw = qv_c / mt.rslf(pres, temp) - 1.0
+    sati = qv_c / mt.rsif(pres, temp)
+    hyd = jnp.maximum(jnp.maximum(jnp.maximum(qc, qi), jnp.maximum(qr, qs)),
+                      qg)
+    # tail-tile pad lanes hold garbage (NaNs poison an unmasked max and
+    # silently flip the predicate to inert) — mask to valid columns
+    tc = th.shape[-1]
+    col = (pl.program_id(0) * tc
+           + jax.lax.broadcasted_iota(jnp.int32, th.shape, th.ndim - 1))
+    valid = col < m_total
+    active = ((jnp.max(jnp.where(valid, hyd, 0.0)) > tt.R1)
+              | (jnp.max(jnp.where(valid, ssatw, -1.0)) > tt.EPS)
+              | (jnp.max(jnp.where(valid, sati, 0.0)) >= 1.25))
+
+    # every ref is read OUTSIDE the cond (the operand blocks are DMA'd
+    # by the pallas pipeline either way; branch-local ref reads are the
+    # part Mosaic/interpret handle unreliably)
     G = {}
     for j, n in enumerate(mt._RACS_NAMES):
         G[n] = racs_ref[j]
@@ -131,42 +159,71 @@ def _core_kernel(scal_ref, th_ref, qv_ref, qc_ref, qi_ref, qr_ref, qs_ref,
         G[n] = racg_ref[j]
     for j, n in enumerate(mt._QRFZ_NAMES):
         G[n] = qrfz_ref[j]
+    tab_vals = [(ref[:], names, ka, kb)
+                for ref, (_, names, (ka, kb)) in zip(
+                    (efrw_t_ref, efsw_t_ref, qcfz_t_ref, iaus_t_ref),
+                    _SMALL_GROUPS)]
+    dz = dz_ref[:]
 
-    tab_refs = (efrw_t_ref, efsw_t_ref, qcfz_t_ref, iaus_t_ref)
+    def _full(_):
+        P = mt._prep_block(th, qv, qc, qi, qr, qs, qg, ni, nr,
+                           exner, pres, c, params)
+        # the one table index the rate logic consumes directly (large-ice
+        # autoconversion branch); recomputed per tile from prep values
+        idx_i = jnp.where(P["ri"] > tt.r_i[0],
+                          mt._mantissa_idx(P["ri"], c.nii2, tt.NTB_I), 0)
 
-    def small_lookup(P, c):
-        S = mt._small_indices(P, c)
-        out = {}
-        for ref, (_, names, (ka, kb)) in zip(tab_refs, _SMALL_GROUPS):
-            out.update(_lookup2_tile(ref, names, S[ka], S[kb]))
-        return out
+        def small_lookup(P, c):
+            S = mt._small_indices(P, c)
+            out = {}
+            for tab, names, ka, kb in tab_vals:
+                out.update(_lookup2_tile(tab, names, S[ka], S[kb]))
+            return out
 
-    O = mt._core_block(P, idx_i, G, DT, c, params,
-                       small_lookup=small_lookup)
-    # sedimentation + instant melt/freeze + final update run here too:
-    # the four data-dependent fall loops stay entirely in VMEM instead of
-    # streaming their loop carries through HBM every iteration
-    outs = mt._post_block(P, O, dz_ref[:], DT, c, params)
-    for j in range(9):
-        out_ref[j] = outs[j]
+        O = mt._core_block(P, idx_i, G, DT, c, params,
+                           small_lookup=small_lookup)
+        # sedimentation + instant melt/freeze + final update run here
+        # too: the four data-dependent fall loops stay entirely in VMEM
+        # instead of streaming their loop carries through HBM
+        outs = mt._post_block(P, O, dz, DT, c, params)
+        return tuple(outs[:9]), tuple(outs[9:13])
+
+    def _inert(_):
+        # exactly what the full pipeline produces on an inert tile:
+        # sub-R1 hydrometeors zeroed (every cell is, by the predicate),
+        # qv floored at 1e-7 (mp_gt_driver, :1005-1020), th untouched
+        # (the full path's th*exner/exner round-trip is a 1-ulp identity)
+        z = jnp.zeros_like(th)
+        zp = jnp.zeros_like(th[:1])
+        return ((th, jnp.maximum(qv, 1e-7), z, z, z, z, z, z, z),
+                (zp, zp, zp, zp))
+
+    outs9, ppt4 = jax.lax.cond(active, _full, _inert, None)
+    for j, si in enumerate(smap):
+        out_ref[si] = outs9[j]
     for j in range(4):
-        ppt_ref[j:j + 1] = outs[9 + j]
+        ppt_ref[j:j + 1] = ppt4[j]
 
 
-def thompson_core_call(th, qv, qc, qi, qr, qs, qg, ni, nr, exner, p, dz,
+# scheme-order field names; smap[i] = stack row of _FIELD_ORDER[i]
+_FIELD_ORDER = ("th", "qv", "qc", "qi", "qr", "qs", "qg", "ni", "nr")
+
+
+def thompson_core_call(qstack, smap, exner, p, dz,
                        stacks, dt, params_key, interpret=False,
                        tc: int = 256):
-    """Invoke the fused core+post kernel on (nz, ny, nx) fields.
+    """Invoke the fused core+post kernel on the advected-species stack
+    ``qstack`` (9, nz, ny, nx); ``smap`` is the static tuple mapping the
+    scheme's (th, qv, qc, qi, qr, qs, qg, ni, nr) order to stack rows.
     ``stacks`` holds the stacked big-gather outputs {racs: (12, ...),
-    racg: (5, ...), qrfz: (4, ...)}. Returns the scheme's finished
-    (th, qv, qc, qi, qr, qs, qg, ni, nr, ppt_rain, ppt_ice, ppt_snow,
-    ppt_graupel) tuple — the same contract as
-    mp_thompson._mp_thompson_impl's non-aer jnp path."""
-    nz, ny, nx = th.shape
+    racg: (5, ...), qrfz: (4, ...)}. Returns (out_stack (9, nz, ny, nx)
+    in STACK order, ppt_rain, ppt_ice, ppt_snow, ppt_graupel)."""
+    S, nz, ny, nx = qstack.shape
+    assert S == 9 and sorted(smap) == list(range(9))
     M = ny * nx
     flat = lambda a: a.reshape(a.shape[:-2] + (M,))
-    prim = [flat(a) for a in (th, qv, qc, qi, qr, qs, qg, ni, nr,
-                              exner, p, dz)]
+    qflat = flat(qstack)
+    prim = [flat(a) for a in (exner, p, dz)]
     racs = flat(stacks["racs"])
     racg = flat(stacks["racg"])
     qrfz = flat(stacks["qrfz"])
@@ -184,7 +241,8 @@ def thompson_core_call(th, qv, qc, qi, qr, qs, qg, ni, nr, exner, p, dz,
         return pl.BlockSpec(t.shape, lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_core_kernel, params_key=params_key)
+    kernel = functools.partial(_core_kernel, params_key=params_key,
+                               smap=tuple(smap), m_total=M)
     # the body holds a few hundred live (nz, tc) temporaries; the default
     # 16 MB scoped-VMEM budget is too small at tc=256 (the core alone
     # measured 35.4 MB) — raise it (v5e has 128 MB of VMEM; leaving
@@ -199,16 +257,15 @@ def thompson_core_call(th, qv, qc, qi, qr, qs, qg, ni, nr, exner, p, dz,
         interpret=interpret,
         **params,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [spec] * 12
+        + [gspec(9)] + [spec] * 3
         + [gspec(racs.shape[0]), gspec(racg.shape[0]),
            gspec(qrfz.shape[0])]
         + [tspec(t) for t in tabs],
         out_specs=[gspec(9),
                    pl.BlockSpec((4, tc), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((9, nz, M), th.dtype),
-                   jax.ShapeDtypeStruct((4, M), th.dtype)],
-    )(scal, *prim, racs, racg, qrfz, *tabs)
-    shape3 = (nz, ny, nx)
-    return tuple(out[j].reshape(shape3) for j in range(9)) \
+        out_shape=[jax.ShapeDtypeStruct((9, nz, M), qstack.dtype),
+                   jax.ShapeDtypeStruct((4, M), qstack.dtype)],
+    )(scal, qflat, *prim, racs, racg, qrfz, *tabs)
+    return (out.reshape(S, nz, ny, nx),) \
         + tuple(ppt[j].reshape(ny, nx) for j in range(4))

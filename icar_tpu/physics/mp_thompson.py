@@ -1612,12 +1612,15 @@ def _mp_thompson_impl(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
 
     if use_kernel:
         # the kernel runs core + post (sedimentation + final) fused and
-        # returns the finished fields directly
+        # returns the finished fields directly (stack-order identity here;
+        # interval callers use mp_thompson_stack to avoid the restack)
         from ..ops.thompson_kernel import thompson_core_call
-        return thompson_core_call(
-            th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d, exner,
-            p1d, dzq, stacks, dt, params_key,
-            interpret=(kernel_mode == "interpret"))
+        qstack = jnp.stack([th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d,
+                            ni1d, nr1d])
+        out_stack, pr, pi, ps, pg = thompson_core_call(
+            qstack, tuple(range(9)), exner, p1d, dzq, stacks, dt,
+            params_key, interpret=(kernel_mode == "interpret"))
+        return tuple(out_stack[j] for j in range(9)) + (pr, pi, ps, pg)
 
     O = _core_block(P, I["idx_i"], G, DT, c, pp,
                     tnc_wev_flat=tnc_wev_flat)
@@ -1658,6 +1661,81 @@ def mp_thompson(th, qv, qc, qi, qr, qs_, qg, ni, nr, exner, p, dz, dt,
     snow = snow + ppt_snow + ppt_ice
     graupel = graupel + ppt_graupel
     return th, qv, qc, qi, qr, qs_, qg, ni, nr, rain, snow, graupel
+
+
+# registry name -> scheme-order position of (th, qv, qc, qi, qr, qs,
+# qg, ni, nr)
+_STACK_FIELDS = {
+    "potential_temperature": 0, "water_vapor": 1, "cloud_water": 2,
+    "cloud_ice": 3, "rain_mass": 4, "snow_mass": 5, "graupel_mass": 6,
+    "ice_number": 7, "rain_number": 8,
+}
+
+
+def stack_smap(names):
+    """smap for mp_thompson_stack: scheme position -> stack row, or None
+    if ``names`` is not exactly the 9 Thompson-advected species."""
+    if len(names) != 9 or set(names) != set(_STACK_FIELDS):
+        return None
+    smap = [0] * 9
+    for row, n in enumerate(names):
+        smap[_STACK_FIELDS[n]] = row
+    return tuple(smap)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params_key", "smap", "kernel_mode"))
+def _mp_thompson_stack_impl(qstack, exner, p1d, dzq, dt, tables,
+                            params_key, smap, kernel_mode):
+    """Stack-native Thompson step: the advected-species stack goes in and
+    comes out in STACK order, so the interval loop's carry feeds the
+    scheme (and the scheme feeds advection) with zero restacking. The
+    prep/index/gather stages read the fields as zero-copy slices."""
+    params = ThompsonParams(**dict(params_key))
+    _, c = get_tables(params)
+    th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d = (
+        qstack[i] for i in smap)
+    dtype = qstack.dtype
+    P = _prep_block(th, qv1d, qc1d, qi1d, qr1d, qs1d, qg1d, ni1d, nr1d,
+                    exner, p1d, c, params)
+    I = _index_block(P, c)
+    use_kernel = kernel_mode is not None
+    G, stacks = _gather_all(tables, I, dtype, smalls=not use_kernel)
+    if use_kernel:
+        from ..ops.thompson_kernel import thompson_core_call
+        out_stack, pr, pi, ps, pg = thompson_core_call(
+            qstack, smap, exner, p1d, dzq, stacks, dt, params_key,
+            interpret=(kernel_mode == "interpret"))
+        return out_stack, pr, pi, ps, pg
+    O = _core_block(P, I["idx_i"], G, dt, c, params)
+    outs = _post_block(P, O, dzq, dt, c, params)
+    inv = [0] * 9
+    for pos, row in enumerate(smap):
+        inv[row] = pos
+    out_stack = jnp.stack([outs[inv[r]] for r in range(9)])
+    return (out_stack, outs[9][0], outs[10][0], outs[11][0], outs[12][0])
+
+
+def mp_thompson_stack(qstack, names, exner, p, dz, dt, rain, snow,
+                      graupel, params: ThompsonParams = None,
+                      use_pallas=True):
+    """One Thompson step on the advected-species stack (stack order given
+    by ``names``; must be exactly the 9 Thompson species — use
+    ``stack_smap`` to validate). Returns (out_stack, rain, snow,
+    graupel)."""
+    smap = stack_smap(tuple(names))
+    assert smap is not None
+    params = params or ThompsonParams()
+    tables = _prep_tables(params)
+    key = tuple(sorted(vars(params).items()))
+    out_stack, ppt_rain, ppt_ice, ppt_snow, ppt_graupel = \
+        _mp_thompson_stack_impl(
+            qstack, exner, p, dz, jnp.asarray(dt, qstack.dtype), tables,
+            key, smap, _kernel_mode(use_pallas))
+    rain = rain + ppt_rain + ppt_snow + ppt_graupel + ppt_ice
+    snow = snow + ppt_snow + ppt_ice
+    graupel = graupel + ppt_graupel
+    return out_stack, rain, snow, graupel
 
 
 def mp_thompson_aer(th, qv, qc, qi, qr, qs_, qg, ni, nr, nc, nwfa, nifa,

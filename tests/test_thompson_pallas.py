@@ -134,3 +134,66 @@ def test_kernel_disabled_off_tpu():
     jnp reference path (the kernel is TPU-only in production)."""
     assert mt._kernel_mode(True) is None
     assert mt._kernel_mode(False) is None
+
+
+def test_inert_tile_skip_matches_full(interpret_kernels):
+    """A fully dry, water-subsaturated, ice-subnucleation tile takes the
+    kernel's inert fast branch (ops/thompson_kernel.py tile activity
+    predicate); the jnp path computes the whole pipeline. They must
+    agree: the scheme's only actions on such cells are the qv >= 1e-7
+    driver floor, sub-R1 zeroing, and the th round-trip (1 ulp)."""
+    nz, ny, nx = 10, 5, 11
+    r = np.random.default_rng(11)
+    dz = np.full((nz, ny, nx), 400.0, np.float32)
+    z = np.cumsum(dz, axis=0) - 200.0
+    p = (1e5 * np.exp(-z / 8000.0)).astype(np.float32)
+    t = (285.0 - 0.0065 * z + r.uniform(-2, 2, (nz, ny, nx))).astype(
+        np.float32)
+    exner = ((p / 1e5) ** (287.04 / 1004.0)).astype(np.float32)
+    qvs = np.asarray(rslf(jnp.asarray(p), jnp.asarray(t)))
+    qv = (qvs * 0.3).astype(np.float32)
+    # a few cells below the 1e-7 driver floor exercise the floor branch
+    qv[0, 0, :3] = 3e-8
+    # sub-R1 hydrometeor traces must be zeroed by both paths
+    qtrace = np.where(r.uniform(size=(nz, ny, nx)) < 0.3, 5e-13,
+                      0.0).astype(np.float32)
+    f = jnp.asarray
+    c = dict(th=f(t / exner), qv=f(qv), qc=f(qtrace), qi=f(qtrace),
+             qr=f(qtrace), qs=f(qtrace), qg=f(qtrace),
+             ni=f(qtrace * 1e6), nr=f(qtrace * 1e6), exner=f(exner),
+             p=f(p), dz=f(dz))
+    got = _run(c, 45.0, use_pallas=True)
+    want = _run(c, 45.0, use_pallas=False)
+    for n, g, w in zip(_OUT_NAMES, got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=3e-7, atol=1e-30,
+            err_msg=f"inert-tile skip diverges on {n}")
+    # teeth: hydrometeors really were zeroed, qv really floored
+    assert float(jnp.max(jnp.abs(got[2]))) == 0.0
+    assert float(jnp.min(got[1])) >= 1e-7
+
+
+def test_ice_supersaturated_tile_goes_active(interpret_kernels):
+    """No hydrometeors and water-subsaturated, but cold with ice
+    supersaturation >= 25%: the nucleation trigger
+    (mp_thompson.f90:1906) must mark the tile active — both paths grow
+    cloud ice from vapor."""
+    nz, ny, nx = 6, 3, 7
+    dz = np.full((nz, ny, nx), 400.0, np.float32)
+    p = np.full((nz, ny, nx), 4e4, np.float32)
+    t = np.full((nz, ny, nx), 228.0, np.float32)
+    exner = ((p / 1e5) ** (287.04 / 1004.0)).astype(np.float32)
+    qvsi = np.asarray(mt.rsif(jnp.asarray(p), jnp.asarray(t)))
+    qv = (qvsi * 1.4).astype(np.float32)   # sati = 1.4, satw < 1
+    qvs = np.asarray(rslf(jnp.asarray(p), jnp.asarray(t)))
+    assert float((qv / qvs).max()) < 1.0
+    z = np.zeros((nz, ny, nx), np.float32)
+    f = jnp.asarray
+    c = dict(th=f(t / exner), qv=f(qv), qc=f(z), qi=f(z), qr=f(z),
+             qs=f(z), qg=f(z), ni=f(z), nr=f(z), exner=f(exner),
+             p=f(p), dz=f(dz))
+    got = _run(c, 45.0, use_pallas=True)
+    want = _run(c, 45.0, use_pallas=False)
+    assert float(jnp.max(got[3])) > 0.0, "kernel skipped ice nucleation"
+    for n, g, w in zip(_OUT_NAMES, got, want):
+        _assert_close(n, g, w)
