@@ -769,42 +769,55 @@ def _mpdata_kernel(dims_ref, scal_ref, floors_ref, qpad_ref, upad_ref,
         n = a.shape[1]
         return pltpu.roll(pltpu.roll(a, 1, 1), n - 1, 1)
 
-    winds = adv.CourantWinds(U, Vf, W)
-    q_prev = q0
-    q_new = adv.advect3d_upwind(q0, winds, None, dz, G, False,
-                                canon=canon)
-    # hold the domain boundary (the jnp path's interior-only update);
-    # ghost/pad cells also revert to their (finite, edge-replicated)
-    # window values
-    q_new = jnp.where(interior, q_new, q0)
-    Wn = W / dz
-    for _ in range(order - 1):
-        u2, v2, w2 = md._pseudo_velocities(q_new, U, Vf, Wn, G,
-                                           canon=canon)
-        u2 = u2 * 0.5
-        v2 = v2 * 0.5
-        w2 = w2 * 0.5 * dz
-        if use_fct:
-            u2 = md._fct_limit_axis(q_prev, q_new, u2, axis=-1,
-                                    is_w=False, no_limit_mask=x_edge,
+    def _advect(_):
+        winds = adv.CourantWinds(U, Vf, W)
+        q_prev = q0
+        q_new = adv.advect3d_upwind(q0, winds, None, dz, G, False,
                                     canon=canon)
-            v2 = md._fct_limit_axis(q_prev, q_new, v2, axis=-2,
-                                    is_w=False, no_limit_mask=y_edge,
-                                    canon=canon)
-            wf = md._fct_limit_axis(q_prev, q_new, w2[:-1] / dz[:-1],
-                                    axis=-3, is_w=True, canon=canon)
-            w2 = jnp.concatenate([wf * dz[:-1], jnp.zeros_like(w2[:1])],
-                                 axis=-3)
-        corr = adv.CourantWinds(u2, v2, w2)
-        q_prev = q_new
-        upd = adv.advect3d_upwind(q_new, corr, None, dz, G, False,
-                                  canon=canon)
-        q_new = jnp.where(interior, upd, q_new)
+        # hold the domain boundary (the jnp path's interior-only
+        # update); ghost/pad cells also revert to their (finite,
+        # edge-replicated) window values
+        q_new = jnp.where(interior, q_new, q0)
+        Wn = W / dz
+        for _i in range(order - 1):
+            u2, v2, w2 = md._pseudo_velocities(q_new, U, Vf, Wn, G,
+                                               canon=canon)
+            u2 = u2 * 0.5
+            v2 = v2 * 0.5
+            w2 = w2 * 0.5 * dz
+            if use_fct:
+                u2 = md._fct_limit_axis(q_prev, q_new, u2, axis=-1,
+                                        is_w=False, no_limit_mask=x_edge,
+                                        canon=canon)
+                v2 = md._fct_limit_axis(q_prev, q_new, v2, axis=-2,
+                                        is_w=False, no_limit_mask=y_edge,
+                                        canon=canon)
+                wf = md._fct_limit_axis(q_prev, q_new, w2[:-1] / dz[:-1],
+                                        axis=-3, is_w=True, canon=canon)
+                w2 = jnp.concatenate([wf * dz[:-1],
+                                      jnp.zeros_like(w2[:1])], axis=-3)
+            corr = adv.CourantWinds(u2, v2, w2)
+            q_prev = q_new
+            upd = adv.advect3d_upwind(q_new, corr, None, dz, G, False,
+                                      canon=canon)
+            q_new = jnp.where(interior, upd, q_new)
+        return q_new[:, 8:TY + 8, :]
+
+    def _zero(_):
+        return jnp.zeros_like(q0[:, 8:TY + 8, :])
+
+    # per-(species, tile) skip: if this species is zero over the WHOLE
+    # window (halo included, which covers the 3-cell stencil reach),
+    # advection of it is exactly zero — hydrometeor species are zero
+    # over most of a domain outside the orographic cloud plume.
+    # ~(max == 0) keeps NaN windows on the full path.
+    any_q = ~(jnp.max(jnp.abs(q0)) == 0.0)
+    q_out = jax.lax.cond(any_q, _advect, _zero, None)
 
     # fused near-end enforce_limits clamp (floors[s] = -inf when the
     # species is unlimited or near_end is 0 -> exact identity)
     fl = jnp.where(scal_ref[1] > 0, floors_ref[s], -jnp.inf)
-    out_ref[0] = jnp.maximum(q_new[:, 8:TY + 8, :], fl)
+    out_ref[0] = jnp.maximum(q_out, fl)
 
 
 def prepare_mpdata_operands(u, v, w, dx, jaco_u, jaco_v, jaco_w, dz,

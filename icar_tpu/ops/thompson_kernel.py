@@ -152,13 +152,14 @@ def _core_kernel(scal_ref, qstk_ref, exner_ref, p_ref, dz_ref,
     # every ref is read OUTSIDE the cond (the operand blocks are DMA'd
     # by the pallas pipeline either way; branch-local ref reads are the
     # part Mosaic/interpret handle unreliably)
+    f32 = jnp.float32
     G = {}
     for j, n in enumerate(mt._RACS_NAMES):
-        G[n] = racs_ref[j]
+        G[n] = racs_ref[j].astype(f32)
     for j, n in enumerate(mt._RACG_NAMES):
-        G[n] = racg_ref[j]
+        G[n] = racg_ref[j].astype(f32)
     for j, n in enumerate(mt._QRFZ_NAMES):
-        G[n] = qrfz_ref[j]
+        G[n] = qrfz_ref[j].astype(f32)
     tab_vals = [(ref[:], names, ka, kb)
                 for ref, (_, names, (ka, kb)) in zip(
                     (efrw_t_ref, efsw_t_ref, qcfz_t_ref, iaus_t_ref),
