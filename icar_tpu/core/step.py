@@ -96,7 +96,8 @@ def enforce_limits(state):
 
 
 def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
-                 physics_extra=None, natural_shapes=None, fast_path=None):
+                 physics_extra=None, natural_shapes=None, fast_path=None,
+                 mesh=None):
     """Build the jitted interval-step function.
 
     Returns ``step(state, dqdt, t0, end_time) -> (state, t, n_substeps)``
@@ -141,9 +142,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
     # tuples the stack through the limits lax.cond (~1 GB/substep of pure
     # copy traffic at 500^2 — measured via cost_analysis, commit history).
     from ..ops import pallas_kernels as pk
-    fast_capable = (
-        fast_path is not False
-        and natural_shapes is None and use_stack
+    fast_config = (
+        fast_path is not False and use_stack
         and phys.advection == C.ADV_UPWIND
         and phys.microphysics == C.MP_SIMPLE
         and phys.radiation == C.RA_NONE
@@ -157,7 +157,16 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         and pk.kernels_available()
         and sorted(adv_names) == ["cloud_water", "potential_temperature",
                                   "rain_mass", "snow_mass", "water_vapor"])
-    if fast_path is True and not fast_capable:
+    fast_capable = fast_config and natural_shapes is None
+    # the SHARDED fast path: same kernels per shard under shard_map with
+    # explicit 1-row halo ppermutes (the exchangeable_t semantics,
+    # exchangeable_obj.f90:138-356). Supported for y-decomposed meshes
+    # (x axis size 1) — the kernels tile rows; column decomposition
+    # falls back to the general GSPMD path.
+    fast_sharded_capable = (
+        fast_config and natural_shapes is not None and mesh is not None
+        and dict(mesh.shape).get("x", 1) == 1)
+    if fast_path is True and not (fast_capable or fast_sharded_capable):
         raise ValueError("fast_path requested but the configuration is "
                          "not fast-path capable")
     sin_lat = np.sin(np.asarray(geom.lat) * (np.pi / 180.0))
@@ -1280,11 +1289,203 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 state["precipitation"] - precip0) * rf
         return state, t, n
 
+    def fast_step_sharded(state, dqdt, t0, end_time, aux, gvals):
+        """The padded-stack fast interval under a y-decomposed mesh:
+        shard_map runs the SAME mp/advect kernels per shard, with the
+        species stack's 1-row halo exchanged by lax.ppermute every
+        substep before advection (post-microphysics values — exactly
+        what the single-device kernel window reads at those rows;
+        exchangeable_t semantics, exchangeable_obj.f90:138-356) and the
+        staggered v faces between shards fetched once per interval
+        (exchange_v, :164-232). Global-domain masks enter the kernels
+        via a per-shard row offset; the CFL dt is reduced globally
+        OUTSIDE the shard_map, so substep counts and per-cell arithmetic
+        are identical to the single-device fast path — bit-exact on
+        every natural cell (tests/test_fast_path_sharded.py)."""
+        import functools as _ft
+
+        from jax.sharding import PartitionSpec as PS
+        try:
+            from jax import shard_map as _sm
+            shard_map = _ft.partial(_sm, check_vma=False)
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map as _sme
+            shard_map = _ft.partial(_sme, check_rep=False)
+
+        from ..physics.mp_simple import (RAIN_FORMATION_TC,
+                                         SNOW_FORMATION_TC)
+
+        ny, nx = geom_np.ny, geom_np.nx
+        NYP, NXP = state["pressure"].shape[-2:]
+        my = dict(mesh.shape)["y"]
+        ny_l = NYP // my
+        ty = 16
+        ny_pad_l, P, R_l, front = pk.padded_geometry(ny_l, nx, ty)
+        species_idx = tuple(adv_names.index(k) for k in (
+            "potential_temperature", "water_vapor", "cloud_water",
+            "rain_mass", "snow_mass"))
+
+        sliced0 = _slice_natural(state)
+        nat = diagnostic_update(dict(sliced0), geom, full=False)
+        if "rain_frac" in aux:
+            precip0 = nat["precipitation"]
+        dt_static = quantized_dt(nat["u"], nat["v"], nat["w"])
+
+        # frame copies of any field the prologue diagnostics refreshed
+        state = dict(state)
+        for k, v in nat.items():
+            if sliced0.get(k) is not v:
+                state[k] = state[k].at[..., :v.shape[-2],
+                                       :v.shape[-1]].set(v)
+
+        qs_f = jnp.stack([state[k] for k in adv_names])
+        tends = None
+        if with_forcing and any(k in dqdt for k in adv_names):
+            zero = jnp.zeros_like(qs_f[0])
+            tends = jnp.stack([dqdt.get(k, zero) for k in adv_names])
+        gkeys = ("dz_interface", "advection_dz", "jacobian",
+                 "jacobian_u", "jacobian_v", "jacobian_w")
+        g_f = {k: gvals[k] for k in gkeys}
+
+        perm_up = [(i + 1, i) for i in range(my - 1)]
+        perm_dn = [(i, i + 1) for i in range(my - 1)]
+        floors_np = np.asarray(limit_floor_1d)
+        dx = geom_np.dx
+
+        def shard_body(qs_b, p_b, ex_b, u_b, v_b, w_b, g_b, tend_b):
+            row_off = jax.lax.axis_index("y") * ny_l
+            v_next = jax.lax.ppermute(v_b[:, :1], "y", perm_up)
+            jv_next = jax.lax.ppermute(g_b["jacobian_v"][:, :1], "y",
+                                       perm_up)
+            winds = pk.prepare_advect_winds_shard(
+                u_b, v_b, v_next, w_b, dx, g_b["jacobian_u"],
+                g_b["jacobian_v"], jv_next, g_b["jacobian_w"],
+                g_b["advection_dz"], g_b["jacobian"], row_off, ny, nx,
+                ty)
+
+            lane = jnp.arange(P)
+            rloc = jnp.arange(R_l)
+            growR = row_off + rloc - front
+            # valid = globally in-domain AND locally OWNED: ghost rows
+            # whose GLOBAL row is in-domain must still be masked, or the
+            # microphysics evolves their garbage (which eventually NaNs
+            # and poisons the kernel's tile-level reductions for the
+            # owned rows sharing the partial 8-row sublane block)
+            owned = (rloc >= front) & (rloc < front + ny_l)
+            vmask = ((owned & (growR >= 0) & (growR < ny))[:, None]
+                     & (lane < nx)[None, :]).astype(jnp.float32)
+
+            pad3 = lambda a: pk.pad_to_stack_layout(a[..., :nx], ny_l,
+                                                    nx, ty)
+            qpad = pad3(qs_b)
+            p_pad = pad3(p_b)
+            ex_pad = pad3(ex_b)
+            dzmp_pad = pad3(g_b["dz_interface"])
+            tend_pad = None
+            if tend_b is not None:
+                tend_pad = pad3(tend_b)
+                ring = (((growR == 0) | (growR == ny - 1))[:, None]
+                        | ((lane == 0) | (lane == nx - 1))[None, :])
+                bmask_pad = ring.astype(jnp.float32) * vmask
+
+            def cond(carry):
+                return carry[3] < end_time - 1e-3
+
+            def body(carry):
+                qpad, rain, snow, t, n = carry
+                dt = jnp.minimum(dt_static, end_time - t)
+                near_end = ((end_time - t) < dt * 2).astype(jnp.float32)
+                qpad, rain, snow = pk.mp_simple_padded(
+                    qpad, p_pad, ex_pad, dzmp_pad, rain, snow, vmask,
+                    dt, jnp.exp(-RAIN_FORMATION_TC * dt),
+                    jnp.exp(-SNOW_FORMATION_TC * dt), species_idx)
+                # post-microphysics 1-row halo exchange: the values the
+                # single-device kernel window reads at these rows
+                top = qpad[:, :, front, :]
+                bot = qpad[:, :, front + ny_l - 1, :]
+                gh_n = jax.lax.ppermute(bot, "y", perm_dn)
+                gh_s = jax.lax.ppermute(top, "y", perm_up)
+                qpad = qpad.at[:, :, front - 1, :].set(gh_n)
+                qpad = qpad.at[:, :, front + ny_l, :].set(gh_s)
+                qpad = pk.advect_upwind_padded(
+                    qpad, winds, dt, floors_np,
+                    near_end if tend_pad is None else jnp.float32(0.0),
+                    ny, nx, ty, row_off=row_off)
+                if tend_pad is not None:
+                    floor_b = jnp.where(near_end > 0,
+                                        jnp.asarray(limit_floor),
+                                        -jnp.inf)
+                    qpad = jnp.maximum(
+                        qpad + tend_pad * (dt * bmask_pad)[None, None],
+                        floor_b)
+                return qpad, rain, snow, t + dt, n + 1
+
+            rain0 = jnp.zeros((R_l, P), jnp.float32)
+            qpad, rain, snow, t, n = jax.lax.while_loop(
+                cond, body, (qpad, rain0, rain0, t0, jnp.int32(0)))
+
+            valid_b = (((row_off + jnp.arange(ny_l)) < ny)[:, None]
+                       & (jnp.arange(NXP) < nx)[None, :])
+            qs_out = jnp.where(valid_b,
+                               qpad[:, :, front:front + ny_l, :NXP],
+                               qs_b)
+            rain_d = jnp.where(valid_b,
+                               rain[front:front + ny_l, :NXP], 0.0)
+            snow_d = jnp.where(valid_b,
+                               snow[front:front + ny_l, :NXP], 0.0)
+            return qs_out, rain_d, snow_d, t, n
+
+        s3 = PS(None, "y", "x")
+        s4 = PS(None, None, "y", "x")
+        args = [qs_f, state["pressure"], state["exner"], state["u"],
+                state["v"], state["w"], g_f]
+        specs = [s4, s3, s3, s3, s3, s3, {k: s3 for k in gkeys}]
+        if tends is not None:
+            args.append(tends)
+            specs.append(s4)
+            fn = shard_body
+        else:
+            def fn(qs_b, p_b, ex_b, u_b, v_b, w_b, g_b):
+                return shard_body(qs_b, p_b, ex_b, u_b, v_b, w_b, g_b,
+                                  None)
+        qs_new, rain_d, snow_d, t, n = shard_map(
+            fn, mesh=mesh, in_specs=tuple(specs),
+            out_specs=(s4, PS("y", "x"), PS("y", "x"), PS(), PS()))(*args)
+
+        state = dict(state)
+        for i, k in enumerate(adv_names):
+            state[k] = qs_new[i]
+        pdt = state["precipitation"].dtype
+        state["precipitation"] = (state["precipitation"]
+                                  + rain_d.astype(pdt))
+        state["snowfall"] = (state["snowfall"]
+                             + snow_d.astype(state["snowfall"].dtype))
+
+        sliced2 = _slice_natural(state)
+        nat2 = diagnostic_update(dict(sliced2), geom, full=True)
+        if "rain_frac" in aux:
+            p = nat2["precipitation"]
+            rf = aux["rain_frac"][..., :p.shape[-2],
+                                  :p.shape[-1]].astype(p.dtype)
+            nat2["precipitation"] = precip0 + (p - precip0) * rf
+        # write back only what the epilogue diagnostics actually changed
+        # (the advected fields/precip already live in the frame)
+        state = dict(state)
+        for k, v in nat2.items():
+            if sliced2.get(k) is not v:
+                state[k] = state[k].at[..., :v.shape[-2],
+                                       :v.shape[-1]].set(v)
+        return state, t, n
+
     def step(state, dqdt, t0, end_time, aux, gvals):
         _bind_geometry(gvals)
         if fast_capable and (not with_forcing
                              or set(dqdt) <= set(adv_names)):
             return fast_step(state, dqdt, t0, end_time, aux)
+        if fast_sharded_capable and (not with_forcing
+                                     or set(dqdt) <= set(adv_names)):
+            return fast_step_sharded(state, dqdt, t0, end_time, aux,
+                                     gvals)
         if natural_shapes is not None:
             state_padded = state
             state = _slice_natural(state)

@@ -87,7 +87,8 @@ class ICARModel:
         self._step_fn = make_step_fn(self.options, self.geom,
                                      self.advect_names, self._with_forcing,
                                      self._physics_extra,
-                                     natural_shapes=self._natural_shapes)
+                                     natural_shapes=self._natural_shapes,
+                                     mesh=self.mesh)
 
     def attach_mesh(self, mesh):
         """Shard the model over a device mesh. All fields move into the

@@ -205,7 +205,12 @@ def _advect_kernel(dims_ref, scal_ref, floor_ref, qpad_ref, vpad_ref,
 
     ny_real = dims_ref[0]
     nx_real = dims_ref[1]
-    gidx = i * TY + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1)
+    # dims_ref[2] = this shard's global row offset (0 unsharded): the
+    # interior masks are GLOBAL-domain masks, so rows at a shard
+    # boundary update like interior rows (their halo row arrives by
+    # ppermute each substep, core/step.py fast_step_sharded)
+    gidx = (dims_ref[2] + i * TY
+            + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1))
     interior_y = (gidx >= 1) & (gidx <= ny_real - 2)
     # x runs over the 128-aligned padded width; mask the boundary columns
     # AND the pad lanes
@@ -243,9 +248,11 @@ def _advect_kernel(dims_ref, scal_ref, floor_ref, qpad_ref, vpad_ref,
 
 
 def _advect_call(qpad, vpad, up, wp, dzp, jacop, dt, floors, near_end,
-                 ny, nx, ty):
+                 ny, nx, ty, row_off=0):
     """Invoke the advect kernel on padded-layout operands; returns the
-    padded-layout result (ghost blocks unwritten/garbage by design)."""
+    padded-layout result (ghost blocks unwritten/garbage by design).
+    ``row_off``: global row of this operand's first data row (nonzero
+    for per-shard execution under shard_map)."""
     S, nz, R, P = qpad.shape
     ny_pad = R - 2 * ty
     if floors is None:
@@ -275,8 +282,9 @@ def _advect_call(qpad, vpad, up, wp, dzp, jacop, dt, floors, near_end,
         scratch_shapes=[pltpu.VMEM((nz, ty + 16, P), qpad.dtype),
                         pltpu.VMEM((nz, ty + 16, P), qpad.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
-    )(jnp.asarray([ny, nx], jnp.int32), scal, jnp.asarray(floors), qpad,
-      vpad, up, wp, dzp, jacop)
+    )(jnp.stack([jnp.asarray(ny, jnp.int32), jnp.asarray(nx, jnp.int32),
+                 jnp.asarray(row_off, jnp.int32)]),
+      scal, jnp.asarray(floors), qpad, vpad, up, wp, dzp, jacop)
 
 
 def prepare_advect_winds(u, v, w, dx, jaco_u, jaco_v, jaco_w, dz, jaco,
@@ -307,13 +315,60 @@ def prepare_advect_winds(u, v, w, dx, jaco_u, jaco_v, jaco_w, dz, jaco,
     return vpad, up, wp, dzp, jacop
 
 
+def prepare_advect_winds_shard(u_b, v_b, v_next, w_b, dx, jaco_u_b,
+                               jaco_v_b, jv_next, jaco_w_b, dz_b,
+                               jaco_b, row_off, ny: int, nx: int,
+                               ty: int = 16):
+    """Per-shard advect-kernel wind/metric operands for the shard_map
+    fast path (core/step.py fast_step_sharded). Blocks are this shard's
+    rows of the padded global frame (cols may exceed nx; sliced here);
+    ``v_next``/``jv_next`` are the NEXT shard's first v/jacobian_v rows
+    (one ppermute per interval — the staggered faces between shards).
+    ``row_off`` is the shard's global first row (traced). Semantics are
+    identical to prepare_advect_winds evaluated on the global arrays and
+    sliced to this shard's rows: ghost/out-of-domain faces and rows are
+    zeroed by GLOBAL-index masks."""
+    nz, ny_l, _ = w_b.shape
+    ny_pad, P, R, front = padded_geometry(ny_l, nx, ty)
+    grow = row_off + jnp.arange(ny_l)
+    rmask = (grow < ny)[None, :, None]
+
+    def colpad(a, w, mode="constant"):
+        return jnp.pad(a, ((0, 0), (0, ny_pad - a.shape[1]),
+                           (0, w - a.shape[2])), mode=mode)
+
+    up = colpad(jnp.where(rmask, u_b[:, :, 1:nx] * jaco_u_b[:, :, 1:nx]
+                          * (1.0 / dx), 0.0), P - 1)
+    wp = colpad(jnp.where(rmask, w_b[:, :, :nx] * jaco_w_b[:, :, :nx],
+                          0.0), P)
+    # dz/jaco edge-pad so masked pad lanes never divide by zero
+    dzp = colpad(dz_b[:, :, :nx], P, mode="edge")
+    jacop = colpad(jaco_b[:, :, :nx], P, mode="edge")
+
+    # internal y faces: face j of this shard = global face row_off + j =
+    # v[row_off + j] (between global rows row_off+j-1 and row_off+j);
+    # the kernel reads vpad[front + g] as the face ABOVE data row g,
+    # i.e. global face row_off+g+1 -> place faces at rows front-1..
+    faces = jnp.concatenate([v_b[:, :, :nx], v_next[:, :, :nx]], axis=1)
+    jfaces = jnp.concatenate([jaco_v_b[:, :, :nx], jv_next[:, :, :nx]],
+                             axis=1)
+    gface = row_off + jnp.arange(ny_l + 1)
+    fmask = ((gface >= 1) & (gface <= ny - 1))[None, :, None]
+    VJ = jnp.where(fmask, faces * jfaces * (1.0 / dx), 0.0)
+    vpad = jnp.zeros((nz, R, P), v_b.dtype)
+    vpad = jax.lax.dynamic_update_slice(
+        vpad, jnp.pad(VJ, ((0, 0), (0, 0), (0, P - nx))),
+        (0, front - 1, 0))
+    return vpad, up, wp, dzp, jacop
+
+
 def advect_upwind_padded(qpad, winds_padded, dt, floors, near_end,
-                         ny: int, nx: int, ty: int = 16):
+                         ny: int, nx: int, ty: int = 16, row_off=0):
     """Fast-path advection: stack already in padded layout; output stays in
     padded layout (carried across the interval loop by core/step.py)."""
     vpad, up, wp, dzp, jacop = winds_padded
     return _advect_call(qpad, vpad, up, wp, dzp, jacop, dt, floors,
-                        near_end, ny, nx, ty)
+                        near_end, ny, nx, ty, row_off=row_off)
 
 
 def advect_upwind_tpu(stacked_q, u, v, w, dx, jaco_u, jaco_v, jaco_w,
