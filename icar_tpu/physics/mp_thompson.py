@@ -1096,7 +1096,13 @@ def _core_block(P, idx_i, G, DT, c, pp, tnc_wev_flat=None,
 
     # ---- conservation scalings (mp_thompson.f90:2016-2105) -------------
     sump = pri_inu + pri_ide + prs_ide + prs_sde + prg_gde
-    rate_max = (qv - qvsi) * rho * odts * 0.999
+    # NOTE reference quirk preserved: this conservation cap OMITS rho
+    # (mp_thompson.f90:2022, `(qv-qvsi)*odts*0.999`) even though sump is
+    # density-weighted and the per-process caps above include rho
+    # (:1791) — inconsistent units in the reference, reproduced exactly.
+    # (Caught by the cold transcription oracle: with rho included, the
+    # sublimation limiter engaged at the wrong threshold off-surface.)
+    rate_max = (qv - qvsi) * odts * 0.999
     need = ((sump > EPS) & (sump > rate_max)) \
         | ((sump < -EPS) & (sump < rate_max))
     rat = jnp.where(need, rate_max / jnp.where(sump == 0, 1.0, sump), 1.0)
