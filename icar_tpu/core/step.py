@@ -1216,7 +1216,11 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         state = diagnostic_update(state, geom, full=False)
         dt_static = quantized_dt(state["u"], state["v"], state["w"])
 
-        pad3 = lambda a: pk.pad_to_stack_layout(a, ny, nx, ty)
+        # constant pads: the kernels mask every ghost/pad cell, and an
+        # edge-mode jnp.pad of the stack lowers to a pad+concat+DUS
+        # chain (~0.45 GB of entry traffic at 500^2)
+        pad3 = lambda a: pk.pad_to_stack_layout(a, ny, nx, ty,
+                                                mode="constant")
         qpad = pad3(jnp.stack([state[k] for k in adv_names]))
         p_pad = pad3(state["pressure"])
         exner_pad = pad3(state["exner"])
@@ -1376,7 +1380,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                      & (lane < nx)[None, :]).astype(jnp.float32)
 
             pad3 = lambda a: pk.pad_to_stack_layout(a[..., :nx], ny_l,
-                                                    nx, ty)
+                                                    nx, ty,
+                                                    mode="constant")
             qpad = pad3(qs_b)
             p_pad = pad3(p_b)
             ex_pad = pad3(ex_b)
@@ -1646,9 +1651,13 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                      .set(v) for k, v in state.items()}
         return state, t, n
 
-    # NOTE: donating the state argument (donate_argnums=(0,)) was tried
-    # and reverted: on the tunneled axon backend, block_until_ready on
-    # EVERY output of a donated program returns before execution
-    # completes (readiness tracking bug), which silently breaks all
-    # wall-clock measurement. Revisit on a backend with sane donation.
-    return jax.jit(step)
+    # The state argument is DONATED: without donation the program entry
+    # defensively copies every carried buffer (~2.5 GB of async copies
+    # at 500^2 — most of the measured ~35 ms per-interval overhead).
+    # Caveat (round-3 finding, re-validated round 4): under donation the
+    # tunneled axon backend marks outputs "ready" before execution
+    # completes, so block_until_ready is NOT a valid sync — all timing
+    # must synchronize via a D2H VALUE fetch (bench.py and
+    # model.last_n_substeps already do; the fetch cannot fabricate
+    # data, so it genuinely waits).
+    return jax.jit(step, donate_argnums=(0,))

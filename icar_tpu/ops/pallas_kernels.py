@@ -682,7 +682,7 @@ def stack_valid_mask(ny: int, nx: int, ty: int = 16):
 
 def mp_simple_padded(qpad, p_pad, exner_pad, dz_pad, rain_pad,
                      snow_pad, valid_mask, dt, cloud2rain, cloud2snow,
-                     species_idx, tr: int = 8, tc: int = 512):
+                     species_idx, tr: int = 16, tc: int = 512):
     """SB04 on the padded stack. qpad (S, nz, R, P); p/exner/dz_pad
     (nz, R, P); rain/snow_pad (R, P) f32 interval accumulators;
     valid_mask from stack_valid_mask; species_idx = (ith, iqv, iqc, iqr,
@@ -697,7 +697,12 @@ def mp_simple_padded(qpad, p_pad, exner_pad, dz_pad, rain_pad,
     # widest lane tile that divides P and keeps the kernel's ~60 live
     # (nz, tr, tc) temporaries PLUS the double-buffered stack blocks
     # inside the 16 MB scoped-VMEM stack ((20, 8, 512) measured 16.13 MB
-    # — 132 KB over; (20, 8, 256) comfortably fits)
+    # — 132 KB over; (20, 8, 256) comfortably fits). The tr=16/tc=128
+    # default measured 0.9 ms/substep FASTER than tr=8/tc=384 at 500^2
+    # on real post-spinup state (bit-identical output): 16x128 blocks
+    # map exactly onto (8,128) vregs and the smaller tiles exit the
+    # saturation sweep loop earlier (per-tile convergence is a max over
+    # the tile's cells).
     budget = 20 * 8 * 384
     cands = [c for c in (512, 384, 256, 128)
              if c <= P and P % c == 0 and nz * tr * c <= budget]
