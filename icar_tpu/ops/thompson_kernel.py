@@ -212,7 +212,7 @@ _FIELD_ORDER = ("th", "qv", "qc", "qi", "qr", "qs", "qg", "ni", "nr")
 
 def thompson_core_call(qstack, smap, exner, p, dz,
                        stacks, dt, params_key, interpret=False,
-                       tc: int = 256):
+                       tc: int = 128):
     """Invoke the fused core+post kernel on the advected-species stack
     ``qstack`` (9, nz, ny, nx); ``smap`` is the static tuple mapping the
     scheme's (th, qv, qc, qi, qr, qs, qg, ni, nr) order to stack rows.
@@ -244,9 +244,13 @@ def thompson_core_call(qstack, smap, exner, p, dz,
 
     kernel = functools.partial(_core_kernel, params_key=params_key,
                                smap=tuple(smap), m_total=M)
+    # tc=128 measured ~24 ms/substep FASTER than tc=256 at 500^2 on real
+    # post-spinup state (38 vs 62 ms incl. gathers): (nz, 128) tiles are
+    # single-vreg-wide, and finer tiles both schedule better and skip
+    # more often (the inert-tile predicate is a max over the tile).
     # the body holds a few hundred live (nz, tc) temporaries; the default
-    # 16 MB scoped-VMEM budget is too small at tc=256 (the core alone
-    # measured 35.4 MB) — raise it (v5e has 128 MB of VMEM; leaving
+    # 16 MB scoped-VMEM budget is too small (the core alone measured
+    # 35.4 MB at tc=256) — raise it (v5e has 128 MB of VMEM; leaving
     # headroom for the double-buffered operand blocks)
     params = {}
     if not interpret:
