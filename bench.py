@@ -71,12 +71,11 @@ def build_model(config: str, nx, ny, nz):
             # (parameter-validated, lt_lut_io.f90 semantics)
             o.lt.read_lut = o.lt.write_lut = True
             o.lt.lut_filename = "/tmp/icar_bench_lut.npz"
-            # bf16 table storage (f32 accumulation in the lookup):
-            # halves the intrinsic one-pass table stream per wind update
-            # and doubles the admissible table size per budget —
-            # quantization validated against the analytic oracle and the
-            # sharded-equivalence tests (tests/test_linear_winds.py)
-            o.lt.lut_dtype = "bfloat16"
+            # NOTE: lut_dtype='bfloat16' halves the footprint (a
+            # capacity lever, tests/test_linear_winds.py) but MEASURED
+            # SLOWER here (13.1M vs 16M+): the per-entry bf16->f32
+            # conversion inside the streaming lax.scan lookup outweighs
+            # the halved table bytes. The bench keeps f32 storage.
         return ideal_ridge_model(mp=C.MP_SIMPLE, windtype=C.WIND_LINEAR,
                                  options_cb=lut_cb, **common)
     if config == "fullphys":

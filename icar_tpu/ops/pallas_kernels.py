@@ -381,7 +381,9 @@ def advect_upwind_tpu(stacked_q, u, v, w, dx, jaco_u, jaco_v, jaco_w,
     metric-scaled here (loop-invariant, hoisted by XLA) with the dt factor
     applied inside the kernel. Density advection not supported (rho=1)."""
     S, nz, ny, nx = stacked_q.shape
-    qpad = pad_to_stack_layout(stacked_q, ny, nx, ty)
+    # constant pad: the kernel masks ghost/pad cells (interior masks +
+    # zero ghost winds); edge mode lowers to a pad+concat+DUS chain
+    qpad = pad_to_stack_layout(stacked_q, ny, nx, ty, mode="constant")
     winds = prepare_advect_winds(u, v, w, dx, jaco_u, jaco_v, jaco_w,
                                  dz, jaco, ny, nx, ty)
     out = _advect_call(qpad, *winds, dt, floors, near_end, ny, nx, ty)
