@@ -145,19 +145,23 @@ saturation_adjust_available = kernels_available
 # the single source of truth for the layout.
 
 
-def padded_geometry(ny: int, nx: int, ty: int = 16):
+def padded_geometry(ny: int, nx: int, ty: int = 16, gx: int = 0):
     """(ny_pad, P, R, FRONT) for the padded stack layout. Data rows live at
-    padded rows [FRONT, FRONT+ny); data cols at [0, nx)."""
+    padded rows [FRONT, FRONT+ny); data cols at [gx, gx+nx). ``gx`` > 0
+    reserves ghost LANES on both sides of the data columns (per-shard
+    x-halo for x-decomposed meshes; the single-device layout uses 0)."""
     ny_pad = pl.cdiv(ny, ty) * ty
-    P = pl.cdiv(nx, 128) * 128
+    P = pl.cdiv(nx + 2 * gx, 128) * 128
     return ny_pad, P, ny_pad + 2 * ty, ty
 
 
-def pad_to_stack_layout(a, ny: int, nx: int, ty: int = 16, mode="edge"):
+def pad_to_stack_layout(a, ny: int, nx: int, ty: int = 16, mode="edge",
+                        gx: int = 0):
     """Pad the trailing (ny, nx) dims of ``a`` into the (R, P) frame."""
-    ny_pad, P, R, front = padded_geometry(ny, nx, ty)
+    ny_pad, P, R, front = padded_geometry(ny, nx, ty, gx)
     return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
-                   + ((front, R - front - ny), (0, P - nx)), mode=mode)
+                   + ((front, R - front - ny), (gx, P - nx - gx)),
+                   mode=mode)
 
 
 def _advect_kernel(dims_ref, scal_ref, floor_ref, qpad_ref, vpad_ref,
@@ -213,9 +217,14 @@ def _advect_kernel(dims_ref, scal_ref, floor_ref, qpad_ref, vpad_ref,
             + jax.lax.broadcasted_iota(jnp.int32, (1, TY, 1), 1))
     interior_y = (gidx >= 1) & (gidx <= ny_real - 2)
     # x runs over the 128-aligned padded width; mask the boundary columns
-    # AND the pad lanes
+    # AND the pad lanes. dims_ref[3]/[4] = this shard's global column
+    # offset and the ghost-lane origin gx (both 0 unsharded): global col
+    # of lane l is col_off + l - gx, so columns at an x-shard boundary
+    # update like interior columns (their halo lane arrives by ppermute
+    # each substep, core/step.py fast_step_sharded)
     P = out_ref.shape[3]
-    xidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2)
+    xidx = (dims_ref[3] - dims_ref[4]
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2))
     interior_x = (xidx >= 1) & (xidx <= nx_real - 2)
 
     def flux(l, r, c):
@@ -248,11 +257,12 @@ def _advect_kernel(dims_ref, scal_ref, floor_ref, qpad_ref, vpad_ref,
 
 
 def _advect_call(qpad, vpad, up, wp, dzp, jacop, dt, floors, near_end,
-                 ny, nx, ty, row_off=0):
+                 ny, nx, ty, row_off=0, col_off=0, gx=0):
     """Invoke the advect kernel on padded-layout operands; returns the
     padded-layout result (ghost blocks unwritten/garbage by design).
-    ``row_off``: global row of this operand's first data row (nonzero
-    for per-shard execution under shard_map)."""
+    ``row_off``/``col_off``: global row/col of this operand's first data
+    row/lane (nonzero for per-shard execution under shard_map); ``gx`` =
+    ghost-lane origin of the data columns (padded_geometry)."""
     S, nz, R, P = qpad.shape
     ny_pad = R - 2 * ty
     if floors is None:
@@ -283,7 +293,9 @@ def _advect_call(qpad, vpad, up, wp, dzp, jacop, dt, floors, near_end,
                         pltpu.VMEM((nz, ty + 16, P), qpad.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
     )(jnp.stack([jnp.asarray(ny, jnp.int32), jnp.asarray(nx, jnp.int32),
-                 jnp.asarray(row_off, jnp.int32)]),
+                 jnp.asarray(row_off, jnp.int32),
+                 jnp.asarray(col_off, jnp.int32),
+                 jnp.asarray(gx, jnp.int32)]),
       scal, jnp.asarray(floors), qpad, vpad, up, wp, dzp, jacop)
 
 
@@ -315,60 +327,76 @@ def prepare_advect_winds(u, v, w, dx, jaco_u, jaco_v, jaco_w, dz, jaco,
     return vpad, up, wp, dzp, jacop
 
 
-def prepare_advect_winds_shard(u_b, v_b, v_next, w_b, dx, jaco_u_b,
-                               jaco_v_b, jv_next, jaco_w_b, dz_b,
-                               jaco_b, row_off, ny: int, nx: int,
-                               ty: int = 16):
+def prepare_advect_winds_shard(u_b, u_next, v_b, v_next, w_b, dx,
+                               jaco_u_b, ju_next, jaco_v_b, jv_next,
+                               jaco_w_b, dz_b, jaco_b, row_off, col_off,
+                               ny: int, nx: int, ty: int = 16,
+                               gx: int = 1):
     """Per-shard advect-kernel wind/metric operands for the shard_map
-    fast path (core/step.py fast_step_sharded). Blocks are this shard's
-    rows of the padded global frame (cols may exceed nx; sliced here);
-    ``v_next``/``jv_next`` are the NEXT shard's first v/jacobian_v rows
-    (one ppermute per interval — the staggered faces between shards).
-    ``row_off`` is the shard's global first row (traced). Semantics are
-    identical to prepare_advect_winds evaluated on the global arrays and
-    sliced to this shard's rows: ghost/out-of-domain faces and rows are
-    zeroed by GLOBAL-index masks."""
-    nz, ny_l, _ = w_b.shape
-    ny_pad, P, R, front = padded_geometry(ny_l, nx, ty)
+    fast path (core/step.py fast_step_sharded), generalized to 2D
+    (y AND x decomposed) meshes. Blocks are this shard's (rows, cols)
+    of the padded global frame; ``v_next``/``jv_next`` are the NEXT
+    y-shard's first v/jacobian_v rows and ``u_next``/``ju_next`` the
+    NEXT x-shard's first u/jacobian_u columns (one ppermute each per
+    interval — the staggered faces between shards, exchange_u/v
+    semantics of exchangeable_obj.f90:164-232). ``row_off``/``col_off``
+    are the shard's global first row/col (traced); data lanes sit at
+    [gx, gx+nx_l) of the P-lane frame (the ghost lanes carry the
+    per-substep x halos). Semantics are identical to
+    prepare_advect_winds evaluated on the global arrays and sliced to
+    this shard: ghost/out-of-domain faces, rows and lanes are zeroed by
+    GLOBAL-index masks."""
+    nz, ny_l, nx_l = w_b.shape
+    ny_pad, P, R, front = padded_geometry(ny_l, nx_l, ty, gx)
     grow = row_off + jnp.arange(ny_l)
     rmask = (grow < ny)[None, :, None]
+    gcol = col_off + jnp.arange(nx_l)
+    cmask = (gcol < nx)[None, None, :]
 
-    def colpad(a, w, mode="constant"):
+    def place(a, lane0, w, mode="constant"):
+        """Rows padded to ny_pad; lanes placed at [lane0, lane0+width)."""
         return jnp.pad(a, ((0, 0), (0, ny_pad - a.shape[1]),
-                           (0, w - a.shape[2])), mode=mode)
+                           (lane0, w - a.shape[2] - lane0)), mode=mode)
 
-    up = colpad(jnp.where(rmask, u_b[:, :, 1:nx] * jaco_u_b[:, :, 1:nx]
-                          * (1.0 / dx), 0.0), P - 1)
-    wp = colpad(jnp.where(rmask, w_b[:, :, :nx] * jaco_w_b[:, :, :nx],
-                          0.0), P)
-    # dz/jaco edge-pad so masked pad lanes never divide by zero
-    dzp = colpad(dz_b[:, :, :nx], P, mode="edge")
-    jacop = colpad(jaco_b[:, :, :nx], P, mode="edge")
+    # internal x faces: kernel face lane j sits between data lanes j and
+    # j+1 = global face col_off + j + 1 - gx; with gx=1 that is
+    # u_cat[:, :, j] (u_cat col c = global u face col_off + c)
+    u_cat = jnp.concatenate([u_b, u_next], axis=2)[:, :, :nx_l + 1]
+    ju_cat = jnp.concatenate([jaco_u_b, ju_next], axis=2)[:, :, :nx_l + 1]
+    gface_x = col_off + jnp.arange(nx_l + 1) + 1 - gx
+    fxmask = ((gface_x >= 1) & (gface_x <= nx - 1))[None, None, :]
+    U = jnp.where(fxmask & rmask, u_cat * ju_cat * (1.0 / dx), 0.0)
+    up = place(U, 0, P - 1)
+    wp = place(jnp.where(rmask & cmask, w_b * jaco_w_b, 0.0), gx, P)
+    # dz/jaco edge-pad so masked ghost/pad lanes never divide by zero
+    dzp = place(dz_b, gx, P, mode="edge")
+    jacop = place(jaco_b, gx, P, mode="edge")
 
     # internal y faces: face j of this shard = global face row_off + j =
     # v[row_off + j] (between global rows row_off+j-1 and row_off+j);
     # the kernel reads vpad[front + g] as the face ABOVE data row g,
     # i.e. global face row_off+g+1 -> place faces at rows front-1..
-    faces = jnp.concatenate([v_b[:, :, :nx], v_next[:, :, :nx]], axis=1)
-    jfaces = jnp.concatenate([jaco_v_b[:, :, :nx], jv_next[:, :, :nx]],
-                             axis=1)
+    faces = jnp.concatenate([v_b, v_next], axis=1)
+    jfaces = jnp.concatenate([jaco_v_b, jv_next], axis=1)
     gface = row_off + jnp.arange(ny_l + 1)
     fmask = ((gface >= 1) & (gface <= ny - 1))[None, :, None]
-    VJ = jnp.where(fmask, faces * jfaces * (1.0 / dx), 0.0)
+    VJ = jnp.where(fmask & cmask, faces * jfaces * (1.0 / dx), 0.0)
     vpad = jnp.zeros((nz, R, P), v_b.dtype)
     vpad = jax.lax.dynamic_update_slice(
-        vpad, jnp.pad(VJ, ((0, 0), (0, 0), (0, P - nx))),
+        vpad, jnp.pad(VJ, ((0, 0), (0, 0), (gx, P - nx_l - gx))),
         (0, front - 1, 0))
     return vpad, up, wp, dzp, jacop
 
 
 def advect_upwind_padded(qpad, winds_padded, dt, floors, near_end,
-                         ny: int, nx: int, ty: int = 16, row_off=0):
+                         ny: int, nx: int, ty: int = 16, row_off=0,
+                         col_off=0, gx=0):
     """Fast-path advection: stack already in padded layout; output stays in
     padded layout (carried across the interval loop by core/step.py)."""
     vpad, up, wp, dzp, jacop = winds_padded
     return _advect_call(qpad, vpad, up, wp, dzp, jacop, dt, floors,
-                        near_end, ny, nx, ty, row_off=row_off)
+                        near_end, ny, nx, ty, row_off=row_off,
+                        col_off=col_off, gx=gx)
 
 
 def advect_upwind_tpu(stacked_q, u, v, w, dx, jaco_u, jaco_v, jaco_w,
@@ -786,7 +814,11 @@ def _mpdata_kernel(dims_ref, scal_ref, floors_ref, qpad_ref, upad_ref,
     ny_real = dims_ref[0]
     nx_real = dims_ref[1]
 
-    gidx_w = (i * TY - 8
+    # dims_ref[2] = this shard's global row offset (0 unsharded): masks
+    # and the edge replication below are GLOBAL-domain, so rows at a
+    # shard boundary behave like interior rows (their 8-row halo window
+    # holds real neighbor data, exchanged by the caller)
+    gidx_w = (dims_ref[2] + i * TY - 8
               + jax.lax.broadcasted_iota(jnp.int32, (1, rows, 1), 1))
     xidx_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2)
     # the species stack arrives CONSTANT-padded (an edge-mode jnp.pad of
@@ -962,6 +994,102 @@ def advect_mpdata_tpu(stacked_q, u, v, w, dx, jaco_u, jaco_v, jaco_w,
                         pltpu.VMEM((nz, ty + 16, P), stacked_q.dtype),
                         pltpu.VMEM((nz, ty + 16, P), stacked_q.dtype),
                         pltpu.SemaphoreType.DMA((6,))],
-    )(jnp.asarray([ny, nx], jnp.int32), scal, floors_v, qpad, up, vp, wp,
-      dzp, jacop)
+    )(jnp.asarray([ny, nx, 0], jnp.int32), scal, floors_v, qpad, up, vp,
+      wp, dzp, jacop)
     return out[:, :, front:front + ny, :nx]
+
+
+def prepare_mpdata_operands_shard(u_e, v_e, w_e, dz_e, jaco_e, ju_e,
+                                  jv_e, jw_e, dx, row_off, ny: int,
+                                  nx: int, ty: int = 16, h: int = 8):
+    """Ghost-frame MPDATA operands from h-row halo-EXTENDED shard blocks
+    (rows [row_off-h, row_off+ny_l+h) of the global frame; the caller
+    exchanges the halos by ppermute — parallel/shard_kernels). Winds at
+    out-of-domain rows are zeroed by GLOBAL-row masks (matching the
+    unsharded constant ghost pads); dz/jacobian frame cells outside the
+    placed band hold benign nonzero constants so no window division can
+    NaN."""
+    nz, nye, nxl = w_e.shape
+    ny_l = nye - 2 * h
+    ny_pad, P, R, front = padded_geometry(ny_l, nxl, ty)
+    growE = row_off - h + jnp.arange(nye)
+    rmask = ((growE >= 0) & (growE < ny))[None, :, None]
+    # out-of-domain extension rows arrive as ppermute ZEROS on the edge
+    # shards (no neighbor to receive from): dz/jacobian divide inside
+    # the kernel's pseudo-velocity math (0/0 -> NaN within the window),
+    # so hold benign nonzero values there — winds are zeroed at those
+    # rows, so no result can depend on them
+    dz_e = jnp.where(rmask, dz_e, 500.0)
+    jaco_e = jnp.where(rmask, jaco_e, 1.0)
+
+    def frame(vals, fill=0.0):
+        """Place (nz, nye, width<=P) rows at frame rows [front-h, ...)."""
+        w_ = vals.shape[2]
+        buf = jnp.full((nz, R, P), jnp.asarray(fill, vals.dtype))
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, P - w_)),
+                       mode="constant",
+                       constant_values=(0.0 if fill == 0.0 else fill))
+        return jax.lax.dynamic_update_slice(buf, vals, (0, front - h, 0))
+
+    up = frame(jnp.where(rmask, u_e[:, :, 1:nx] * ju_e[:, :, 1:nx]
+                         * (1.0 / dx), 0.0))
+    wp = frame(jnp.where(rmask, w_e * jw_e, 0.0))
+    dzp = frame(dz_e, fill=500.0)
+    jacop = frame(jaco_e, fill=1.0)
+    # y faces: vpad[front+g] = global face row_off+g+1 (internal iff
+    # 1 <= face <= ny-1) = extended-v row g+1+h; the one face beyond the
+    # extension (g = ny_l+h-1) lies >= h-1 rows outside the data rows —
+    # beyond the kernel's stencil reach — and stays zero
+    gfaceE = row_off - h + 1 + jnp.arange(nye - 1)
+    fmask = ((gfaceE >= 1) & (gfaceE <= ny - 1))[None, :, None]
+    VJ = jnp.where(fmask, v_e[:, 1:] * jv_e[:, 1:] * (1.0 / dx), 0.0)
+    vp = frame(VJ)
+    return up, vp, wp, dzp, jacop
+
+
+def advect_mpdata_padded(q_e, ops, dt, order: int, use_fct: bool,
+                         floors, near_end, ny: int, nx: int,
+                         row_off=0, h: int = 8, ty: int = 16):
+    """Invoke the MPDATA kernel on an h-row halo-extended shard block
+    ``q_e`` (S, nz, ny_l+2h, nx_l) with the ghost-frame operands from
+    prepare_mpdata_operands_shard. Returns the (S, nz, ny_l, nx_l)
+    natural shard block."""
+    assert order <= 3, "MPDATA kernel halo supports order <= 3"
+    S, nz, nye, nxl = q_e.shape
+    ny_l = nye - 2 * h
+    ny_pad, P, R, front = padded_geometry(ny_l, nxl, ty)
+    qpad = jnp.zeros((S, nz, R, P), q_e.dtype)
+    qpad = jax.lax.dynamic_update_slice(
+        qpad, jnp.pad(q_e, ((0, 0),) * 2 + ((0, 0), (0, P - nxl))),
+        (0, 0, front - h, 0))
+    up, vp, wp, dzp, jacop = ops
+    scal = jnp.stack([jnp.asarray(dt, jnp.float32),
+                      jnp.asarray(near_end, jnp.float32)])
+
+    grid = (ny_pad // ty, S)
+    spec4 = pl.BlockSpec((1, nz, ty, P), lambda i, s: (s, 0, i + 1, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_mpdata_kernel, order=order,
+                               use_fct=use_fct)
+    params = {}
+    if not _INTERPRET:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=_INTERPRET,
+        **params,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        out_specs=spec4,
+        out_shape=jax.ShapeDtypeStruct((S, nz, R, P), q_e.dtype),
+        scratch_shapes=[pltpu.VMEM((nz, ty + 16, P), q_e.dtype)] * 6
+        + [pltpu.SemaphoreType.DMA((6,))],
+    )(jnp.stack([jnp.asarray(ny, jnp.int32), jnp.asarray(nx, jnp.int32),
+                 jnp.asarray(row_off, jnp.int32)]),
+      scal, jnp.asarray(floors, jnp.float32), qpad, up, vp, wp,
+      dzp, jacop)
+    return out[:, :, front:front + ny_l, :nxl]
