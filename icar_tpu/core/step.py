@@ -186,6 +186,17 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         mpdata_shard_ok = (_msh.get("x", 1) == 1
                           and (_nyp_f // _msh["y"]) >= 8
                           and options.adv.mpdata_order <= 3)
+    # frame-carried stack (MEASURED NEGATIVE, kept off): carrying the
+    # advected stack through the while_loop in the mesh FRAME shape
+    # removes the per-substep stack pad/crop around the per-shard
+    # kernels (cost_analysis: 47.9 -> 45.8 GB/substep on 500^2 conus),
+    # but on the real chip it measured 36.6M gp*steps/s vs 56.1M for
+    # the pad/crop wrappers — the strided natural-region slices and
+    # full-frame dynamic-update-slices the frame carry forces into
+    # every substep (physics reads fields as [.., :ny, :nx] views)
+    # cost more wall time than the contiguous pads they replace.
+    frame_stack = False
+    ny_nat, nx_nat = geom.ny, geom.nx
     sin_lat = np.sin(np.asarray(geom.lat) * (np.pi / 180.0))
     cos_lat = np.cos(np.asarray(geom.lat) * (np.pi / 180.0))
     lon2d = np.asarray(geom.lon)
@@ -215,11 +226,16 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
 
     def _restack_dirty(ctx, s):
         """The current species stack: the carry stack with only the
-        rows whose field was replaced since unstack written back."""
+        rows whose field was replaced since unstack written back.
+        Under frame_stack the carry is frame-shaped and dirtied fields
+        (natural shapes) write into its natural region."""
         q = ctx["stack"]
         for i, k in enumerate(adv_names):
             if s[k] is not ctx["views"][k]:
-                q = q.at[i].set(s[k])
+                if frame_stack:
+                    q = q.at[i, :, :ny_nat, :nx_nat].set(s[k])
+                else:
+                    q = q.at[i].set(s[k])
         return q
 
     def physics_step(state, dt, t, aux, mp_elapsed, lsm_elapsed,
@@ -963,13 +979,15 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     qstack = _restack_dirty(stack_ctx, s)
                     if shard_kernels:
                         # fused Thompson core kernel PER SHARD
-                        # (column-local; parallel/shard_kernels.py)
+                        # (column-local; parallel/shard_kernels.py);
+                        # the stack stays in the frame shape end to end
                         out_stack, rain, snow, graupel = \
                             sk.thompson_stack_sharded(
                                 mesh, qstack, adv_names, s["exner"],
                                 s["pressure"], jnp.asarray(geom.dz_mass),
                                 dt, s["precipitation"], s["snowfall"],
-                                s["graupel"], tp)
+                                s["graupel"], tp,
+                                framed_out=frame_stack)
                     else:
                         out_stack, rain, snow, graupel = \
                             mp_thompson.mp_thompson_stack(
@@ -982,7 +1000,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                     s = dict(s)
                     stack_ctx["stack"] = out_stack
                     for i, k in enumerate(adv_names):
-                        v = out_stack[i]
+                        v = (out_stack[i, :, :ny_nat, :nx_nat]
+                             if frame_stack else out_stack[i])
                         s[k] = v
                         stack_ctx["views"][k] = v
                     s["precipitation"] = rain
@@ -1123,6 +1142,11 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 stacked = _restack_dirty(stack_ctx, s)
             else:
                 stacked = jnp.stack([s[k] for k in adv_names])
+                if frame_stack:
+                    stacked = jnp.pad(
+                        stacked, ((0, 0), (0, 0),
+                                  (0, _nyp_f - ny_nat),
+                                  (0, _nxp_f - nx_nat)))
             common = (s["u"], s["v"], s["w"], dt, geom.dx,
                       jnp.asarray(geom.jacobian_u), jnp.asarray(geom.jacobian_v),
                       jnp.asarray(geom.jacobian_w), jnp.asarray(geom.jacobian),
@@ -1145,7 +1169,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                         jnp.asarray(geom.jacobian_w),
                         jnp.asarray(geom.jacobian),
                         jnp.asarray(geom.advection_dz),
-                        floors=adv_floors, near_end=advect_clamp)
+                        floors=adv_floors, near_end=advect_clamp,
+                        framed=frame_stack)
                 else:
                     out = advection.advect_upwind(
                         stacked, *common, options.run.advect_density,
@@ -1165,8 +1190,14 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                         jnp.asarray(geom.advection_dz),
                         order=options.adv.mpdata_order,
                         use_fct=options.adv.flux_corrected_transport,
-                        floors=adv_floors, near_end=advect_clamp)
+                        floors=adv_floors, near_end=advect_clamp,
+                        framed=frame_stack)
                 else:
+                    if frame_stack:
+                        # jnp fallback (mesh shape the MPDATA kernel
+                        # cannot shard): natural shapes in/out, re-pad
+                        # for the frame carry
+                        stacked = stacked[..., :ny_nat, :nx_nat]
                     out = mpdata.advect_mpdata(
                         stacked, *common, order=options.adv.mpdata_order,
                         use_fct=options.adv.flux_corrected_transport,
@@ -1177,6 +1208,11 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                         # standalone masked clamp rewrote the whole stack
                         # every substep
                         floors=adv_floors, near_end=advect_clamp)
+                    if frame_stack:
+                        out = jnp.pad(
+                            out, ((0, 0), (0, 0),
+                                  (0, _nyp_f - ny_nat),
+                                  (0, _nxp_f - nx_nat)))
             # the advected species LEAVE the dict here and ride the loop
             # carry as this one stacked array: the next substep's physics
             # reads them back as zero-copy slices, so the per-substep
@@ -1187,7 +1223,12 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                 # moisture-convergence tendency feeding the next
                 # substep's convective trigger (tend%qv_adv)
                 i_qv = adv_names.index("water_vapor")
-                s["tend_qv_adv"] = (out[i_qv] - stacked[i_qv]) / dt
+                if frame_stack:
+                    s["tend_qv_adv"] = (
+                        out[i_qv, :, :ny_nat, :nx_nat]
+                        - stacked[i_qv, ..., :ny_nat, :nx_nat]) / dt
+                else:
+                    s["tend_qv_adv"] = (out[i_qv] - stacked[i_qv]) / dt
         return s, mp_elapsed, lsm_elapsed, rad_elapsed
 
     def _slice_natural(d):
@@ -1609,14 +1650,46 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
         if use_stack:
             state = dict(state)
             state["_qstack"] = jnp.stack([state.pop(k) for k in adv_names])
+            if frame_stack:
+                state["_qstack"] = jnp.pad(
+                    state["_qstack"],
+                    ((0, 0), (0, 0), (0, _nyp_f - ny_nat),
+                     (0, _nxp_f - nx_nat)))
+                # the pad region must stay BENIGN clear air forever: a
+                # zero theta makes 1/temp = inf inside the per-shard
+                # Thompson prep, and the resulting pad-column NaNs
+                # poison the kernel's tile-activity max for every REAL
+                # column sharing the tile. One-time fix: pad theta is
+                # 300 K; every kernel's pad-cell output then remains
+                # clear air (Thompson's inert branch passes theta
+                # through; advection holds non-interior cells).
+                if "potential_temperature" in adv_names:
+                    i_th = adv_names.index("potential_temperature")
+                    q = state["_qstack"]
+                    q = q.at[i_th, :, ny_nat:, :].set(300.0)
+                    q = q.at[i_th, :, :, nx_nat:].set(300.0)
+                    state["_qstack"] = q
             if with_forcing and any(k in dqdt for k in adv_names):
-                zero = jnp.zeros_like(state["_qstack"][0])
+                zero = jnp.zeros_like(
+                    state["_qstack"][0, :, :ny_nat, :nx_nat])
                 tend_stack = jnp.stack([dqdt.get(k, zero)
                                         for k in adv_names])
+                if frame_stack:
+                    tend_stack = jnp.pad(
+                        tend_stack,
+                        ((0, 0), (0, 0), (0, _nyp_f - ny_nat),
+                         (0, _nxp_f - nx_nat)))
+        if frame_stack:
+            bmask_eff = np.zeros((_nyp_f, _nxp_f), np.float32)
+            bmask_eff[:ny_nat, :nx_nat] = bmask
+        else:
+            bmask_eff = bmask
 
         def unstack(state):
             state = dict(state)
             qstack = state.pop("_qstack")
+            if frame_stack:
+                qstack = qstack[..., :ny_nat, :nx_nat]
             for i, k in enumerate(adv_names):
                 state[k] = qstack[i]
             return state
@@ -1632,7 +1705,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
             qstack = state.pop("_qstack")
             views = {}
             for i, k in enumerate(adv_names):
-                v = qstack[i]
+                v = (qstack[i, :, :ny_nat, :nx_nat] if frame_stack
+                     else qstack[i])
                 state[k] = v
                 views[k] = v
             return state, {"stack": qstack, "views": views}
@@ -1690,7 +1764,8 @@ def make_step_fn(options: Options, geom, advect_names, with_forcing: bool,
                                         jnp.asarray(limit_floor), -jnp.inf)
                     state["_qstack"] = jnp.maximum(
                         state["_qstack"]
-                        + tend_stack * (dt * bmask)[None, None], floor_b)
+                        + tend_stack * (dt * bmask_eff)[None, None],
+                        floor_b)
             if use_stack and tend_stack is None and not clamp_in_advect:
                 # MPDATA path: fused masked clamp on the stack
                 state = dict(state)

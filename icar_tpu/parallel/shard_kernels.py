@@ -64,15 +64,20 @@ def _crop(a, ny, nx):
 
 
 def thompson_stack_sharded(mesh, qstack, names, exner, p, dz, dt, rain,
-                           snow, graupel, params):
+                           snow, graupel, params, framed_out=False):
     """Stack-native Thompson step with the fused core kernel per shard
     (physics/mp_thompson.mp_thompson_stack semantics; column-local, so
     no halo traffic — matching the reference's column independence,
     mp_thompson.f90 per-(i,j) loops)."""
     from ..physics.mp_thompson import mp_thompson_stack
 
-    S, nz, ny, nx = qstack.shape
+    S, nz = qstack.shape[:2]
+    ny, nx = exner.shape[-2:]
     nyp, nxp = padded_sizes(nx, ny, mesh)
+    # ``framed_out``: the caller carries the stack in the frame shape
+    # (core/step.py frame_stack) — accept it framed and return it
+    # framed, so the hot loop never pads/crops the stack
+    assert qstack.shape[-2:] in ((ny, nx), (nyp, nxp))
 
     def body(q_b, ex_b, p_b, dz_b, r_b, s_b, g_b, dt_):
         return mp_thompson_stack(q_b, names, ex_b, p_b, dz_b, dt_, r_b,
@@ -91,8 +96,8 @@ def thompson_stack_sharded(mesh, qstack, names, exner, p, dz, dt, rain,
         _pad2(dz, nyp, nxp, _PAD["dz"]),
         _pad2(rain, nyp, nxp), _pad2(snow, nyp, nxp),
         _pad2(graupel, nyp, nxp), jnp.asarray(dt, jnp.float32))
-    return (_crop(out, ny, nx), _crop(r2, ny, nx), _crop(s2_, ny, nx),
-            _crop(g2, ny, nx))
+    return (out if framed_out else _crop(out, ny, nx),
+            _crop(r2, ny, nx), _crop(s2_, ny, nx), _crop(g2, ny, nx))
 
 
 def mp_simple_sharded(mesh, pressure, theta, exner, rho, qv, qc, qr, qs,
@@ -128,13 +133,14 @@ def mp_simple_sharded(mesh, pressure, theta, exner, rho, qv, qc, qr, qs,
 
 def advect_upwind_sharded(mesh, stacked_q, u, v, w, dt, dx, jaco_u,
                           jaco_v, jaco_w, jaco, dz, floors=None,
-                          near_end=None):
+                          near_end=None, framed=False):
     """Fused upwind advection kernel per shard with explicit 1-row/
     1-lane ppermute halos (ops/pallas_kernels._advect_kernel via the
     same per-shard operand builders as the fast path)."""
     from ..ops import pallas_kernels as pk
 
-    S, nz, ny, nx = stacked_q.shape
+    S, nz = stacked_q.shape[:2]
+    ny, nx = u.shape[-2], w.shape[-1]
     nyp, nxp = padded_sizes(nx, ny, mesh)
     msh = dict(mesh.shape)
     my, mx = msh["y"], msh["x"]
@@ -189,12 +195,12 @@ def advect_upwind_sharded(mesh, stacked_q, u, v, w, dt, dx, jaco_u,
         _pad2(jaco_w, nyp, nxp, 1.0), _pad2(dz, nyp, nxp, _PAD["dz"]),
         _pad2(jaco, nyp, nxp, 1.0),
         jnp.asarray(dt, jnp.float32), jnp.asarray(near_end, jnp.float32))
-    return _crop(out, ny, nx)
+    return out if framed else _crop(out, ny, nx)
 
 
 def advect_mpdata_sharded(mesh, stacked_q, u, v, w, dt, dx, jaco_u,
                           jaco_v, jaco_w, jaco, dz, order, use_fct,
-                          floors=None, near_end=None):
+                          floors=None, near_end=None, framed=False):
     """Fused MPDATA window kernel per shard (y-decomposed meshes): every
     operand is halo-extended by 8 rows via ppermute — the kernel's
     window reach — so per-cell results match the single-device kernel
@@ -203,7 +209,8 @@ def advect_mpdata_sharded(mesh, stacked_q, u, v, w, dt, dx, jaco_u,
     computed from real neighbor data)."""
     from ..ops import pallas_kernels as pk
 
-    S, nz, ny, nx = stacked_q.shape
+    S, nz = stacked_q.shape[:2]
+    ny, nx = u.shape[-2], w.shape[-1]
     assert dict(mesh.shape).get("x", 1) == 1, \
         "MPDATA kernel shards along y only"
     nyp, nxp = padded_sizes(nx, ny, mesh)
@@ -247,4 +254,4 @@ def advect_mpdata_sharded(mesh, stacked_q, u, v, w, dt, dx, jaco_u,
         _pad2(jaco_w, nyp, nxp, 1.0), _pad2(dz, nyp, nxp, _PAD["dz"]),
         _pad2(jaco, nyp, nxp, 1.0),
         jnp.asarray(dt, jnp.float32), jnp.asarray(near_end, jnp.float32))
-    return _crop(out, ny, nx)
+    return out if framed else _crop(out, ny, nx)

@@ -97,12 +97,13 @@ SA = [5.065339, -0.062659, -3.032362, 0.029469, -0.000285,
 SB = [0.476221, -0.015896, 0.165977, 0.007468, -0.000141,
       0.060366, 0.000079, 0.000594, 0.0, -0.003577]
 
-# index bases (thompson_init, :571-578): nii2=log10(r_i(1)),
-# nii3=log10(Nt_i(1)), nis2=log10(r_s(1)), nig2=log10(r_g(1)) ...
+# first lookup-bin entries (thompson_init, :216-258): r_i(1)=1e-10,
+# Nt_i(1)=1, r_s(1)=r_g(1)=1e-5 (the snow/graupel bins start at 1e-5,
+# NOT 1e-10 — mp_thompson.f90:238-244)
 R_I1 = 1.0e-10
 NT_I1 = 1.0
-R_S1 = 1.0e-10
-R_G1 = 1.0e-10
+R_S1 = 1.0e-5
+R_G1 = 1.0e-5
 NII2 = -10
 NII3 = 0
 

@@ -544,3 +544,242 @@ def test_thompson_cold_oracle_has_teeth():
         mism += int((rel > 5e-3).any())
     assert mism > ncol // 2, \
         "perturbing Ef_si did not move the oracle's snow field"
+
+
+# ---------------------------------------------------------------------------
+# Thompson MIXED-PHASE transcription oracle (VERDICT r4 missing #2): rain
+# AND snow/graupel coexisting across the melting layer — the regime that
+# consumes the bf16-stored racs/racg/qrfz tables.
+# ---------------------------------------------------------------------------
+
+
+def _mixed_tables(params, bf16=False):
+    """The collection/freezing tables the mixed oracle consumes, in f32
+    or quantized exactly as the production gather stacks store them
+    (bfloat16 round-trip; physics/mp_thompson._prep_tables)."""
+    import ml_dtypes
+
+    from tests.oracles.thompson_mixed_ref import MixedThompsonOracle
+    from icar_tpu.physics.mp_thompson import _prep_tables
+
+    T = _prep_tables(params)
+    names = (MixedThompsonOracle.RACS_NAMES
+             + MixedThompsonOracle.RACG_NAMES
+             + MixedThompsonOracle.QRFZ_NAMES)
+    out = {}
+    for n in names:
+        a = np.asarray(T[n], np.float32)
+        if bf16:
+            a = a.astype(ml_dtypes.bfloat16).astype(np.float32)
+        out[n] = a
+    return out
+
+
+def _mixed_columns(seed, nz=16, ncol=24, bf16=False):
+    """Random columns SPANNING THE MELTING LAYER with rain and
+    snow/graupel present, no cloud water/ice, water-subsaturated and
+    below the ice-nucleation trigger — the mixed oracle's regime.
+    Temperatures are kept >= 0.25 K away from T_0 so the f32 production
+    path and the f64 oracle take the same warm/cold branch at TAU-0."""
+    r = rng(seed)
+    z = np.cumsum(np.full(nz, 350.0)) - 175.0
+    t_sfc = r.uniform(276.0, 283.0, ncol)
+    t = t_sfc[None, :] - 0.0062 * z[:, None] \
+        + r.uniform(-1.5, 1.5, (nz, ncol))
+    near = np.abs(t - 273.15) < 0.25
+    t = np.where(near, np.where(t >= 273.15, 273.40, 272.90), t)
+    p = 95000.0 * np.exp(-z / 8000.0)[:, None] * np.ones((nz, ncol))
+
+    from tests.oracles.thompson_mixed_ref import MixedThompsonOracle
+    from icar_tpu.physics.thompson_tables import ThompsonParams
+    params = ThompsonParams()
+    o = MixedThompsonOracle(params, _mixed_tables(params, bf16=bf16))
+    qvs = np.array([[o.rslf(p[k, c], t[k, c]) for c in range(ncol)]
+                    for k in range(nz)])
+    qvsi = np.array([[o.rsif(p[k, c], t[k, c])
+                      if t[k, c] <= 273.15 else qvs[k, c]
+                      for c in range(ncol)] for k in range(nz)])
+    # water-subsaturated everywhere, ice supersaturation < 25%
+    hi = np.minimum(0.97 * qvs, 1.2 * qvsi)
+    qv = qvsi * 0.4 + (hi - qvsi * 0.4) * r.uniform(0, 1, (nz, ncol))
+    # moderate contents: collection rates then stay mostly BELOW the
+    # -rr*odts depletion clamps, so rain is not zeroed to the R1
+    # borderline in one step (a clamped full depletion makes the TAU+1
+    # L_qr flag an f32-vs-f64 coin flip, and one flip propagates to
+    # every lower level through the graupel intercept's top-down
+    # cumulative min)
+    qr = np.where(r.uniform(size=(nz, ncol)) < 0.7,
+                  r.uniform(1e-6, 6e-4, (nz, ncol)), 0.0)
+    nr = np.where(qr > 0, qr * r.uniform(1e4, 1e7, (nz, ncol)), 0.0)
+    qs = np.where(r.uniform(size=(nz, ncol)) < 0.7,
+                  r.uniform(1e-6, 3e-4, (nz, ncol)), 0.0)
+    qg = np.where(r.uniform(size=(nz, ncol)) < 0.5,
+                  r.uniform(1e-6, 2e-4, (nz, ncol)), 0.0)
+    dz = np.full((nz, ncol), 350.0)
+    return o, t, p, qv, qr, nr, qs, qg, dz
+
+
+def _run_mixed_oracle(o, t, p, qv, qr, nr, qs, qg, dz, dt):
+    nz, ncol = t.shape
+    zero = np.zeros(nz)
+    want = {k: np.empty((nz, ncol)) for k in
+            ("qv", "qc", "qr", "nr", "qi", "ni", "qs", "qg", "t")}
+    ppt = np.empty((4, ncol))
+    for c in range(ncol):
+        (qv1, qc1, qr1, nr1, qi1, ni1, qs1, qg1, t1,
+         pr, pi, ps, pg) = o.step(
+            qv[:, c], zero, qr[:, c], nr[:, c], zero, zero, qs[:, c],
+            qg[:, c], t[:, c], p[:, c], dz[:, c], dt)
+        for k, v in zip(("qv", "qc", "qr", "nr", "qi", "ni", "qs",
+                         "qg", "t"),
+                        (qv1, qc1, qr1, nr1, qi1, ni1, qs1, qg1, t1)):
+            want[k][:, c] = v
+        ppt[:, c] = (pr, pi, ps, pg)
+    return want, ppt
+
+
+def _frac_bound(name, got, want, tol, frac, abs_floor):
+    """Fraction-based bound: melting-layer columns cross warm/cold and
+    size-balance branches whose f32-vs-f64 borderline flips are
+    expected on isolated cells, and near-depleted cells carry tiny
+    residuals whose relative error is meaningless — a cell violates
+    only if it is off by more than ``tol`` relative AND 0.5% of the
+    field scale absolute. The bulk must match and no cell may be large
+    against the field scale (a wrong rate constant shifts the field
+    systematically and fails both)."""
+    scale = float(np.abs(want).max()) + abs_floor
+    d = np.abs(got - want)
+    viol = d > np.maximum(tol * np.abs(want), 5e-3 * scale)
+    assert float(np.mean(viol)) < frac, (
+        f"{name}: {np.mean(viol):.2%} of cells beyond {tol}"
+        f" (max abs {d.max():.3g} vs scale {scale:.3g})")
+    assert float(d.max()) < 0.2 * scale, \
+        f"{name}: flipped cells are not negligible"
+
+
+@pytest.mark.parametrize("seed,dt", [(31, 30.0), (32, 60.0)])
+def test_thompson_mixed_matches_transcription_oracle(seed, dt):
+    """The vectorized Thompson scheme reproduces the reference's
+    MIXED-PHASE rates — rain-snow/graupel collection (tmr_racs/
+    tcr_sacr/... tables), rain freezing (qrfz tables), snow/graupel
+    melting with collision enhancement, the T>0C sedimentation
+    fallspeed floor and instant melt — against a literal scalar
+    transcription of mp_thompson.f90 for melting-layer columns. The
+    production path stores these very tables in bfloat16, so this
+    comparison also bounds the quantization in the regime that consumes
+    it (r4 advisory #3)."""
+    from icar_tpu.physics import mp_thompson as mt
+
+    o, t, p, qv, qr, nr, qs, qg, dz = _mixed_columns(seed)
+    nz, ncol = t.shape
+    exner = (p / 100000.0) ** (287.058 / 1012.0)
+    th = t / exner
+    zero = np.zeros_like(p)
+    f = lambda a: jnp.asarray(a[:, :, None], jnp.float32)
+    acc = jnp.zeros((ncol, 1), jnp.float32)
+    out = mt.mp_thompson(
+        f(th), f(qv), f(zero), f(zero), f(qr), f(qs), f(qg), f(zero),
+        f(nr), f(exner), f(p), f(dz), np.float32(dt), acc, acc, acc)
+    got = {k: np.asarray(v)[..., 0] for k, v in
+           zip(("th", "qv", "qc", "qi", "qr", "qs", "qg", "ni", "nr",
+                "rain", "snow", "graupel"), out)}
+    want, ppt = _run_mixed_oracle(o, t, p, qv, qr, nr, qs, qg, dz, dt)
+
+    got_t = got["th"] * exner
+    np.testing.assert_allclose(got_t, want["t"], rtol=0, atol=0.05,
+                               err_msg="temperature vs oracle")
+    np.testing.assert_allclose(got["qv"], want["qv"], rtol=2e-3,
+                               atol=2e-7, err_msg="qv vs oracle")
+    _frac_bound("qr", got["qr"], want["qr"], 1e-2, 0.03, 1e-9)
+    _frac_bound("qs", got["qs"], want["qs"], 1e-2, 0.03, 1e-9)
+    _frac_bound("qi", got["qi"], want["qi"], 2e-2, 0.04, 1e-12)
+    _frac_bound("qc", got["qc"], want["qc"], 2e-2, 0.04, 1e-12)
+    _frac_bound("nr", got["nr"], want["nr"], 2e-2, 0.06, 1.0)
+    # qg compares COLUMN-wise: the graupel intercept is a TOP-DOWN
+    # cumulative min (N0_min, mp_thompson.f90:1457-1483), so a single
+    # f32-vs-f64 L_qr borderline flip anywhere in a column shifts every
+    # lower level's fall speed — the bulk of columns must match
+    # cell-tight, flipped columns must stay a small minority, and the
+    # column-integrated graupel mass must match everywhere (the flip
+    # redistributes within the column; it cannot create mass)
+    scale_g = np.abs(want["qg"]).max() + 1e-9
+    dcol = np.abs(got["qg"] - want["qg"])
+    col_bad = (dcol > np.maximum(1e-2 * np.abs(want["qg"]),
+                                 5e-3 * scale_g)).mean(axis=0)
+    assert float(np.mean(col_bad > 0.10)) < 0.20, (
+        f"qg: {np.mean(col_bad > 0.10):.0%} of columns diverge")
+    path_g = (got["qg"] - want["qg"]).sum(axis=0)
+    path_w = np.abs(want["qg"]).sum(axis=0) + ppt[3] * 1e-1 + 1e-9
+    assert float(np.abs(path_g / path_w).max()) < 0.25, \
+        "qg column-integrated mass diverges"
+    # accumulators: rain gets every ppt; snow gets snow+ice. Columns
+    # with an N0_min borderline flip (see the qg bound above) shift
+    # their surface flux within the step, so the accumulators compare
+    # column-fraction-wise with a tight bound on the domain total.
+    for nm, g_acc, w_acc in (("total precip", got["rain"],
+                              ppt.sum(axis=0)),
+                             ("snowfall", got["snow"], ppt[1] + ppt[2]),
+                             ("graupel accum", got["graupel"], ppt[3])):
+        ok = np.abs(g_acc - w_acc) <= 1e-2 * np.abs(w_acc) + 3e-4
+        assert float(np.mean(ok)) > 0.8, \
+            f"{nm}: {np.mean(~ok):.0%} of columns diverge"
+        tot_w = float(np.abs(w_acc).sum()) + 1e-9
+        # 15%: a single flipped column can carry a visible share of one
+        # step's surface flux; a systematic rate error shifts EVERY
+        # column and still fails (sensitivity is pinned by the teeth
+        # test)
+        assert abs(float((g_acc - w_acc).sum())) < 0.15 * tot_w + 2e-3, \
+            f"{nm}: domain total diverges"
+    # the regime genuinely exercised the mixed processes: freezing made
+    # ice somewhere cold, melting made rain from snow somewhere warm
+    assert want["qi"].max() > 0.0, "no rain froze — regime too warm"
+    assert (want["qr"] > qr + 1e-7).any(), "no melt-to-rain occurred"
+
+
+def test_thompson_mixed_oracle_has_teeth():
+    """A perturbed collection table (rain-collecting-snow tmr_racs1 x3)
+    must fail the comparison — the oracle genuinely pins the
+    mixed-phase collection rates (VERDICT r4 done-criterion)."""
+    from tests.oracles.thompson_mixed_ref import MixedThompsonOracle
+    from icar_tpu.physics.thompson_tables import ThompsonParams
+
+    o, t, p, qv, qr, nr, qs, qg, dz = _mixed_columns(31)
+    params = ThompsonParams()
+    tabs = _mixed_tables(params)
+    bad = dict(tabs)
+    bad["tmr_racs1"] = tabs["tmr_racs1"] * 3.0
+    o_bad = MixedThompsonOracle(params, bad)
+    want, _ = _run_mixed_oracle(o, t, p, qv, qr, nr, qs, qg, dz, 30.0)
+    pert, _ = _run_mixed_oracle(o_bad, t, p, qv, qr, nr, qs, qg, dz,
+                                30.0)
+    ncol = t.shape[1]
+    moved = 0
+    for fld in ("qg", "qr", "qs"):
+        rel = np.abs(want[fld] - pert[fld]) \
+            / np.maximum(np.abs(want[fld]), 1e-9)
+        moved = np.maximum(moved, (rel.max(axis=0) > 5e-3).astype(int))
+    assert int(np.sum(moved)) > ncol // 2, \
+        "perturbing tmr_racs1 did not move the oracle's fields"
+
+
+def test_thompson_mixed_bf16_table_error_bounded():
+    """Direct measurement of the bf16 table-storage quantization in the
+    regime that consumes racs/racg/qrfz (r4 advisory #3): the oracle
+    run with bfloat16-quantized tables (exactly the production storage
+    round-trip) must stay within small relative error of the f32-table
+    run — asserting the <=0.4%-per-entry bound propagates to bounded
+    field error rather than assuming it."""
+    o32, t, p, qv, qr, nr, qs, qg, dz = _mixed_columns(33)
+    from tests.oracles.thompson_mixed_ref import MixedThompsonOracle
+    from icar_tpu.physics.thompson_tables import ThompsonParams
+    params = ThompsonParams()
+    o16 = MixedThompsonOracle(params, _mixed_tables(params, bf16=True))
+    w32, p32 = _run_mixed_oracle(o32, t, p, qv, qr, nr, qs, qg, dz, 60.0)
+    w16, p16 = _run_mixed_oracle(o16, t, p, qv, qr, nr, qs, qg, dz, 60.0)
+    for k in ("qr", "qs", "qg", "qv", "qi"):
+        scale = np.abs(w32[k]).max() + 1e-12
+        err = np.abs(w16[k] - w32[k]).max() / scale
+        assert err < 2e-2, f"bf16 table error on {k}: {err:.3%}"
+    np.testing.assert_allclose(w16["t"], w32["t"], rtol=0, atol=0.05)
+    assert np.abs(p16 - p32).max() < 1e-2 * (np.abs(p32).max() + 1e-9), \
+        "bf16 table error on surface precipitation too large"
