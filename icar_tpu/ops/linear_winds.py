@@ -614,7 +614,8 @@ def _weight(values: jnp.ndarray, pos, x):
 
 
 def _interp_lut(lut_flat, spos, nexts, dpos, nextd, npos, nextn,
-                sweight, dweight, nweight, n_dir, n_nsq):
+                sweight, dweight, nweight, n_dir, n_nsq,
+                occupancy=None):
     """Trilinear interpolation of the (spd, dir, nsq) table
     (linear_winds.f90:1083-1115), as ONE streaming pass over the table.
 
@@ -649,8 +650,40 @@ def _interp_lut(lut_flat, spos, nexts, dpos, nextd, npos, nextn,
     # accumulate in f32 regardless of table storage dtype (bf16 tables
     # halve the stream; lut_e * w promotes to f32 in the body)
     zero = jnp.zeros(lut_flat.shape[1:], jnp.float32)
-    acc, _ = jax.lax.scan(body, zero, (lut_flat, e_s, e_d, e_n))
-    return acc
+    if occupancy is None:
+        acc, _ = jax.lax.scan(body, zero, (lut_flat, e_s, e_d, e_n))
+        return acc
+
+    # OCCUPANCY-GATED stream (VERDICT r4 #4, matching the reference's
+    # 8-bracketing-entry reads, linear_winds.f90:1044-1115): at any one
+    # time the domain's (spd, dir, nsq) bins occupy a small fraction of
+    # E, so entries whose trilinear weight is zero EVERYWHERE are
+    # skipped without their HBM read ever issuing — a fori_loop whose
+    # dynamic slice of the table lives INSIDE the taken lax.cond
+    # branch. Skipped entries contribute an exact 0 to the f32
+    # accumulation, so the result equals the full stream.
+    e_s_n = e_ids // (n_dir * n_nsq)     # pure numpy (trace-safe)
+    e_d_n = (e_ids // n_nsq) % n_dir
+    e_n_n = e_ids % n_nsq
+
+    def loop_body(i, acc):
+        def on(acc):
+            lut_e = jax.lax.dynamic_index_in_dim(lut_flat, i, 0,
+                                                 keepdims=False)
+            es = jnp.asarray(e_s_n)[i]
+            ed = jnp.asarray(e_d_n)[i]
+            en = jnp.asarray(e_n_n)[i]
+            ws = (jnp.where(es == spos, sweight, 0.0)
+                  + jnp.where(es == nexts, 1.0 - sweight, 0.0))
+            wd = (jnp.where(ed == dpos, dweight, 0.0)
+                  + jnp.where(ed == nextd, 1.0 - dweight, 0.0))
+            wn = (jnp.where(en == npos, nweight, 0.0)
+                  + jnp.where(en == nextn, 1.0 - nweight, 0.0))
+            return acc + lut_e * (ws * wd * wn)
+
+        return jax.lax.cond(occupancy[i], on, lambda a: a, acc)
+
+    return jax.lax.fori_loop(0, E, loop_body, zero)
 
 
 def calc_direction(u, v):
@@ -714,16 +747,38 @@ def apply_spatial_winds(u3d, v3d, nsq_log, pert_u, pert_v, lut_u, lut_v,
     lut_u_flat = lut_u.reshape(-1, nz, ny, nxu)
     lut_v_flat = lut_v.reshape(-1, nz, nyv, nx)
 
+    # per-entry occupancy over the union grid (covers both staggered
+    # targets): entry e can contribute anywhere iff each of its three
+    # bins is some cell's bracketing bin. Direction handles the 0/2pi
+    # wrap exactly (bin-membership ANY, not a min/max range). The
+    # bin-occupancy reduction is a few-hundred-MFLOP comparison pass
+    # over the small index fields — nothing next to one table read.
+    e_ids = np.arange(lut_u_flat.shape[0], dtype=np.int32)
+    e_s = jnp.asarray(e_ids // (n_dir * n_nsq))
+    e_d = jnp.asarray((e_ids // n_nsq) % n_dir)
+    e_n = jnp.asarray(e_ids % n_nsq)
+
+    def bin_occ(pos, nxt, nbins):
+        ids = jnp.arange(nbins)
+        hit = ((pos.reshape(1, -1) == ids[:, None])
+               | (nxt.reshape(1, -1) == ids[:, None]))
+        return hit.any(axis=1)
+
+    occ_s = bin_occ(spos, nexts, n_spd)
+    occ_d = bin_occ(dpos, nextd, n_dir)
+    occ_n = bin_occ(npos, nextn, n_nsq)
+    occupancy = occ_s[e_s] & occ_d[e_d] & occ_n[e_n]
+
     up_new = _interp_lut(lut_u_flat, spos3[:, :ny, :], nexts3[:, :ny, :],
                          dpos3[:, :ny, :], nextd3[:, :ny, :],
                          npos[:, :ny, :], nextn[:, :ny, :],
                          sw3[:, :ny, :], dw3[:, :ny, :], nweight[:, :ny, :],
-                         n_dir, n_nsq)
+                         n_dir, n_nsq, occupancy=occupancy)
     vp_new = _interp_lut(lut_v_flat, spos3[:, :, :nx], nexts3[:, :, :nx],
                          dpos3[:, :, :nx], nextd3[:, :, :nx],
                          npos[:, :, :nx], nextn[:, :, :nx],
                          sw3[:, :, :nx], dw3[:, :, :nx], nweight[:, :, :nx],
-                         n_dir, n_nsq)
+                         n_dir, n_nsq, occupancy=occupancy)
 
     f = linear_update_fraction
     pert_u = pert_u * (1 - f) + f * up_new

@@ -82,7 +82,8 @@ def main():
     smap = mt.stack_smap(tuple(adv_names))
 
     def fetch(x):
-        return float(jnp.sum(jax.tree_util.tree_leaves(x)[0][..., :2, :2]))
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return float(jnp.sum(leaf.ravel()[:4]))
 
     results = {}
 
