@@ -187,3 +187,52 @@ def test_bf16_lut_storage():
     np.testing.assert_allclose(u16 / scale, u32 / scale, atol=1.5e-2)
     # perturbation state itself stays f32
     assert m16.u_perturbation.dtype == jnp.float32
+
+
+def test_interp_lut_occupancy_gating_exact():
+    """The occupancy-gated table stream (VERDICT r4 #4) must equal the
+    full scan exactly: gated-off entries have zero weight everywhere,
+    so skipping their HBM read cannot change the f32 accumulation. Also
+    asserts the gate actually skips: with position fields confined to a
+    few bins, most entries are unoccupied."""
+    import numpy as np
+
+    from icar_tpu.ops.linear_winds import _interp_lut
+
+    r = np.random.default_rng(3)
+    n_spd, n_dir, n_nsq = 4, 6, 3
+    E = n_spd * n_dir * n_nsq
+    nz, ny, nx = 5, 7, 9
+    lut = jnp.asarray(r.uniform(-1, 1, (E, nz, ny, nx)), jnp.float32)
+    # positions confined to spd bins {1,2}, dir {0,5} (wraparound pair),
+    # nsq {1}: occupancy = 2*2*2 of 72 entries (next may equal pos+1)
+    spos = jnp.asarray(r.integers(1, 3, (nz, ny, nx)), jnp.int32)
+    nexts = jnp.minimum(spos + 1, n_spd - 1)
+    dpos = jnp.asarray(np.where(r.uniform(size=(nz, ny, nx)) < 0.5,
+                                5, 0), jnp.int32)
+    nextd = (dpos + 1) % n_dir          # the 5 -> 0 wrap
+    npos = jnp.full((nz, ny, nx), 1, jnp.int32)
+    nextn = jnp.minimum(npos + 1, n_nsq - 1)
+    sw = jnp.asarray(r.uniform(0, 1, (nz, ny, nx)), jnp.float32)
+    dw = jnp.asarray(r.uniform(0, 1, (nz, ny, nx)), jnp.float32)
+    nw = jnp.asarray(r.uniform(0, 1, (nz, ny, nx)), jnp.float32)
+
+    full = _interp_lut(lut, spos, nexts, dpos, nextd, npos, nextn,
+                       sw, dw, nw, n_dir, n_nsq)
+
+    e_ids = np.arange(E)
+    e_s, e_d, e_n = (e_ids // (n_dir * n_nsq),
+                     (e_ids // n_nsq) % n_dir, e_ids % n_nsq)
+    occ_s = np.isin(np.arange(n_spd), np.unique(np.concatenate(
+        [np.asarray(spos).ravel(), np.asarray(nexts).ravel()])))
+    occ_d = np.isin(np.arange(n_dir), np.unique(np.concatenate(
+        [np.asarray(dpos).ravel(), np.asarray(nextd).ravel()])))
+    occ_n = np.isin(np.arange(n_nsq), np.unique(np.concatenate(
+        [np.asarray(npos).ravel(), np.asarray(nextn).ravel()])))
+    occ = jnp.asarray(occ_s[e_s] & occ_d[e_d] & occ_n[e_n])
+    assert int(occ.sum()) < E // 3, "gate did not skip most entries"
+
+    gated = _interp_lut(lut, spos, nexts, dpos, nextd, npos, nextn,
+                        sw, dw, nw, n_dir, n_nsq, occupancy=occ)
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(full),
+                               rtol=0, atol=2e-6)
