@@ -71,6 +71,14 @@ def thompson_stack_sharded(mesh, qstack, names, exner, p, dz, dt, rain,
     mp_thompson.f90 per-(i,j) loops)."""
     from ..physics.mp_thompson import mp_thompson_stack
 
+    if mesh.devices.size == 1:
+        # identity decomposition: run the single-device kernel path
+        # directly — no frame pad/crop tax (the conus-vs-fullphys gap
+        # was mostly this ring of 180 MB-class pads per substep)
+        return mp_thompson_stack(qstack, names, exner, p, dz, dt, rain,
+                                 snow, graupel, params=params,
+                                 use_pallas=True)
+
     S, nz = qstack.shape[:2]
     ny, nx = exner.shape[-2:]
     nyp, nxp = padded_sizes(nx, ny, mesh)
@@ -106,6 +114,10 @@ def mp_simple_sharded(mesh, pressure, theta, exner, rho, qv, qc, qr, qs,
     column-local like Thompson)."""
     from ..physics.mp_simple import mp_simple
 
+    if mesh.devices.size == 1:
+        return mp_simple(pressure, theta, exner, rho, qv, qc, qr, qs,
+                         rain, snow, dt, dz, use_pallas=True)
+
     nz, ny, nx = pressure.shape
     nyp, nxp = padded_sizes(nx, ny, mesh)
 
@@ -138,6 +150,11 @@ def advect_upwind_sharded(mesh, stacked_q, u, v, w, dt, dx, jaco_u,
     1-lane ppermute halos (ops/pallas_kernels._advect_kernel via the
     same per-shard operand builders as the fast path)."""
     from ..ops import pallas_kernels as pk
+
+    if mesh.devices.size == 1:
+        return pk.advect_upwind_tpu(stacked_q, u, v, w, dx, jaco_u,
+                                    jaco_v, jaco_w, dz, jaco, dt,
+                                    floors=floors, near_end=near_end)
 
     S, nz = stacked_q.shape[:2]
     ny, nx = u.shape[-2], w.shape[-1]
@@ -208,6 +225,12 @@ def advect_mpdata_sharded(mesh, stacked_q, u, v, w, dt, dx, jaco_u,
     is exchanged so ghost-row q_new values inside the stencil reach are
     computed from real neighbor data)."""
     from ..ops import pallas_kernels as pk
+
+    if mesh.devices.size == 1:
+        return pk.advect_mpdata_tpu(stacked_q, u, v, w, dx, jaco_u,
+                                    jaco_v, jaco_w, dz, jaco, dt,
+                                    order, use_fct, floors=floors,
+                                    near_end=near_end)
 
     S, nz = stacked_q.shape[:2]
     ny, nx = u.shape[-2], w.shape[-1]

@@ -62,7 +62,6 @@ def main():
     int(model._last_n)
     print(f"# spinup in {time.time() - t0:.0f}s", file=sys.stderr)
 
-    s = model.state
     g = model.geom
     adv = model.advect_names
     results = {}
@@ -77,6 +76,10 @@ def main():
         model.advance(1e-3)
         return int(model._last_n)
     results["interval_n0_total_ms"] = timeit(zero_interval, args.iters)
+
+    # capture the state AFTER the donating advances above (the interval
+    # step donates its state argument; earlier references are deleted)
+    s = {k: jnp.copy(v) for k, v in model.state.items()}
 
     # prologue diagnostics + CFL
     @jax.jit
