@@ -991,6 +991,52 @@ def rrtmg_lw_rad(tables, play, plev, tlay, tlev, tsfc, h2ovmr, o3vmr,
                            htr=htr, glw=df[0], olr=uf[-1])
 
 
+# number of columns per RRTMG invocation: the scheme materializes
+# (nlay, ncol, ngpt) g-point intermediates, so a whole 500^2 domain in
+# one call needs >1 GB of bool temps alone (OOM on a v5e). The
+# reference runs column-by-column (ra_rrtmg_lw.f90 i/j loops); here
+# columns are processed in chunks via lax.map — peak temp memory scales
+# with the chunk, throughput is unchanged (each chunk saturates the
+# chip). Single-chunk calls (N <= chunk) are bitwise identical to the
+# unchunked formulation (same key, no split).
+RRTMG_COL_CHUNK = 16384
+
+
+def column_chunked(fn, key, cols, n, chunk):
+    """Run ``fn(chunk_key, *col_chunks) -> dict`` over column chunks.
+
+    ``cols``: arrays whose LAST axis is the column axis (1D or 2D);
+    outputs are concatenated back on the column axis. Each chunk gets
+    its own PRNG key (McICA cloud-overlap sampling is stochastic per
+    column anyway)."""
+    import jax
+
+    if n <= chunk:
+        return fn(key, *cols)
+    C = -(-n // chunk)
+    npad = C * chunk - n
+
+    def split(a):
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, npad)],
+                    mode="edge")
+        if a.ndim == 1:
+            return a.reshape(C, chunk)
+        return jnp.moveaxis(a.reshape(a.shape[0], C, chunk), 1, 0)
+
+    stacked = tuple(split(a) for a in cols)
+    keys = jax.random.split(key, C)
+    out = jax.lax.map(lambda args: fn(args[0], *args[1:]),
+                      (keys,) + stacked)
+
+    def merge(a):
+        if a.ndim == 2:
+            return a.reshape(C * chunk)[:n]
+        return jnp.moveaxis(a, 0, 1).reshape(a.shape[1],
+                                             C * chunk)[:, :n]
+
+    return {k: merge(v) for k, v in out.items()}
+
+
 def rrtmg_lw_driver(tables, key, p3d, p8w, t3d, t8w, tsk, qv3d, qc3d,
                     qi3d, qs3d, cldfra3d, re_cloud, re_ice, re_snow,
                     rho3d, dz8w, emiss, exner, xland=None,
@@ -1038,15 +1084,25 @@ def rrtmg_lw_driver(tables, key, p3d, p8w, t3d, t8w, tsk, qv3d, qc3d,
     gkw = {} if ghg is None else dict(
         co2vmr=ghg.co2, n2ovmr=ghg.n2o, ch4vmr=ghg.ch4,
         cfc11vmr=ghg.cfc11, cfc12vmr=ghg.cfc12)
-    out = rrtmg_lw_rad(tables, play, plev, tlay, tlev, tsfc, h2ovmr,
-                       o3vmr, cf, ciwp, clwp, cswp, rei, rel, res,
-                       emiss.reshape(N), key, **gkw)
+
+    def _rad_chunk(k, play, plev, tlay, tlev, tsfc, h2o, o3, cfc, ciw,
+                   clw, csw, rei_c, rel_c, res_c, em):
+        o = rrtmg_lw_rad(tables, play, plev, tlay, tlev, tsfc, h2o, o3,
+                         cfc, ciw, clw, csw, rei_c, rel_c, res_c, em,
+                         k, **gkw)
+        # LWCF = clear-sky OLR minus all-sky OLR (ra_rrtmg_lw.f90:12731)
+        return dict(htr=o.htr, glw=o.glw, olr=o.olr,
+                    lwcf=o.uflxc[-1] - o.uflx[-1])
+
+    out = column_chunked(
+        _rad_chunk, key,
+        (play, plev, tlay, tlev, tsfc, h2ovmr, o3vmr, cf, ciwp, clwp,
+         cswp, rei, rel, res, emiss.reshape(N)), N, RRTMG_COL_CHUNK)
     # tendency on potential temperature (rthratenlw = htr/86400/pii)
-    th_tend = (out.htr / 86400.0).reshape(nz, ny, nx) / exner
-    glw = out.glw.reshape(ny, nx)
-    olr = out.olr.reshape(ny, nx)
-    # LWCF = clear-sky OLR minus all-sky OLR (ra_rrtmg_lw.f90:12731)
-    lwcf = (out.uflxc[-1] - out.uflx[-1]).reshape(ny, nx)
+    th_tend = (out["htr"] / 86400.0).reshape(nz, ny, nx) / exner
+    glw = out["glw"].reshape(ny, nx)
+    olr = out["olr"].reshape(ny, nx)
+    lwcf = out["lwcf"].reshape(ny, nx)
     return th_tend, glw, olr, lwcf
 
 

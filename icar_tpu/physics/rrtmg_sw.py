@@ -925,23 +925,35 @@ def rrtmg_sw_driver(tables, key, p3d, p8w, t3d, t8w, cosz2d, albedo2d,
     cosz = cosz2d.reshape(N)
     gkw = {} if ghg is None else dict(co2vmr=ghg.co2, n2ovmr=ghg.n2o,
                                       ch4vmr=ghg.ch4)
-    out = rrtmg_sw_rad(tables, play, plev, tlay, cosz,
-                       albedo2d.reshape(N), h2ovmr, o3vmr, cf, ciwp,
-                       clwp, cswp, rei, rel, res, key,
-                       scon=solar_constant, **gkw)
+    from .rrtmg_lw import RRTMG_COL_CHUNK, column_chunked
 
-    day = (cosz > 0.0)[None]
-    swdflx = jnp.where(day, out.swdflx, 0.0)
-    swuflx = jnp.where(day, out.swuflx, 0.0)
-    swdflxc = jnp.where(day, out.swdflxc, 0.0)
-    swuflxc = jnp.where(day, out.swuflxc, 0.0)
-    swddir = jnp.where(day, out.swddir, 0.0)
-    swhr = jnp.where(day, out.swhr[:nz], 0.0)
+    def _rad_chunk(k, play_c, plev_c, tlay_c, cosz_c, alb_c, h2o, o3,
+                   cfc, ciw, clw, csw, rei_c, rel_c, res_c):
+        o = rrtmg_sw_rad(tables, play_c, plev_c, tlay_c, cosz_c, alb_c,
+                         h2o, o3, cfc, ciw, clw, csw, rei_c, rel_c,
+                         res_c, k, scon=solar_constant, **gkw)
+        return dict(swhr=o.swhr[:nz], swd0=o.swdflx[0],
+                    swu0=o.swuflx[0], swdT=o.swdflx[-1],
+                    swuT=o.swuflx[-1], swdcT=o.swdflxc[-1],
+                    swucT=o.swuflxc[-1], swddir0=o.swddir[0])
 
-    swdown = swdflx[0].reshape(ny, nx)
-    gsw = (swdflx[0] - swuflx[0]).reshape(ny, nx)
-    swcf = ((swdflx[-1] - swuflx[-1])
-            - (swdflxc[-1] - swuflxc[-1])).reshape(ny, nx)
+    out = column_chunked(
+        _rad_chunk, key,
+        (play, plev, tlay, cosz, albedo2d.reshape(N), h2ovmr, o3vmr,
+         cf, ciwp, clwp, cswp, rei, rel, res), N, RRTMG_COL_CHUNK)
+
+    day2 = cosz > 0.0
+    day = day2[None]
+    swhr = jnp.where(day, out["swhr"], 0.0)
+    swd0 = jnp.where(day2, out["swd0"], 0.0)
+    swu0 = jnp.where(day2, out["swu0"], 0.0)
+    swddir = jnp.where(day2, out["swddir0"], 0.0)[None]
+
+    swdown = swd0.reshape(ny, nx)
+    gsw = (swd0 - swu0).reshape(ny, nx)
+    swcf = jnp.where(
+        day2, (out["swdT"] - out["swuT"])
+        - (out["swdcT"] - out["swucT"]), 0.0).reshape(ny, nx)
     # direct-beam surface flux (SWDDIR, ra_rrtmg_sw.f90 wrapper outputs;
     # the diffuse component is swdown - swdir, VERDICT r3 item #8).
     # Clamped to swdown: the unscaled-tau direct transmittance can

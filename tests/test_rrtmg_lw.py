@@ -272,3 +272,53 @@ class TestModelIntegration:
             assert np.all((th > 230.0) & (th < 400.0))
         finally:
             lw.set_lw_tables(None)
+
+
+def test_lw_driver_column_chunking_cloud_free_exact():
+    """Column chunking (RRTMG_COL_CHUNK; the reference's per-column
+    loop analog bounding g-point temp memory) must be exact for
+    cloud-free columns: with cldfra = 0 the McICA sample is irrelevant,
+    so the chunked result equals the single-call result bit-for-bit up
+    to f32 reassociation."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from icar_tpu.physics import rrtmg_lw as lw
+
+    lw.set_lw_tables(synthetic_lw_tables())
+    try:
+        nz, ny, nx = 8, 3, 7
+        r = np.random.default_rng(5)
+        dz = np.full((nz, ny, nx), 400.0, np.float32)
+        z = np.cumsum(dz, axis=0) - 200.0
+        p = (1e5 * np.exp(-z / 8000.0)).astype(np.float32)
+        p8w = (1e5 * np.exp(-(z - 200.0) / 8000.0)).astype(np.float32)
+        t = (288.0 - 0.0065 * z).astype(np.float32)
+        t8w = (288.0 - 0.0065 * (z - 200.0)).astype(np.float32)
+        exner = ((p / 1e5) ** 0.2857).astype(np.float32)
+        rho = p / (287.0 * t)
+        qv = np.full_like(p, 2e-3)
+        zero = np.zeros_like(p)
+        tsk = t[0] + 1.0
+        emiss = np.full((ny, nx), 0.95, np.float32)
+        f = jnp.asarray
+        args = (lw.get_lw_tables(), jax.random.PRNGKey(0), f(p), f(p8w),
+                f(t), f(t8w), f(tsk), f(qv), f(zero), f(zero), f(zero),
+                f(zero), f(zero + 1e-5), f(zero + 2e-5), f(zero + 3e-5),
+                f(rho), f(dz), f(emiss), f(exner))
+        full = lw.rrtmg_lw_driver(*args)
+        prev = lw.RRTMG_COL_CHUNK
+        lw.RRTMG_COL_CHUNK = 5          # forces 5 chunks for N=21
+        try:
+            chunked = lw.rrtmg_lw_driver(*args)
+        finally:
+            lw.RRTMG_COL_CHUNK = prev
+        for a, b, nm in zip(full, chunked,
+                            ("th_tend", "glw", "olr", "lwcf")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-6, atol=2e-5,
+                err_msg=f"chunked LW diverges on {nm}")
+    finally:
+        lw.set_lw_tables(None)
