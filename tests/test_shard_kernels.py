@@ -219,3 +219,37 @@ def test_sharded_step_dispatches_kernels(interpret_kernels, monkeypatch):
     m.attach_mesh(_mesh(4, 1))
     m.advance(60.0)
     assert "thompson" in calls and "mpdata" in calls
+
+
+def test_one_device_mesh_identity_dispatch(interpret_kernels):
+    """A 1-device mesh is an identity decomposition: the wrappers must
+    dispatch to the single-device kernel paths (no frame pad/crop
+    ring), making the sharded general step equal the unsharded one.
+    Forced through the GENERAL path (fast_path=False) so the
+    mp_simple/upwind wrappers are the code under test."""
+    from icar_tpu.core.step import make_step_fn
+
+    kw = dict(nx=32, ny=24, nz=8, dx=1000.0, hill_height=400.0,
+              u_speed=10.0, rh=1.0, flat_z_height=-2)
+    m1 = ideal_ridge_model(**kw)
+    m2 = ideal_ridge_model(**kw)
+    m2.attach_mesh(_mesh(1, 1))
+    fn1 = make_step_fn(m1.options, m1.geom, m1.advect_names, False,
+                       fast_path=False)
+    fn2 = make_step_fn(m2.options, m2.geom, m2.advect_names, False,
+                       fast_path=False, mesh=m2.mesh,
+                       natural_shapes=m2._natural_shapes)
+    s1, _, n1 = fn1({k: jnp.array(v) for k, v in m1.state.items()}, {},
+                    jnp.float32(0.0), jnp.float32(600.0),
+                    m1._time_aux(), m1.geom_args())
+    s2, _, n2 = fn2({k: jnp.array(v) for k, v in m2.state.items()}, {},
+                    jnp.float32(0.0), jnp.float32(600.0),
+                    m2._time_aux(), m2.geom_args())
+    assert int(n1) == int(n2) >= 2
+    for k in ("potential_temperature", "water_vapor", "cloud_water",
+              "rain_mass", "precipitation"):
+        a = np.asarray(s1[k])
+        b = np.asarray(s2[k])[..., :a.shape[-2], :a.shape[-1]]
+        np.testing.assert_allclose(
+            b, a, rtol=1e-6, atol=1e-9,
+            err_msg=f"1-device mesh diverges from unsharded on {k}")
